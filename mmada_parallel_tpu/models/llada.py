@@ -1,0 +1,373 @@
+"""LLaDA masked-diffusion transformer backbone, TPU-native.
+
+A functional JAX re-design of the reference's OLMo-lineage ``LLaDAModel``
+(``MMaDA-Parallel-A/model/modeling_llada.py``, llama-block flavor
+``LLaDALlamaBlock`` at ``:856-972``): bidirectional (non-causal) attention,
+GQA, neox-style RoPE, RMSNorm, SwiGLU-gated MLP (``silu(ff_proj(x)) *
+up_proj(x)``), united text+image vocab head.
+
+TPU-first design decisions (vs. a torch port):
+
+* **Pure functions over a parameter pytree.**  Parameters for all layers are
+  stacked along a leading layer axis and the block stack runs as one
+  ``jax.lax.scan`` — one compiled block program regardless of depth, fast
+  XLA compiles, and a natural place for ``jax.checkpoint`` (activation
+  rematerialisation replaces the reference's FSDP checkpoint_wrapper,
+  ``finetune.py:342-352``).
+* **Sharding as metadata.** :func:`param_shardings` returns a
+  ``PartitionSpec`` pytree over mesh axes ``('fsdp', 'tensor')`` — GSPMD
+  inserts the all-gathers/reduce-scatters that FSDP/fairscale do by hand in
+  the reference (``finetune.py:371-413``).
+* **Attention is a swappable op** (:mod:`mmada_parallel_tpu.ops.attention`):
+  XLA SDPA reference path and a Pallas flash kernel, both bidirectional,
+  replacing flash-attn/SDPA dispatch (``modeling_llada.py:581-588,643-679``).
+* **Static shapes.** Padding is expressed as a ``[B, L]`` bool mask folded
+  into the attention bias, replacing the ragged-list repadding of
+  ``modeling_xllmx_dimoo.py:53-62``.
+
+Checkpoint compatibility: parameter names/shapes map 1:1 onto the HF
+checkpoint tree (see :mod:`mmada_parallel_tpu.models.convert`).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import PartitionSpec as P
+
+from mmada_parallel_tpu.ops.attention import dot_product_attention
+
+__all__ = [
+    "LLaDAConfig",
+    "init_llada_params",
+    "llada_forward",
+    "param_shardings",
+    "count_params",
+]
+
+
+@dataclasses.dataclass(frozen=True)
+class LLaDAConfig:
+    """Architecture hyperparameters.
+
+    Field semantics follow ``model/configuration_llada.py:130-384``; only the
+    fields exercised by the released checkpoints are kept (both released 8B
+    models use the llama block type with RMSNorm + RoPE + SiLU gating).
+    """
+
+    d_model: int = 4096
+    n_heads: int = 32
+    n_kv_heads: Optional[int] = None          # None -> n_heads (MHA)
+    n_layers: int = 32
+    mlp_hidden_size: Optional[int] = None     # None -> mlp_ratio * d_model
+    mlp_ratio: int = 4
+    vocab_size: int = 126464
+    embedding_size: Optional[int] = None      # None -> vocab_size
+    max_sequence_length: int = 8192           # RoPE table bound (informative)
+    rope_theta: float = 500000.0
+    rope_full_precision: bool = True
+    rms_norm_eps: float = 1e-5
+    layer_norm_type: str = "rms"              # "rms" | "gemma_rms"
+    include_bias: bool = False
+    include_qkv_bias: bool = False
+    weight_tying: bool = False
+    input_emb_norm: bool = False
+    scale_logits: bool = False
+    attention_layer_norm: bool = False        # q/k norm (unused by 8B ckpts)
+    mask_token_id: int = 126336
+    eos_token_id: int = 126081
+    pad_token_id: int = 126081
+    # --- TPU execution policy (not part of the checkpoint contract) ---
+    param_dtype: Any = jnp.float32
+    compute_dtype: Any = jnp.bfloat16
+    remat: str = "none"                       # "none" | "whole_layer"
+    attention_impl: str = "auto"              # "auto" | "xla" | "pallas"
+
+    @property
+    def effective_n_kv_heads(self) -> int:
+        return self.n_kv_heads if self.n_kv_heads is not None else self.n_heads
+
+    @property
+    def head_dim(self) -> int:
+        return self.d_model // self.n_heads
+
+    @property
+    def hidden_size(self) -> int:
+        # Reference: mlp_hidden_size or mlp_ratio * d_model (modeling_llada.py:536-538)
+        return (self.mlp_hidden_size if self.mlp_hidden_size is not None
+                else self.mlp_ratio * self.d_model)
+
+    @property
+    def emb_size(self) -> int:
+        return self.embedding_size if self.embedding_size is not None else self.vocab_size
+
+    def validate(self) -> None:
+        if self.d_model % self.n_heads:
+            raise ValueError("d_model must divide n_heads")
+        if self.n_heads % self.effective_n_kv_heads:
+            raise ValueError("n_heads must be a multiple of n_kv_heads")
+
+    @classmethod
+    def tiny(cls, **overrides) -> "LLaDAConfig":
+        """A CPU-testable config preserving every structural feature."""
+        base = dict(d_model=64, n_heads=4, n_kv_heads=2, n_layers=2,
+                    mlp_hidden_size=128, vocab_size=512, rope_theta=10000.0,
+                    max_sequence_length=512, mask_token_id=3,
+                    param_dtype=jnp.float32, compute_dtype=jnp.float32)
+        base.update(overrides)
+        return cls(**base)
+
+    @classmethod
+    def llada_8b(cls, **overrides) -> "LLaDAConfig":
+        """The released MMaDA-Parallel-A/M backbone shape.
+
+        d_model 4096 / 32 layers / 32 heads / mlp 12288, united vocab
+        126356+8192 (A) — from the checkpoint config distributed with
+        ``tyfeld/MMaDA-Parallel-A`` (config.json mirrors
+        ``configuration_llada.py`` defaults overridden at load).
+        """
+        base = dict(d_model=4096, n_heads=32, n_kv_heads=32, n_layers=32,
+                    mlp_hidden_size=12288, vocab_size=126464,
+                    embedding_size=134656, rope_theta=500000.0,
+                    max_sequence_length=8192)
+        base.update(overrides)
+        return cls(**base)
+
+
+# ---------------------------------------------------------------------------
+# Initialization
+# ---------------------------------------------------------------------------
+
+
+def init_llada_params(key: jax.Array, cfg: LLaDAConfig) -> Dict[str, Any]:
+    """Initialize a parameter pytree (normal(0.02) init, the reference default
+    ``init_fn=normal`` path of ``modeling_llada.py:80-155``).
+
+    Block parameters are stacked on a leading ``[n_layers, ...]`` axis.
+    """
+    cfg.validate()
+    d, h = cfg.d_model, cfg.hidden_size
+    kvd = cfg.effective_n_kv_heads * cfg.head_dim
+    L = cfg.n_layers
+    std = 0.02
+    keys = jax.random.split(key, 8)
+    pd = cfg.param_dtype
+
+    def nrm(k, shape):
+        return (std * jax.random.truncated_normal(k, -3, 3, shape)).astype(pd)
+
+    params: Dict[str, Any] = {
+        "wte": nrm(keys[0], (cfg.emb_size, d)),
+        "ln_f": jnp.ones((d,), pd),
+        "blocks": {
+            "attn_norm": jnp.ones((L, d), pd),
+            "ff_norm": jnp.ones((L, d), pd),
+            "q_proj": nrm(keys[1], (L, d, d)),
+            "k_proj": nrm(keys[2], (L, d, kvd)),
+            "v_proj": nrm(keys[3], (L, d, kvd)),
+            "attn_out": nrm(keys[4], (L, d, d)),
+            "ff_proj": nrm(keys[5], (L, d, h)),
+            "up_proj": nrm(keys[6], (L, d, h)),
+            "ff_out": nrm(keys[7], (L, h, d)),
+        },
+    }
+    if cfg.include_qkv_bias:
+        params["blocks"]["q_bias"] = jnp.zeros((L, d), pd)
+        params["blocks"]["k_bias"] = jnp.zeros((L, kvd), pd)
+        params["blocks"]["v_bias"] = jnp.zeros((L, kvd), pd)
+    if not cfg.weight_tying:
+        params["head"] = nrm(jax.random.split(keys[0])[1], (d, cfg.emb_size))
+    return params
+
+
+def count_params(params) -> int:
+    return sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(params))
+
+
+# ---------------------------------------------------------------------------
+# Building blocks
+# ---------------------------------------------------------------------------
+
+
+def _rms_norm(x: jax.Array, weight: jax.Array, eps: float,
+              gemma: bool = False) -> jax.Array:
+    """RMSNorm with fp32 statistics (``modeling_llada.py:301-329``)."""
+    og = x.dtype
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    xf = xf * jax.lax.rsqrt(var + eps)
+    x = xf.astype(og)
+    if gemma:
+        return x * (1 + weight).astype(og)
+    return x * weight.astype(og)
+
+
+def _rope_sin_cos(seq_len: int, head_dim: int, theta: float) -> Tuple[jax.Array, jax.Array]:
+    """Neox-style RoPE tables ``[L, head_dim]`` in fp32.
+
+    ``positions = cat((freqs, freqs))`` as in ``modeling_llada.py:391-400``.
+    """
+    inv_freq = 1.0 / (theta ** (np.arange(0, head_dim, 2, dtype=np.float32) / head_dim))
+    t = jnp.arange(seq_len, dtype=jnp.float32)
+    freqs = jnp.outer(t, jnp.asarray(inv_freq))          # [L, hd/2]
+    emb = jnp.concatenate([freqs, freqs], axis=-1)       # [L, hd]
+    return jnp.sin(emb), jnp.cos(emb)
+
+
+def _rotate_half(x: jax.Array) -> jax.Array:
+    x1, x2 = jnp.split(x, 2, axis=-1)
+    return jnp.concatenate([-x2, x1], axis=-1)
+
+
+def _apply_rope(q: jax.Array, k: jax.Array, sin: jax.Array, cos: jax.Array,
+                full_precision: bool) -> Tuple[jax.Array, jax.Array]:
+    """Apply RoPE to ``[B, L, H, hd]`` q/k (fp32 rotation per
+    ``modeling_llada.py:412-435`` when ``rope_full_precision``)."""
+    og_q, og_k = q.dtype, k.dtype
+    if full_precision:
+        q, k = q.astype(jnp.float32), k.astype(jnp.float32)
+    sin = sin[None, :, None, :].astype(q.dtype)
+    cos = cos[None, :, None, :].astype(q.dtype)
+    q = q * cos + _rotate_half(q) * sin
+    k = k * cos + _rotate_half(k) * sin
+    return q.astype(og_q), k.astype(og_k)
+
+
+def _block(x: jax.Array, lp: Dict[str, jax.Array], cfg: LLaDAConfig,
+           sin: jax.Array, cos: jax.Array,
+           attn_bias: Optional[jax.Array]) -> jax.Array:
+    """One ``LLaDALlamaBlock`` (``modeling_llada.py:907-972``):
+
+    ``x = x + attn(attn_norm(x)); x = x + ff_out(silu(ff_proj(ff_norm(x))) *
+    up_proj(ff_norm(x)))`` with bidirectional attention.
+    """
+    B, L, D = x.shape
+    nh, nkv, hd = cfg.n_heads, cfg.effective_n_kv_heads, cfg.head_dim
+    gemma = cfg.layer_norm_type == "gemma_rms"
+    cdt = x.dtype
+
+    h = _rms_norm(x, lp["attn_norm"], cfg.rms_norm_eps, gemma)
+    q = h @ lp["q_proj"].astype(cdt)
+    k = h @ lp["k_proj"].astype(cdt)
+    v = h @ lp["v_proj"].astype(cdt)
+    if "q_bias" in lp:
+        q = q + lp["q_bias"].astype(cdt)
+        k = k + lp["k_bias"].astype(cdt)
+        v = v + lp["v_bias"].astype(cdt)
+
+    q = q.reshape(B, L, nh, hd)
+    k = k.reshape(B, L, nkv, hd)
+    v = v.reshape(B, L, nkv, hd)
+    q, k = _apply_rope(q, k, sin, cos, cfg.rope_full_precision)
+
+    att = dot_product_attention(q, k, v, bias=attn_bias,
+                                impl=cfg.attention_impl)
+    att = att.reshape(B, L, D)
+    x = x + att @ lp["attn_out"].astype(cdt)
+
+    h = _rms_norm(x, lp["ff_norm"], cfg.rms_norm_eps, gemma)
+    gate = jax.nn.silu(h @ lp["ff_proj"].astype(cdt))
+    up = h @ lp["up_proj"].astype(cdt)
+    x = x + (gate * up) @ lp["ff_out"].astype(cdt)
+    return x
+
+
+# ---------------------------------------------------------------------------
+# Forward
+# ---------------------------------------------------------------------------
+
+
+def llada_forward(
+    params: Dict[str, Any],
+    cfg: LLaDAConfig,
+    input_ids: jax.Array,
+    attn_mask: Optional[jax.Array] = None,
+    logits_dtype: Any = jnp.float32,
+) -> jax.Array:
+    """Full-sequence forward: ``[B, L] ids -> [B, L, emb_size] logits``.
+
+    ``attn_mask`` is an optional ``[B, L]`` bool padding mask (True = real
+    token); it becomes the pairwise additive bias the reference builds in
+    ``modeling_xllmx_dimoo.py:56-62``.  Attention is always bidirectional
+    (``is_causal=False`` everywhere, ``modeling_llada.py:658,672-679``).
+    """
+    cdt = cfg.compute_dtype
+    B, L = input_ids.shape
+
+    # mode="clip": an out-of-range id yields the last embedding row instead of
+    # undefined XLA gather results (observed as NaN logits on TPU).
+    x = jnp.take(params["wte"], input_ids, axis=0, mode="clip").astype(cdt)
+    if cfg.input_emb_norm:
+        x = x * jnp.asarray(math.sqrt(cfg.d_model), cdt)
+
+    sin, cos = _rope_sin_cos(L, cfg.head_dim, cfg.rope_theta)
+
+    attn_bias = None
+    if attn_mask is not None:
+        pair = attn_mask[:, :, None] & attn_mask[:, None, :]
+        attn_bias = jnp.where(pair[:, None, :, :], 0.0, -1e30).astype(jnp.float32)
+
+    body_fn = partial(_block, cfg=cfg, sin=sin, cos=cos, attn_bias=attn_bias)
+    if cfg.remat == "whole_layer":
+        body_fn = jax.checkpoint(body_fn)
+
+    def scan_body(carry, layer_params):
+        return body_fn(carry, layer_params), None
+
+    x, _ = jax.lax.scan(scan_body, x, params["blocks"])
+
+    gemma = cfg.layer_norm_type == "gemma_rms"
+    x = _rms_norm(x, params["ln_f"], cfg.rms_norm_eps, gemma)
+
+    head = params["head"] if not cfg.weight_tying else params["wte"].T
+    logits = jnp.einsum("bld,dv->blv", x, head.astype(cdt),
+                        preferred_element_type=logits_dtype)
+    if cfg.scale_logits:
+        logits = logits * (1.0 / math.sqrt(cfg.d_model))
+    return logits.astype(logits_dtype)
+
+
+# ---------------------------------------------------------------------------
+# Sharding metadata
+# ---------------------------------------------------------------------------
+
+
+def param_shardings(cfg: LLaDAConfig, fsdp_axis: str = "fsdp",
+                    tensor_axis: str = "tensor") -> Dict[str, Any]:
+    """``PartitionSpec`` pytree mirroring :func:`init_llada_params`.
+
+    Tensor parallelism shards attention heads and MLP hidden dim (the
+    classic Megatron split the reference only scaffolds,
+    ``finetune.py:54-61``); FSDP shards the remaining large axis.  The
+    united vocab head — the memory hot spot at 8B x 134k vocab — is sharded
+    over ``tensor`` on the vocab axis so per-shard softmax stays local.
+    """
+    fs, tp = fsdp_axis, tensor_axis
+    specs = {
+        "wte": P(tp, fs),
+        "ln_f": P(None),
+        "blocks": {
+            "attn_norm": P(None, None),
+            "ff_norm": P(None, None),
+            "q_proj": P(None, fs, tp),
+            "k_proj": P(None, fs, tp),
+            "v_proj": P(None, fs, tp),
+            "attn_out": P(None, tp, fs),
+            "ff_proj": P(None, fs, tp),
+            "up_proj": P(None, fs, tp),
+            "ff_out": P(None, tp, fs),
+        },
+    }
+    if cfg.include_qkv_bias:
+        specs["blocks"]["q_bias"] = P(None, tp)
+        specs["blocks"]["k_bias"] = P(None, tp)
+        specs["blocks"]["v_bias"] = P(None, tp)
+    if not cfg.weight_tying:
+        specs["head"] = P(fs, tp)
+    return specs
