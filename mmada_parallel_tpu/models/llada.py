@@ -283,19 +283,24 @@ def _block(x: jax.Array, lp: Dict[str, jax.Array], cfg: LLaDAConfig,
 # ---------------------------------------------------------------------------
 
 
-def llada_forward(
+def llada_hidden(
     params: Dict[str, Any],
     cfg: LLaDAConfig,
     input_ids: jax.Array,
     attn_mask: Optional[jax.Array] = None,
-    logits_dtype: Any = jnp.float32,
 ) -> jax.Array:
-    """Full-sequence forward: ``[B, L] ids -> [B, L, emb_size] logits``.
+    """Backbone only: ``[B, L] ids -> [B, L, d_model]`` final hidden states
+    (post ``ln_f``).
 
     ``attn_mask`` is an optional ``[B, L]`` bool padding mask (True = real
     token); it becomes the pairwise additive bias the reference builds in
     ``modeling_xllmx_dimoo.py:56-62``.  Attention is always bidirectional
     (``is_causal=False`` everywhere, ``modeling_llada.py:658,672-679``).
+
+    The head is split out (:func:`llada_head`) so samplers can project only
+    the positions/vocab-slices they consume — the reference materializes the
+    full ``[B, L, 134k]`` logits every denoise step, which on TPU wastes both
+    MXU flops and HBM (~1.4 GB bf16 at L=5.4k).
     """
     cdt = cfg.compute_dtype
     B, L = input_ids.shape
@@ -323,14 +328,44 @@ def llada_forward(
     x, _ = jax.lax.scan(scan_body, x, params["blocks"])
 
     gemma = cfg.layer_norm_type == "gemma_rms"
-    x = _rms_norm(x, params["ln_f"], cfg.rms_norm_eps, gemma)
+    return _rms_norm(x, params["ln_f"], cfg.rms_norm_eps, gemma)
 
+
+def llada_head(
+    params: Dict[str, Any],
+    cfg: LLaDAConfig,
+    hidden: jax.Array,
+    vocab_slice: Optional[Tuple[int, int]] = None,
+    logits_dtype: Any = jnp.float32,
+) -> jax.Array:
+    """Vocab projection: ``[..., d_model] -> [..., V]`` logits.
+
+    ``vocab_slice=(start, size)`` projects onto a static slice of the vocab —
+    e.g. only the 8192 codebook logits for image CFG steps
+    (``parallel_generator.py:239-244`` slices after computing the full head;
+    here the [d_model, 8192] sub-matmul is all that runs).
+    """
     head = params["head"] if not cfg.weight_tying else params["wte"].T
-    logits = jnp.einsum("bld,dv->blv", x, head.astype(cdt),
+    if vocab_slice is not None:
+        start, size = vocab_slice
+        head = jax.lax.slice_in_dim(head, start, start + size, axis=1)
+    logits = jnp.einsum("...d,dv->...v", hidden, head.astype(hidden.dtype),
                         preferred_element_type=logits_dtype)
     if cfg.scale_logits:
         logits = logits * (1.0 / math.sqrt(cfg.d_model))
     return logits.astype(logits_dtype)
+
+
+def llada_forward(
+    params: Dict[str, Any],
+    cfg: LLaDAConfig,
+    input_ids: jax.Array,
+    attn_mask: Optional[jax.Array] = None,
+    logits_dtype: Any = jnp.float32,
+) -> jax.Array:
+    """Full-sequence forward: ``[B, L] ids -> [B, L, emb_size] logits``."""
+    hidden = llada_hidden(params, cfg, input_ids, attn_mask)
+    return llada_head(params, cfg, hidden, logits_dtype=logits_dtype)
 
 
 # ---------------------------------------------------------------------------

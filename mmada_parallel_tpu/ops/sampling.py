@@ -179,7 +179,10 @@ def remask_lowest_exact(key: Optional[jax.Array], mask_len: jax.Array,
     that remain masked).  Note variant A jitters with *gaussian* noise.
     """
     conf = jnp.log(probs + 1e-10)
-    if key is not None and temperature != 0:
+    # Noise is gated on `key is not None` (a trace-time decision) so
+    # `temperature` may be a traced per-step scalar (the reference decays it
+    # as ``temp * (1 - ratio)``, parallel_generator.py:330).
+    if key is not None:
         conf = conf + temperature * jax.random.normal(key, probs.shape,
                                                       dtype=probs.dtype)
     mask_len = jnp.clip(mask_len.astype(jnp.int32), 0, probs.shape[-1] - 1)
@@ -196,7 +199,7 @@ def remask_below_cutoff(key: Optional[jax.Array], mask_len: jax.Array,
     ``confidence < cutoff`` (strict, so ties at the cutoff stay unmasked).
     """
     conf = jnp.log(jnp.clip(probs, 1e-20, None))
-    if key is not None and temperature != 0:
+    if key is not None:
         u = jax.random.uniform(key, probs.shape, dtype=probs.dtype)
         g = -jnp.log(-jnp.log(jnp.clip(u, 1e-20, None)))
         conf = conf + temperature * g

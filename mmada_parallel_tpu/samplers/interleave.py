@@ -1,0 +1,163 @@
+"""Variant-M interleave generation as one fused scan.
+
+Mirrors ``MMaDA-Parallel-M/models/modeling_mmada.py:118-248``
+(``interleave_generate``): per step ONE batched forward of
+``cat([cond, uncond])``; text guidance ``cond + text_cfg*(uncond - cond)``
+(note the sign — it differs from A's convention and from the image CFG, and
+is preserved as-is, ``modeling_mmada.py:179``); image guidance
+``(1+image_cfg)*cond - image_cfg*uncond`` over the codebook slice
+(``:216``); image refresh on ``linspace(text_steps//4, text_steps-1,
+image_steps)``; confidence top-k text transfer + MaskGit cosine re-mask with
+the M-style strict-cutoff ``mask_by_random_topk`` (``models/sampling.py:31``).
+
+The uncond row shares the output region with the cond row *before* each
+step's updates (the reference rebuilds ``combined_uncond`` from the current
+ids at the top of the loop, ``modeling_mmada.py:168-172``), so cond+uncond
+batch into one forward exactly as the reference does.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mmada_parallel_tpu.models.llada import LLaDAConfig, llada_head, llada_hidden
+from mmada_parallel_tpu.ops import sampling as S
+from mmada_parallel_tpu.tokens import SequenceLayout
+
+__all__ = ["InterleaveOptions", "interleave_generate"]
+
+
+@dataclasses.dataclass(frozen=True)
+class InterleaveOptions:
+    """Defaults = ``MMaDA-Parallel-M/inference.py:114-124``."""
+
+    text_steps: int = 128
+    image_steps: int = 30
+    text_cfg: float = 2.5
+    image_cfg: float = 4.0
+    text_temperature: float = 0.0
+    image_temperature: float = 1.0
+    remasking: str = "low_confidence"
+    schedule: str = "cosine"
+    text_vocab_size: int = 126464         # len(text_tokenizer)
+    codebook_size: int = 8192
+    mask_token: int = 126336
+
+
+def interleave_generate(
+    params: Dict[str, Any],
+    cfg: LLaDAConfig,
+    input_ids: jax.Array,
+    uncond_input_ids: jax.Array,
+    layout: SequenceLayout,
+    opts: InterleaveOptions = InterleaveOptions(),
+    key: Optional[jax.Array] = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """Returns ``(final_ids [B, L], image_codes [B, N_vq])``.
+
+    ``input_ids``/``uncond_input_ids`` are full assembled sequences of equal
+    length (:func:`mmada_parallel_tpu.tokens.assemble_interleave_sequence`);
+    the uncond prompt region is the only part of ``uncond_input_ids`` read —
+    the output region is refreshed from the cond row each step.
+    """
+    B, L = input_ids.shape
+    ts, te = layout.text_start, layout.text_end
+    max_seq = te - ts
+    ist, ien = layout.image_start, layout.image_end
+    n_vq = ien - ist
+    prompt_len = layout.code_start
+    tvs, cb = opts.text_vocab_size, opts.codebook_size
+
+    steps = opts.text_steps
+    sched = S.get_mask_schedule(opts.schedule)
+    ratios = (jnp.arange(steps, dtype=jnp.float32) + 1) / steps
+    mask_ratios = sched(ratios)
+    img_temps = opts.image_temperature * (1.0 - ratios)
+    img_step = S.image_step_mask(steps, opts.image_steps)
+
+    masked0 = (input_ids[:, ts:te] == opts.mask_token).sum(axis=1)
+    budgets = S.get_num_transfer_tokens(masked0, steps)  # [B, steps]
+
+    uncond_prompt = uncond_input_ids[:, :prompt_len]
+
+    def heads(ids2b):
+        """Batched cond+uncond forward -> full-vocab text logits and
+        codebook-slice image logits (positions the step consumes only)."""
+        hidden = llada_hidden(params, cfg, ids2b)
+        text_h = jax.lax.dynamic_slice_in_dim(hidden, ts, max_seq, axis=1)
+        text_logits = llada_head(params, cfg, text_h)       # [2B, max_seq, V]
+        img_h = jax.lax.dynamic_slice_in_dim(hidden, ist, n_vq, axis=1)
+        vq_logits = llada_head(params, cfg, img_h, vocab_slice=(tvs, cb))
+        return text_logits, vq_logits
+
+    def step_fn(carry, xs):
+        ids, k = carry
+        step_idx, budget = xs
+        keys = jax.random.split(k, 4) if k is not None else (None,) * 4
+        next_key = keys[0] if k is not None else None
+
+        uncond_ids = jnp.concatenate(
+            [uncond_prompt, ids[:, prompt_len:]], axis=1)
+        both = jnp.concatenate([ids, uncond_ids], axis=0)
+        text_logits2, vq_logits2 = heads(both)
+        cond_t, uncond_t = text_logits2[:B], text_logits2[B:]
+        cond_v, uncond_v = vq_logits2[:B], vq_logits2[B:]
+
+        # --- text update (modeling_mmada.py:179-209) ---
+        guided = cond_t + opts.text_cfg * (uncond_t - cond_t)
+        cur = jax.lax.dynamic_slice_in_dim(ids, ts, max_seq, axis=1)
+        masked = cur == opts.mask_token
+        x0 = S.gumbel_argmax(
+            guided, opts.text_temperature,
+            keys[1] if (k is not None and opts.text_temperature != 0) else None)
+        if opts.remasking == "low_confidence":
+            conf = S.token_confidence(guided, x0)
+        else:
+            conf = jax.random.uniform(keys[1], x0.shape)
+        x0 = jnp.where(masked, x0, cur)
+        conf = jnp.where(masked, conf, S.NEG_INF)
+        transfer = S.topk_transfer_mask(conf, budget)
+        ids = jax.lax.dynamic_update_slice_in_dim(
+            ids, jnp.where(transfer, x0, cur), ts, axis=1)
+
+        # --- scheduled image refresh (modeling_mmada.py:211-241) ---
+        def do_image(ids):
+            cur_img = jax.lax.dynamic_slice_in_dim(ids, ist, n_vq, axis=1)
+            unknown = cur_img == opts.mask_token
+            cur_codes = cur_img - tvs  # known tokens are offset codes
+
+            img_logits = (1 + opts.image_cfg) * cond_v - opts.image_cfg * uncond_v
+            sampled = S.categorical_sample(
+                keys[2] if k is not None else None, img_logits,
+                temperature_is_zero=(opts.image_temperature == 0))
+            sampled = jnp.where(unknown, sampled, cur_codes)
+
+            probs = jax.nn.softmax(img_logits, axis=-1)
+            sel = jnp.take_along_axis(
+                probs, jnp.clip(sampled, 0, cb - 1)[..., None], axis=-1)[..., 0]
+            sel = jnp.where(unknown, sel, jnp.finfo(sel.dtype).max)
+
+            mask_len = jnp.floor(n_vq * mask_ratios[step_idx]).astype(jnp.int32)
+            mask_len = jnp.maximum(
+                1, jnp.minimum(unknown.sum(axis=-1) - 1, mask_len))
+            remask = S.remask_below_cutoff(
+                keys[3] if (k is not None and opts.image_temperature != 0) else None,
+                mask_len, sel, img_temps[step_idx])
+
+            new_img = jnp.where(remask, opts.mask_token, sampled + tvs)
+            return jax.lax.dynamic_update_slice_in_dim(ids, new_img, ist, axis=1)
+
+        ids = jax.lax.cond(img_step[step_idx], do_image, lambda x: x, ids)
+        return (ids, next_key), None
+
+    (final_ids, _), _ = jax.lax.scan(
+        step_fn, (input_ids, key), (jnp.arange(steps), budgets.T))
+
+    img_tokens = final_ids[:, ist:ien]
+    codes = jnp.clip(img_tokens - tvs, 0, cb - 1)
+    return final_ids, codes
