@@ -35,6 +35,7 @@ __all__ = [
     "gumbel_argmax",
     "token_confidence",
     "get_num_transfer_tokens",
+    "get_num_transfer_tokens_frontloaded",
     "topk_transfer_mask",
     "remask_lowest_exact",
     "remask_below_cutoff",
@@ -145,6 +146,22 @@ def get_num_transfer_tokens(masked_counts: jax.Array, steps: int) -> jax.Array:
     target_after = (t * (steps - 1 - s)) // steps         # [B, steps]
     target_before = jnp.concatenate([t, target_after[:, :-1]], axis=1)
     return target_before - target_after
+
+
+def get_num_transfer_tokens_frontloaded(masked_counts: jax.Array,
+                                        steps: int) -> jax.Array:
+    """M-variant per-step budget ``[B, steps]``.
+
+    ``base + 1`` for the first ``remainder`` steps
+    (``MMaDA-Parallel-M/models/modeling_mmada.py:63-81``) — note this
+    differs from variant A's target-based schedule above (e.g. 10 masks over
+    4 steps: A gives [3,2,3,2], M gives [3,3,2,2]); both are preserved.
+    """
+    t = masked_counts.astype(jnp.int32)[:, None]
+    base = t // steps
+    rem = t % steps
+    s = jnp.arange(steps, dtype=jnp.int32)[None, :]
+    return base + (s < rem).astype(jnp.int32)
 
 
 def _rank_desc(values: jax.Array) -> jax.Array:

@@ -1,0 +1,155 @@
+"""Variant-A pure image generation (MaskGit decode) as a fused scan.
+
+Mirrors ``MMaDA-Parallel-A/generators/image_generation_generator.py:15-251``
+(``generate_image``): per step, sample ALL currently-masked image positions
+via Gumbel-max (``utils/generation_utils.py:40-45``), write them, then
+re-mask the ``keep_n`` lowest-confidence ones where ``keep_n =
+floor(initial_masks * cos(pi/2 * (s+1)/T))`` (clamped to >=1, 0 on the last
+step).  CFG is muse-style ``(1+s)*cond - s*uncond``
+(``image_generation_generator.py:154``) with the uncond sequence built as
+``cat(uncon_ids, x[:, code_start-2:])`` — a *different length* than the cond
+sequence, so the two forwards stay separate (matching the reference's two
+calls rather than a batched one).
+
+Static-shape redesign: the reference gathers logits at the dynamic set of
+masked positions; here the codebook head runs at all image positions and
+updates are masked writes.  The re-mask cutoff index is clamped to
+``unknown_cnt - 1`` exactly as the reference's subset-array gather clamps
+(``generation_utils.py:59-60``).
+
+The reference's adaptive feature cache (``use_cache``/``cache_ratio``
+partial recompute, ``:226-237``) is an orthogonal optimisation of the
+backbone forward and is not reimplemented in this sampler; the TPU build
+gets its speed from the fused scan + sliced heads instead.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mmada_parallel_tpu.models.llada import LLaDAConfig, llada_head, llada_hidden
+from mmada_parallel_tpu.ops import sampling as S
+from mmada_parallel_tpu.tokens import SequenceLayout
+
+__all__ = ["ImageGenOptions", "generate_image"]
+
+
+@dataclasses.dataclass(frozen=True)
+class ImageGenOptions:
+    timesteps: int = 18
+    temperature: float = 1.0
+    cfg_scale: float = 0.0
+    schedule: str = "cosine"
+    text_vocab_size: int = 126356
+    codebook_size: int = 8192
+    mask_token: int = 126336
+
+
+def generate_image(
+    params: Dict[str, Any],
+    cfg: LLaDAConfig,
+    input_ids: jax.Array,
+    layout: SequenceLayout,
+    opts: ImageGenOptions = ImageGenOptions(),
+    uncond_ids: Optional[np.ndarray] = None,
+    key: Optional[jax.Array] = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """Returns ``(final_ids [B, L], image_codes [B, N_vq])``.
+
+    ``layout.code_start`` marks ``<answer_start>`` as in the TI2TI layout;
+    the image span (with newlines) sits at ``[image_start, image_end)``.
+    """
+    B, L = input_ids.shape
+    tvs, cb = opts.text_vocab_size, opts.codebook_size
+    img_pos = jnp.asarray(layout.image_positions(), dtype=jnp.int32)
+    n_vq = img_pos.shape[0]
+    T = opts.timesteps
+
+    sched = S.get_mask_schedule(opts.schedule)
+    fracs = sched((jnp.arange(T, dtype=jnp.float32) + 1) / T)
+
+    vq_len0 = (jnp.take_along_axis(input_ids, img_pos[None, :], axis=1)
+               == opts.mask_token).sum(axis=1)  # [B] initial masks
+
+    use_cfg = opts.cfg_scale > 0 and uncond_ids is not None
+    if use_cfg:
+        un_prefix = jnp.asarray(uncond_ids, jnp.int32)
+        tail_start = layout.code_start  # reference: x[:, code_start-2:] where
+        # code_start there points at <boi>; our code_start is <answer_start>,
+        # and the reference slices from 2 before its <boi>+... — the tail is
+        # everything from <answer_start> on.
+        tail_len = L - tail_start
+
+    def vq_logits_at(ids, positions):
+        hidden = llada_hidden(params, cfg, ids)
+        h = jnp.take_along_axis(hidden, positions[None, :, None], axis=1)
+        return llada_head(params, cfg, h, vocab_slice=(tvs, cb))
+
+    # uncond image positions are the same grid, shifted into the uncond seq
+    if use_cfg:
+        shift = un_prefix.shape[0] - tail_start
+        un_img_pos = img_pos + shift
+
+    def step_fn(carry, xs):
+        ids, k = carry
+        step_idx, frac = xs
+        keys = jax.random.split(k, 3) if k is not None else (None,) * 3
+        next_key = keys[0] if k is not None else None
+
+        cur = jnp.take_along_axis(ids, img_pos[None, :], axis=1)
+        masked = cur == opts.mask_token
+        unknown_cnt = masked.sum(axis=1)
+
+        cond_vq = vq_logits_at(ids, img_pos)
+        if use_cfg:
+            tail = jax.lax.dynamic_slice_in_dim(ids, tail_start, tail_len, axis=1)
+            un = jnp.concatenate(
+                [jnp.broadcast_to(un_prefix, (B,) + un_prefix.shape), tail],
+                axis=1)
+            un_vq = vq_logits_at(un, un_img_pos)
+            logits = (1 + opts.cfg_scale) * cond_vq - opts.cfg_scale * un_vq
+        else:
+            logits = cond_vq
+
+        # Gumbel-max sample (generation_utils.py:40-45)
+        if opts.temperature == 0 or k is None:
+            sampled = jnp.argmax(logits, axis=-1)
+        else:
+            u = jax.random.uniform(keys[1], logits.shape)
+            g = -jnp.log(-jnp.log(u + 1e-20) + 1e-20)
+            sampled = jnp.argmax(logits / opts.temperature + g, axis=-1)
+
+        probs = jax.nn.softmax(logits, axis=-1)
+        conf = jnp.take_along_axis(probs, sampled[..., None], axis=-1)[..., 0]
+
+        # keep_n: floor(initial_masks * frac), >=1, 0 on last step
+        keep_n = jnp.floor(vq_len0.astype(jnp.float32) * frac).astype(jnp.int32)
+        keep_n = jnp.maximum(keep_n, 1)
+        keep_n = jnp.where(step_idx == T - 1, 0, keep_n)
+        # reference clamps the cutoff gather to the masked-subset length
+        keep_n = jnp.minimum(keep_n, jnp.maximum(unknown_cnt - 1, 0))
+
+        # only previously-masked positions participate; unmasked get +inf conf
+        conf = jnp.where(masked, conf, jnp.inf)
+        remask = S.remask_below_cutoff(
+            keys[2] if (k is not None and opts.temperature != 0) else None,
+            keep_n, conf, opts.temperature)
+        remask = remask & masked
+
+        new_vals = jnp.where(masked, sampled + tvs, cur)
+        new_vals = jnp.where(remask, opts.mask_token, new_vals)
+        ids = jnp.put_along_axis(ids, img_pos[None, :], new_vals, axis=1,
+                                 inplace=False)
+        return (ids, next_key), None
+
+    (final_ids, _), _ = jax.lax.scan(
+        step_fn, (input_ids, key), (jnp.arange(T), fracs))
+
+    img_tokens = jnp.take_along_axis(final_ids, img_pos[None, :], axis=1)
+    codes = jnp.clip(img_tokens - tvs, 0, cb - 1)
+    return final_ids, codes

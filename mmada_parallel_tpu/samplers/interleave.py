@@ -81,7 +81,9 @@ def interleave_generate(
     img_step = S.image_step_mask(steps, opts.image_steps)
 
     masked0 = (input_ids[:, ts:te] == opts.mask_token).sum(axis=1)
-    budgets = S.get_num_transfer_tokens(masked0, steps)  # [B, steps]
+    # M uses the front-loaded remainder schedule (modeling_mmada.py:63-81),
+    # unlike A's target-based one.
+    budgets = S.get_num_transfer_tokens_frontloaded(masked0, steps)  # [B, steps]
 
     uncond_prompt = uncond_input_ids[:, :prompt_len]
 

@@ -1,0 +1,119 @@
+"""Semi-autoregressive block text decoding (MMU) as a fused scan.
+
+Mirrors ``MMaDA-Parallel-M/models/modeling_mmada.py:618-691``
+(``mmu_generate``): the answer is decoded in blocks of ``block_length``;
+within a block, ``steps_per_block`` confidence top-k transfer steps run with
+confidence beyond the current block forced to ``-inf``, so blocks complete
+left-to-right.  Optional CFG masks the prompt in the uncond row
+(``un_x[prompt_index] = mask``) with guidance
+``uncond + (cfg+1)*(cond - uncond)`` (``modeling_mmada.py:661-666``).
+
+The two nested python loops (blocks x steps) flatten into ONE scan over
+``total_steps`` with the block index derived from the step counter; the
+per-block transfer budget is static because every block starts fully masked
+(confidence beyond the block boundary is -inf until the previous block
+finishes).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from mmada_parallel_tpu.models.llada import LLaDAConfig, llada_forward
+from mmada_parallel_tpu.ops import sampling as S
+
+__all__ = ["MMUOptions", "mmu_generate"]
+
+
+@dataclasses.dataclass(frozen=True)
+class MMUOptions:
+    max_new_tokens: int = 128
+    steps: int = 128
+    block_length: int = 128
+    temperature: float = 0.0
+    cfg_scale: float = 0.0
+    remasking: str = "low_confidence"
+    mask_token: int = 126336
+
+
+def mmu_generate(
+    params: Dict[str, Any],
+    cfg: LLaDAConfig,
+    prompt_ids: jax.Array,
+    opts: MMUOptions = MMUOptions(),
+    attn_mask: Optional[jax.Array] = None,
+    key: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Returns the full ``[B, prompt_len + max_new_tokens]`` sequence."""
+    if opts.max_new_tokens % opts.block_length:
+        raise ValueError("max_new_tokens must be a multiple of block_length")
+    num_blocks = opts.max_new_tokens // opts.block_length
+    if opts.steps % num_blocks:
+        raise ValueError("steps must be a multiple of num_blocks")
+    spb = opts.steps // num_blocks  # steps per block
+
+    B, P = prompt_ids.shape
+    L = P + opts.max_new_tokens
+    x0_init = jnp.concatenate(
+        [prompt_ids,
+         jnp.full((B, opts.max_new_tokens), opts.mask_token, prompt_ids.dtype)],
+        axis=1)
+    prompt_index = x0_init != opts.mask_token
+
+    # per-block budget: block starts fully masked -> static schedule
+    # (M's front-loaded remainder form, modeling_mmada.py:63-81)
+    budgets = S.get_num_transfer_tokens_frontloaded(
+        jnp.full((1,), opts.block_length), spb)[0]          # [spb]
+
+    # per-step block end boundary (absolute position)
+    step_ids = jnp.arange(opts.steps)
+    block_of_step = step_ids // spb
+    block_end = P + (block_of_step + 1) * opts.block_length  # [steps]
+    step_in_block = step_ids % spb
+
+    pos = jnp.arange(L)[None, :]  # [1, L]
+
+    attn_bias_mask = attn_mask
+
+    def step_fn(carry, xs):
+        x, k = carry
+        bend, sib = xs
+        keys = jax.random.split(k, 3) if k is not None else (None,) * 3
+        next_key = keys[0] if k is not None else None
+
+        mask_index = x == opts.mask_token
+
+        if opts.cfg_scale > 0.0:
+            un_x = jnp.where(prompt_index, opts.mask_token, x)
+            both = jnp.concatenate([x, un_x], axis=0)
+            logits2 = llada_forward(params, cfg, both)
+            cond, uncond = logits2[:B], logits2[B:]
+            logits = uncond + (opts.cfg_scale + 1) * (cond - uncond)
+        else:
+            logits = llada_forward(params, cfg, x, attn_bias_mask)
+
+        x0 = S.gumbel_argmax(
+            logits, opts.temperature,
+            keys[1] if (k is not None and opts.temperature != 0) else None)
+        if opts.remasking == "low_confidence":
+            conf = S.token_confidence(logits, x0)
+        else:
+            conf = jax.random.uniform(keys[2], x0.shape)
+
+        # confidence beyond the current block boundary -> -inf
+        conf = jnp.where(pos >= bend, S.NEG_INF, conf)
+        x0 = jnp.where(mask_index, x0, x)
+        conf = jnp.where(mask_index, conf, S.NEG_INF)
+
+        k_budget = jnp.broadcast_to(budgets[sib], (B,))
+        transfer = S.topk_transfer_mask(conf, k_budget)
+        x = jnp.where(transfer, x0, x)
+        return (x, next_key), None
+
+    (final_x, _), _ = jax.lax.scan(
+        step_fn, (x0_init, key), (block_end, step_in_block))
+    return final_x

@@ -174,6 +174,12 @@ TOK_M = tk.VariantMTokens(soi=251, eoi=250, bos=249, text_vocab_size=TVS,
                           codebook_size=CB)
 
 
+def _ref_num_transfer_m(total, steps):
+    """Literal port of modeling_mmada.py:63-81 (front-loaded remainder)."""
+    base, rem = total // steps, total % steps
+    return [base + (1 if s < rem else 0) for s in range(steps)]
+
+
 def _ref_interleave(fwd, ids, un_ids, layout, opts):
     """Literal numpy port of modeling_mmada.py:160-241 at temp 0 (argmax
     image sampling in place of multinomial)."""
@@ -184,7 +190,7 @@ def _ref_interleave(fwd, ids, un_ids, layout, opts):
     msl = te - ts
     n_vq = ien - ist
     steps = opts.text_steps
-    budgets = _ref_num_transfer(int((ids[ts:te] == MASK).sum()), steps)
+    budgets = _ref_num_transfer_m(int((ids[ts:te] == MASK).sum()), steps)
     sched = set(np.round(np.linspace(steps // 4, steps - 1,
                                      opts.image_steps)).astype(int).tolist())
     for i in range(steps):
@@ -244,3 +250,121 @@ def test_interleave_matches_reference_loop(model):
     assert np.array_equal(got, want), (
         f"mismatch at {np.nonzero(got != want)[0]}")
     assert np.asarray(codes).shape == (1, 6)
+
+
+# ---------------------------------------------------------------------------
+# A-variant pure image generation (MaskGit) and M mmu / t2i
+# ---------------------------------------------------------------------------
+
+from mmada_parallel_tpu.samplers.image_gen import ImageGenOptions, generate_image
+from mmada_parallel_tpu.samplers.t2i import T2IOptions, t2i_generate
+from mmada_parallel_tpu.samplers.mmu import MMUOptions, mmu_generate
+
+
+def _ref_generate_image(fwd, ids, layout, opts, uncond=None):
+    """Literal numpy port of image_generation_generator.py:15-251 at temp 0."""
+    x = np.asarray(ids).copy()
+    img_pos = [i for i in range(layout.image_start, layout.image_end)
+               if x[i] != NEWLINE]
+    T = opts.timesteps
+    vq_len0 = int((x[img_pos] == MASK).sum())
+    for step in range(T):
+        masked = x[img_pos] == MASK
+        if masked.sum() == 0:
+            break
+        cond = fwd(x)[img_pos, TVS:TVS + CB]
+        if opts.cfg_scale > 0 and uncond is not None:
+            tail = x[layout.code_start:]
+            un = np.concatenate([uncond, tail])
+            un_pos = [p - layout.code_start + len(uncond) for p in img_pos]
+            ug = fwd(un)[un_pos, TVS:TVS + CB]
+            logits = (1 + opts.cfg_scale) * cond - opts.cfg_scale * ug
+        else:
+            logits = cond
+        # only masked positions are sampled in the reference
+        ml = logits[masked]
+        sampled = ml.argmax(-1)
+        e = np.exp(ml - ml.max(-1, keepdims=True)); p = e / e.sum(-1, keepdims=True)
+        conf = np.take_along_axis(p, sampled[:, None], -1)[:, 0]
+        pos_arr = np.asarray(img_pos)[masked]
+        x[pos_arr] = sampled + TVS
+        if step < T - 1:
+            frac = np.cos(np.pi / 2 * (step + 1) / T)
+            keep_n = max(1, int(np.floor(vq_len0 * frac)))
+        else:
+            keep_n = 0
+        k = min(keep_n, len(conf) - 1)
+        c = np.log(np.clip(conf, 1e-20, None))
+        cutoff = np.sort(c)[k]
+        remask = c < cutoff
+        x[pos_arr[remask]] = MASK
+    return x
+
+
+def test_generate_image_matches_reference_loop(model):
+    cfg, params, fwd = model
+    ids, lay = _layout_and_ids()
+    for cfg_scale, uncond in [(0.0, None), (2.0, np.array([60, 61, 62], np.int32))]:
+        opts = ImageGenOptions(timesteps=6, temperature=0.0, cfg_scale=cfg_scale,
+                               text_vocab_size=TVS, codebook_size=CB,
+                               mask_token=MASK)
+        want = _ref_generate_image(fwd, ids, lay, opts, uncond)
+        got_ids, codes = generate_image(params, cfg, jnp.asarray(ids)[None],
+                                        lay, opts, uncond_ids=uncond, key=None)
+        got = np.asarray(got_ids)[0]
+        assert np.array_equal(got, want), (
+            f"cfg={cfg_scale}: mismatch at {np.nonzero(got != want)[0]}")
+
+
+def _ref_mmu(fwd, prompt, opts):
+    """Literal numpy port of modeling_mmada.py:618-691 at temp 0, no CFG."""
+    x = np.concatenate([prompt, np.full(opts.max_new_tokens, MASK)])
+    P = len(prompt)
+    nb = opts.max_new_tokens // opts.block_length
+    spb = opts.steps // nb
+    for b in range(nb):
+        budgets = _ref_num_transfer_m(opts.block_length, spb)
+        for i in range(spb):
+            mask_index = x == MASK
+            logits = fwd(x)
+            x0 = logits.argmax(-1)
+            e = np.exp(logits - logits.max(-1, keepdims=True))
+            p = e / e.sum(-1, keepdims=True)
+            conf = np.take_along_axis(p, x0[:, None], -1)[:, 0]
+            conf[P + (b + 1) * opts.block_length:] = -np.inf
+            x0 = np.where(mask_index, x0, x)
+            conf = np.where(mask_index, conf, -np.inf)
+            k = budgets[i]
+            if k > 0:
+                sel = np.argsort(-conf, kind="stable")[:k]
+                x[sel] = x0[sel]
+    return x
+
+
+def test_mmu_generate_matches_reference_loop(model):
+    cfg, params, fwd = model
+    prompt = np.arange(20, 30, dtype=np.int32)
+    opts = MMUOptions(max_new_tokens=8, steps=8, block_length=4,
+                      temperature=0.0, cfg_scale=0.0, mask_token=MASK)
+    want = _ref_mmu(fwd, prompt, opts)
+    got = np.asarray(mmu_generate(params, cfg, jnp.asarray(prompt)[None],
+                                  opts, key=None))[0]
+    assert np.array_equal(got, want), (
+        f"mismatch at {np.nonzero(got != want)[0]}")
+    assert not np.any(got == MASK)
+
+
+def test_t2i_generate_shape_and_fill(model):
+    cfg, params, fwd = model
+    n_vq, plen = 6, 5
+    prompt = np.arange(10, 10 + plen, dtype=np.int32)
+    ids = np.concatenate([prompt, [251], np.full(n_vq, MASK), [250]])
+    un = np.concatenate([np.full(plen, 40), [251], np.full(n_vq, MASK), [250]])
+    opts = T2IOptions(timesteps=4, temperature=0.0, guidance_scale=1.5,
+                      text_vocab_size=TVS, codebook_size=CB, mask_token=MASK)
+    codes = t2i_generate(params, cfg, jnp.asarray(ids)[None],
+                         jnp.asarray(un)[None], prompt_len=plen,
+                         num_vq_tokens=n_vq, opts=opts, key=None)
+    c = np.asarray(codes)
+    assert c.shape == (1, n_vq)
+    assert c.min() >= 0 and c.max() < CB
