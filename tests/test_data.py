@@ -1,0 +1,212 @@
+"""Data-pipeline tests: item layouts, dataset/sampler determinism,
+prompting builders, shard reader."""
+
+import json
+import os
+import pickle
+import random
+import tarfile
+
+import numpy as np
+import pytest
+
+from mmada_parallel_tpu.data.item_processor import (AItemProcessor, mask_codes,
+                                                    load_image_tokens)
+from mmada_parallel_tpu.data.dataset import MetaDataset, LengthClusteredSampler
+from mmada_parallel_tpu.data.prompting import UniversalPrompting
+from mmada_parallel_tpu.data.pretokenize import PreTokenizer, concat_records
+from mmada_parallel_tpu.data.shards import (braceexpand, ShardReader,
+                                            Text2ImageShardDataset)
+from mmada_parallel_tpu.tokens import TOKENS_A
+
+
+class FakeTokenizer:
+    bos_token_id = 1
+    eos_token_id = 2
+
+    def __call__(self, text, **kw):
+        if isinstance(text, list):
+            return {"input_ids": [self("x" * max(len(t) % 7, 1))["input_ids"]
+                                  for t in text]}
+        ids = [self.bos_token_id] + [10 + (ord(c) % 50) for c in text[:16]]
+        return {"input_ids": ids}
+
+
+def test_mask_codes_reference_semantics():
+    rng = random.Random(0)
+    codes = list(range(100, 150))
+    masked, labels = mask_codes(codes, rng=rng)
+    n = sum(1 for m in masked if m == TOKENS_A.mask)
+    assert n >= 1
+    for i, (m, l) in enumerate(zip(masked, labels)):
+        if m == TOKENS_A.mask:
+            assert l == codes[i]
+        else:
+            assert l == -100 and m == codes[i]
+    # short sequences mask fully
+    m2, _ = mask_codes([7, 8, 9], rng=rng)
+    assert all(x == TOKENS_A.mask for x in m2)
+
+
+@pytest.fixture
+def img_pickle(tmp_path):
+    rec = {"input_ids": list(range(16)), "height": 64, "width": 64}
+    p = tmp_path / "img.pkl"
+    with open(p, "wb") as f:
+        pickle.dump(rec, f)
+    return str(p)
+
+
+def test_item_processor_ti2ti_layout(img_pickle):
+    proc = AItemProcessor(FakeTokenizer(), rng=random.Random(1),
+                          uncondition_prob=0.0)
+    item = {"system_prompt": "sys", "user_prompt": "edit it",
+            "user_image": img_pickle, "answer_image": img_pickle,
+            "answer_text": "because"}
+    tokens, labels = proc.process_item(item)
+    assert len(tokens) == len(labels)
+    T = TOKENS_A
+    assert tokens.count(T.answer_start) == 1
+    assert tokens.count(T.boi) == 2  # user image + answer image
+    # answer image span: after <answer_start><boi>, 4x(4+1)=20 tokens
+    a = tokens.index(T.answer_start)
+    span = tokens[a + 2:a + 2 + 20]
+    assert sum(1 for t in span if t == T.newline) == 4
+    # labels -100 outside answer content
+    assert all(l == -100 for l in labels[:a + 2])
+
+
+def test_item_processor_mmu_padding(img_pickle):
+    proc = AItemProcessor(FakeTokenizer(), rng=random.Random(2))
+    item = {"system_prompt": "s", "user_prompt": "what?",
+            "user_image": img_pickle, "answer_image": "",
+            "answer_text": "an answer"}
+    tokens, labels = proc.process_item(item)
+    assert TOKENS_A.pad in tokens
+    a = tokens.index(TOKENS_A.answer_start)
+    assert len(tokens) - (a + 1) == proc.answer_pad_len
+
+
+def test_meta_dataset_and_sampler(tmp_path):
+    items = [{"user_image": "", "answer_image": "x", "len": 10 + i}
+             for i in range(64)]
+    ann = tmp_path / "a.json"
+    ann.write_text(json.dumps(items))
+    cfgf = tmp_path / "data.yaml"
+    cfgf.write_text(f"META:\n  - path: {ann}\n    type: t2i\n")
+    ds = MetaDataset(str(cfgf))
+    assert len(ds) == 64
+    lengths = [it["len"] for it in ds.annotations]
+    smp = LengthClusteredSampler(lengths, ds.types, batch_size=2,
+                                 world_size=2, rank=0, acc_grad=2, seed=3)
+    batches = list(smp)
+    assert all(len(b) == 2 for b in batches)
+    # deterministic across constructions
+    smp2 = LengthClusteredSampler(lengths, ds.types, batch_size=2,
+                                  world_size=2, rank=0, acc_grad=2, seed=3)
+    assert batches == list(smp2)
+    # rank disjointness per global batch
+    smp_r1 = LengthClusteredSampler(lengths, ds.types, batch_size=2,
+                                    world_size=2, rank=1, acc_grad=2, seed=3)
+    flat0 = {i for b in batches for i in b}
+    flat1 = {i for b in smp_r1 for i in b}
+    assert flat0.isdisjoint(flat1)
+    # mid-epoch resume skips whole global batches
+    smp.set_epoch(0, start_iter=2)
+    resumed = list(smp)
+    assert resumed == batches[4:]  # 2 global batches x acc_grad 2
+
+
+def test_universal_prompting_t2i_layout():
+    up = UniversalPrompting(FakeTokenizer(), max_text_len=8,
+                            cond_dropout_prob=0.0)
+    img = np.arange(6).reshape(1, 6) + 1000
+    lab = np.full((1, 6), 7)
+    seq, mask, labels = up.t2i(["hello"], img, lab)
+    T = up.tokens
+    assert seq.shape[1] == 9 + 6 + 2  # max_text_len+1 pads/text + soi+img+eoi
+    row = list(seq[0])
+    # layout tail: ... <soi> img <eoi>
+    assert row[-8] == T.soi and row[-1] == T.eoi
+    assert row[-7:-1] == list(img[0])
+    # left padding masked out
+    assert mask[0][0] == 0 or T.ipad not in row  # padded case -> leading 0s
+    # pad labels are ignored
+    assert (labels[0][seq[0] == T.ipad] == -100).all()
+
+
+def test_universal_prompting_mmu_and_lm():
+    up = UniversalPrompting(FakeTokenizer(), max_text_len=8)
+    img = np.arange(4).reshape(1, 4) + 500
+    seq, mask, labels = up.mmu(img, ["question"])
+    T = up.tokens
+    assert seq[0][0] == T.mmu and seq[0][1] == T.soi
+    assert (labels[0][:4 + 3] == -100).all()
+    # prompt mask covers the image prefix
+    assert mask[0][:6].all()
+    s, m, l = up.lm(["some text"], max_seq_len=12)
+    assert s.shape == (1, 12)
+    assert (s == l).all()
+
+
+def test_pretokenizer_resume(tmp_path):
+    from PIL import Image
+    calls = {"n": 0}
+
+    def encode_fn(x):
+        calls["n"] += 1
+        return np.arange(4)[None]
+
+    def load_image(item):
+        return Image.new("RGB", (64, 64), (100, 50, 20))
+
+    items = [{"id": i} for i in range(6)]
+    pt = PreTokenizer(encode_fn, str(tmp_path), shard=0, num_shards=2,
+                      target_size=64)
+    n = pt.run(items, load_image)
+    assert n == 3  # shard 0 of 2
+    assert calls["n"] == 3
+    # finished sentinel -> resume does nothing
+    assert pt.run(items, load_image) == 0
+    # merge
+    pt2 = PreTokenizer(encode_fn, str(tmp_path), shard=1, num_shards=2,
+                       target_size=64)
+    pt2.run(items, load_image)
+    out = concat_records(str(tmp_path), 2)
+    recs = json.load(open(out))
+    assert len(recs) == 6
+    # token pickles decode
+    rec = pickle.load(open(recs[0]["token_path"], "rb"))
+    assert set(rec) == {"input_ids", "height", "width"}
+
+
+def test_braceexpand():
+    assert braceexpand("s-{000..002}.tar") == ["s-000.tar", "s-001.tar",
+                                               "s-002.tar"]
+    assert braceexpand("{a,b}-{0..1}") == ["a-0", "a-1", "b-0", "b-1"]
+
+
+def test_shard_reader_and_dataset(tmp_path):
+    from PIL import Image
+    import io as _io
+    tar_path = tmp_path / "shard-000.tar"
+    with tarfile.open(tar_path, "w") as tf:
+        for key, cap in [("img1", "a cat"), ("img2", "a dog")]:
+            img = Image.new("RGB", (32, 32), (10, 20, 30))
+            buf = _io.BytesIO()
+            img.save(buf, format="PNG")
+            data = buf.getvalue()
+            info = tarfile.TarInfo(f"{key}.png"); info.size = len(data)
+            tf.addfile(info, _io.BytesIO(data))
+            cb = cap.encode()
+            info = tarfile.TarInfo(f"{key}.txt"); info.size = len(cb)
+            tf.addfile(info, _io.BytesIO(cb))
+    ds = Text2ImageShardDataset(str(tmp_path / "shard-{000..000}.tar"))
+    out = list(ds)
+    assert len(out) == 2
+    assert out[0]["caption"] == "a cat"
+    assert out[0]["image"].size == (32, 32)
+    # fixed-count epoch cycles
+    ds2 = Text2ImageShardDataset(str(tmp_path / "shard-{000..000}.tar"),
+                                 samples_per_epoch=5)
+    assert len(list(ds2)) == 5
