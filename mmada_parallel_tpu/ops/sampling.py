@@ -237,6 +237,35 @@ def categorical_sample(key: Optional[jax.Array], logits: jax.Array,
     return jax.random.categorical(key, logits, axis=-1)
 
 
+def top_k_top_p_filtering(logits: jax.Array, top_k: int = 0,
+                          top_p: float = 1.0,
+                          min_tokens_to_keep: int = 1) -> jax.Array:
+    """Top-k / nucleus filtering (``models/sampling.py:80-118``).
+
+    Returns logits with filtered entries set to ``-inf``-like NEG_INF.
+    """
+    V = logits.shape[-1]
+    out = logits
+    if top_k > 0:
+        k = min(max(top_k, min_tokens_to_keep), V)
+        kth = jnp.sort(out, axis=-1)[..., V - k][..., None]
+        out = jnp.where(out < kth, NEG_INF, out)
+    if top_p < 1.0:
+        sort_idx = jnp.argsort(-out, axis=-1)
+        sorted_logits = jnp.take_along_axis(out, sort_idx, axis=-1)
+        cum = jnp.cumsum(jax.nn.softmax(sorted_logits, axis=-1), axis=-1)
+        remove = cum > top_p
+        if min_tokens_to_keep > 1:
+            remove = remove.at[..., :min_tokens_to_keep].set(False)
+        # shift right so the first token above the threshold survives
+        remove = jnp.concatenate(
+            [jnp.zeros_like(remove[..., :1]), remove[..., :-1]], axis=-1)
+        scatter = jnp.put_along_axis(
+            jnp.zeros_like(remove), sort_idx, remove, axis=-1, inplace=False)
+        out = jnp.where(scatter, NEG_INF, out)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Step scheduling
 # ---------------------------------------------------------------------------

@@ -143,7 +143,8 @@ def generate_image(
 
         new_vals = jnp.where(masked, sampled + tvs, cur)
         new_vals = jnp.where(remask, opts.mask_token, new_vals)
-        ids = jnp.put_along_axis(ids, img_pos[None, :], new_vals, axis=1,
+        idx = jnp.broadcast_to(img_pos[None, :], new_vals.shape)
+        ids = jnp.put_along_axis(ids, idx, new_vals.astype(ids.dtype), axis=1,
                                  inplace=False)
         return (ids, next_key), None
 

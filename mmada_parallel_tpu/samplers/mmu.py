@@ -18,7 +18,7 @@ finishes).
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, Optional
+from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -26,7 +26,7 @@ import jax.numpy as jnp
 from mmada_parallel_tpu.models.llada import LLaDAConfig, llada_forward
 from mmada_parallel_tpu.ops import sampling as S
 
-__all__ = ["MMUOptions", "mmu_generate"]
+__all__ = ["MMUOptions", "mmu_generate", "mmu_generate_fast"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -116,4 +116,87 @@ def mmu_generate(
 
     (final_x, _), _ = jax.lax.scan(
         step_fn, (x0_init, key), (block_end, step_in_block))
+    return final_x
+
+
+def mmu_generate_fast(
+    params: Dict[str, Any],
+    cfg: LLaDAConfig,
+    prompt_ids: jax.Array,
+    opts: MMUOptions = MMUOptions(),
+    eot_token: Optional[int] = None,
+    attn_mask: Optional[jax.Array] = None,
+    key: Optional[jax.Array] = None,
+) -> jax.Array:
+    """``mmu_generate`` with the early-exit of ``modeling_mmada.py:693-766``:
+    after each block, stop if every row's block-final token is ``eot``.
+
+    Implemented as ``lax.while_loop`` over blocks (dynamic trip count) with
+    an inner ``fori_loop`` over the per-block steps, so the saved blocks are
+    genuinely not computed.
+    """
+    if eot_token is None:
+        return mmu_generate(params, cfg, prompt_ids, opts, attn_mask, key)
+    if opts.max_new_tokens % opts.block_length:
+        raise ValueError("max_new_tokens must be a multiple of block_length")
+    num_blocks = opts.max_new_tokens // opts.block_length
+    if opts.steps % num_blocks:
+        raise ValueError("steps must be a multiple of num_blocks")
+    spb = opts.steps // num_blocks
+
+    B, P = prompt_ids.shape
+    L = P + opts.max_new_tokens
+    x0_init = jnp.concatenate(
+        [prompt_ids,
+         jnp.full((B, opts.max_new_tokens), opts.mask_token, prompt_ids.dtype)],
+        axis=1)
+    prompt_index = x0_init != opts.mask_token
+    budgets = S.get_num_transfer_tokens_frontloaded(
+        jnp.full((1,), opts.block_length), spb)[0]
+    pos = jnp.arange(L)[None, :]
+
+    def block_step(x, bend, sib, k):
+        mask_index = x == opts.mask_token
+        if opts.cfg_scale > 0.0:
+            un_x = jnp.where(prompt_index, opts.mask_token, x)
+            logits2 = llada_forward(params, cfg,
+                                    jnp.concatenate([x, un_x], axis=0))
+            cond, uncond = logits2[:B], logits2[B:]
+            logits = uncond + (opts.cfg_scale + 1) * (cond - uncond)
+        else:
+            logits = llada_forward(params, cfg, x, attn_mask)
+        x0 = S.gumbel_argmax(logits, opts.temperature,
+                             k if (k is not None and opts.temperature != 0)
+                             else None)
+        conf = S.token_confidence(logits, x0)
+        conf = jnp.where(pos >= bend, S.NEG_INF, conf)
+        x0 = jnp.where(mask_index, x0, x)
+        conf = jnp.where(mask_index, conf, S.NEG_INF)
+        transfer = S.topk_transfer_mask(conf, jnp.broadcast_to(budgets[sib],
+                                                               (B,)))
+        return jnp.where(transfer, x0, x)
+
+    def outer_cond(state):
+        b, x, k, done = state
+        return (b < num_blocks) & (~done)
+
+    def outer_body(state):
+        b, x, k, done = state
+        bend = P + (b + 1) * opts.block_length
+
+        def inner(i, carry):
+            x, k = carry
+            if k is not None:
+                k, sub = jax.random.split(k)
+            else:
+                sub = None
+            return block_step(x, bend, i, sub), k
+
+        x, k = jax.lax.fori_loop(0, spb, inner, (x, k))
+        done = jnp.all(x[:, bend - 1] == eot_token)
+        return b + 1, x, k, done
+
+    _, final_x, _, _ = jax.lax.while_loop(
+        outer_cond, outer_body,
+        (jnp.asarray(0), x0_init, key, jnp.asarray(False)))
     return final_x

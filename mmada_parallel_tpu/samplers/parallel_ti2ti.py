@@ -129,7 +129,8 @@ def _image_update(ids: jax.Array, cond_vq: jax.Array, ut_vq: jax.Array,
         k_mask if opts.temperature != 0 else None, mask_len, sel, img_temp)
 
     new_vals = jnp.where(remask, opts.mask_token, sampled + tvs)
-    return jnp.put_along_axis(ids, img_pos[None, :], new_vals, axis=1,
+    idx = jnp.broadcast_to(img_pos[None, :], new_vals.shape)
+    return jnp.put_along_axis(ids, idx, new_vals.astype(ids.dtype), axis=1,
                               inplace=False)
 
 

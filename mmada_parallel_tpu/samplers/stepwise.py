@@ -1,0 +1,157 @@
+"""Streaming stepwise samplers for interactive demos.
+
+Mirrors the Gradio streaming variant ``generate_ti2ti_stepwise``
+(``MMaDA-Parallel-A/app.py:143-398``): same denoising math as
+:func:`generate_ti2ti` but with the demo's image schedule
+``linspace(0, steps-1, int(steps*0.3))`` and a per-step yield of
+``(step, ids, image_codes, still_masked)`` so the UI can render the
+partially-decoded text and a gray-patch overlay on still-masked latents
+(``app.py:310-341``).
+
+Unlike the fused production sampler, the step function is jitted once and
+driven from a Python loop — one dispatch per step is the right shape for a
+human-latency demo stream.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Iterator, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from mmada_parallel_tpu.models.llada import LLaDAConfig
+from mmada_parallel_tpu.ops import sampling as S
+from mmada_parallel_tpu.samplers.parallel_ti2ti import (TI2TIOptions,
+                                                        _text_update,
+                                                        _image_update)
+from mmada_parallel_tpu.samplers.parallel_ti2ti import make_ti2ti_step  # noqa: F401 (API surface)
+from mmada_parallel_tpu.models.llada import llada_head, llada_hidden
+from mmada_parallel_tpu.tokens import SequenceLayout
+
+__all__ = ["generate_ti2ti_stepwise", "decode_text_with_masks"]
+
+
+def decode_text_with_masks(ids: np.ndarray, layout: SequenceLayout,
+                           tokenizer, mask_token: int,
+                           mask_char: str = "░") -> str:
+    """Render the text span with mask placeholders (``app.py:110-140``)."""
+    span = ids[layout.text_start:layout.text_end]
+    parts = []
+    buf = []
+    for t in span:
+        if int(t) == mask_token:
+            if buf:
+                parts.append(tokenizer.decode(buf, skip_special_tokens=True)
+                             if hasattr(tokenizer, "decode") else str(buf))
+                buf = []
+            parts.append(mask_char)
+        else:
+            buf.append(int(t))
+    if buf:
+        parts.append(tokenizer.decode(buf, skip_special_tokens=True)
+                     if hasattr(tokenizer, "decode") else str(buf))
+    return "".join(parts)
+
+
+def generate_ti2ti_stepwise(
+    params: Dict[str, Any],
+    cfg: LLaDAConfig,
+    input_ids: np.ndarray,
+    layout: SequenceLayout,
+    opts: TI2TIOptions,
+    uncond_text_prefix: Optional[np.ndarray] = None,
+    uncond_image_prefix: Optional[np.ndarray] = None,
+    key: Optional[jax.Array] = None,
+    image_step_fraction: float = 0.3,
+    yield_every: int = 5,
+) -> Iterator[Tuple[int, np.ndarray, np.ndarray, np.ndarray]]:
+    """Yields ``(step, ids, image_codes, still_masked)`` per streamed step.
+
+    ``image_codes``/``still_masked`` are the current VQ grid state for the
+    preview decode; yields fire every ``yield_every`` steps, on image steps,
+    and at the end (``app.py:353-354``).
+    """
+    steps = opts.text_steps
+    img_pos = jnp.asarray(layout.image_positions(), jnp.int32)
+    ts, te = layout.text_start, layout.text_end
+    tvs, cb = opts.text_vocab_size, opts.codebook_size
+
+    # demo schedule: image refresh over the first-to-last step range
+    n_img = max(int(steps * image_step_fraction), 1)
+    sched_steps = set(np.round(np.linspace(0, steps - 1, n_img)).astype(int)
+                      .tolist())
+    sched = S.get_mask_schedule(opts.schedule)
+
+    need_ut = opts.cfg_scale != 0.0 and uncond_text_prefix is not None
+    need_ui = opts.cfg_img != 0.0 and uncond_image_prefix is not None
+    ut = jnp.asarray(uncond_text_prefix, jnp.int32) if need_ut else None
+    ui = jnp.asarray(uncond_image_prefix, jnp.int32) if need_ui else None
+
+    @jax.jit
+    def cond_heads(ids):
+        hidden = llada_hidden(params, cfg, ids)
+        text_h = jax.lax.dynamic_slice_in_dim(hidden, ts, te - ts, axis=1)
+        text_logits = llada_head(params, cfg, text_h)
+        img_h = jnp.take_along_axis(hidden, img_pos[None, :, None], axis=1)
+        vq = llada_head(params, cfg, img_h, vocab_slice=(tvs, cb))
+        return text_logits, vq
+
+    @jax.jit
+    def text_step(ids, text_logits, budget, k):
+        return _text_update(ids, text_logits, budget, opts, layout, k)
+
+    @jax.jit
+    def uncond_heads(ids):
+        B = ids.shape[0]
+        rows = []
+        if need_ut:
+            rows.append(jax.lax.dynamic_update_slice_in_dim(
+                ids, jnp.broadcast_to(ut, (B,) + ut.shape), 0, axis=1))
+        if need_ui:
+            rows.append(jax.lax.dynamic_update_slice_in_dim(
+                ids, jnp.broadcast_to(ui, (B,) + ui.shape), 0, axis=1))
+        stacked = jnp.concatenate(rows, axis=0)
+        hidden = llada_hidden(params, cfg, stacked)
+        img_h = jnp.take_along_axis(hidden, img_pos[None, :, None], axis=1)
+        vq = llada_head(params, cfg, img_h, vocab_slice=(tvs, cb))
+        if need_ut and need_ui:
+            return vq[:B], vq[B:]
+        zero = jnp.zeros_like(vq)
+        return (vq, zero) if need_ut else (zero, vq)
+
+    @jax.jit
+    def image_step(ids, cond_vq, ut_vq, ui_vq, ratio, k):
+        mask_ratio = sched(ratio)
+        img_temp = opts.temperature * (1.0 - ratio)
+        return _image_update(ids, cond_vq, ut_vq, ui_vq, img_pos, mask_ratio,
+                             img_temp, opts, k)
+
+    ids = jnp.asarray(input_ids)
+    if ids.ndim == 1:
+        ids = ids[None]
+    masked0 = (ids[:, ts:te] == opts.mask_token).sum(axis=1)
+    budgets = S.get_num_transfer_tokens(masked0, steps)
+
+    for step in range(steps):
+        if key is not None:
+            key, k1, k2 = jax.random.split(key, 3)
+        else:
+            k1 = k2 = None
+        text_logits, cond_vq = cond_heads(ids)
+        ids = text_step(ids, text_logits, budgets[:, step], k1)
+        is_img = step in sched_steps
+        if is_img:
+            if need_ut or need_ui:
+                ut_vq, ui_vq = uncond_heads(ids)
+            else:
+                ut_vq = ui_vq = jnp.zeros_like(cond_vq)
+            ratio = jnp.asarray((step + 1) / steps, jnp.float32)
+            ids = image_step(ids, cond_vq, ut_vq, ui_vq, ratio, k2)
+        if is_img or step % yield_every == 0 or step == steps - 1:
+            ids_np = np.asarray(ids)[0]
+            img_tokens = ids_np[layout.image_positions()]
+            still_masked = img_tokens == opts.mask_token
+            codes = np.clip(img_tokens - tvs, 0, cb - 1)
+            yield step + 1, ids_np, codes, still_masked

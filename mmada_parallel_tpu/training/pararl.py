@@ -1,0 +1,149 @@
+"""ParaRL scaffold: trajectory-level RL with semantic rewards.
+
+The paper's ParaRL stage (``README.md:51`` — "trajectory-level RL with
+semantic rewards"; +1.5 Output Alignment over SFT) ships with **no training
+code in the reference snapshot**, so this scaffold is designed from the
+paper description: sample full denoising trajectories from the SFT policy,
+score the final (text, image) pair with semantic reward models, and push
+policy gradients through the per-step token-commit log-probabilities along
+the whole trajectory (not just the final sample).
+
+Pieces:
+
+* :func:`rollout_ti2ti` — the fused sampler instrumented to record, per
+  denoise step, the pre-step sequence state and the committed tokens
+  (text transfers and image commits).  One scan, on-device.
+* :func:`trajectory_log_prob` — re-evaluates the log-probability of the
+  recorded commits under (current) ``params``; subsampling steps keeps the
+  update affordable.
+* :func:`pararl_loss` — REINFORCE with a moving baseline:
+  ``-(R - b) * sum_t log pi(commit_t | state_t)``.
+* :class:`RewardSpec` — pluggable reward callables (text quality /
+  image-text alignment scorers live outside; any callable
+  ``(final_ids, codes, meta) -> [B] float`` works).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from mmada_parallel_tpu.models.llada import LLaDAConfig, llada_forward
+from mmada_parallel_tpu.ops import sampling as S
+from mmada_parallel_tpu.samplers.parallel_ti2ti import (TI2TIOptions,
+                                                        make_ti2ti_step)
+from mmada_parallel_tpu.tokens import SequenceLayout
+
+__all__ = ["rollout_ti2ti", "trajectory_log_prob", "pararl_loss",
+           "RewardSpec"]
+
+
+@dataclasses.dataclass
+class RewardSpec:
+    """Weighted semantic rewards over the final (text, image) pair."""
+
+    fns: Sequence[Callable[..., jax.Array]]
+    weights: Sequence[float]
+
+    def __call__(self, final_ids, codes, meta=None) -> jax.Array:
+        total = 0.0
+        for w, fn in zip(self.weights, self.fns):
+            total = total + w * fn(final_ids, codes, meta)
+        return total
+
+
+def rollout_ti2ti(
+    params: Dict[str, Any],
+    cfg: LLaDAConfig,
+    input_ids: jax.Array,
+    layout: SequenceLayout,
+    opts: TI2TIOptions,
+    key: jax.Array,
+    uncond_text_prefix: Optional[np.ndarray] = None,
+    uncond_image_prefix: Optional[np.ndarray] = None,
+) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+    """Sample a trajectory, recording per-step states and commits.
+
+    Returns ``(final_ids, traj)`` with ``traj`` containing::
+
+        states       [steps, B, L]  sequence before each step
+        commit_mask  [steps, B, L]  positions committed at that step
+        committed    [steps, B, L]  tokens written (undefined off-mask)
+    """
+    step_fn = make_ti2ti_step(params, cfg, layout, opts,
+                              uncond_text_prefix, uncond_image_prefix)
+    ts, te = layout.text_start, layout.text_end
+    masked0 = (input_ids[:, ts:te] == opts.mask_token).sum(axis=1)
+    budgets = S.get_num_transfer_tokens(masked0, opts.text_steps)
+
+    def wrapped(carry, xs):
+        ids, k = carry
+        (new_ids, new_key), _ = step_fn((ids, k), xs)
+        commit = (new_ids != ids)
+        return (new_ids, new_key), {"states": ids, "commit_mask": commit,
+                                    "committed": new_ids}
+
+    (final_ids, _), traj = jax.lax.scan(
+        wrapped, (input_ids, key),
+        (jnp.arange(opts.text_steps), budgets.T))
+    return final_ids, traj
+
+
+def trajectory_log_prob(
+    params: Dict[str, Any],
+    cfg: LLaDAConfig,
+    traj: Dict[str, jax.Array],
+    opts: TI2TIOptions,
+    step_indices: Optional[jax.Array] = None,
+) -> jax.Array:
+    """``[B]`` summed log-prob of the recorded commits under ``params``.
+
+    Image-position commits are scored on the codebook slice; text commits on
+    the full vocab — both via one full forward per (sub)step.
+    ``step_indices`` subsamples trajectory steps (e.g. 8 of 128).
+    """
+    states = traj["states"]
+    commit_mask = traj["commit_mask"]
+    committed = traj["committed"]
+    if step_indices is not None:
+        states = jnp.take(states, step_indices, axis=0)
+        commit_mask = jnp.take(commit_mask, step_indices, axis=0)
+        committed = jnp.take(committed, step_indices, axis=0)
+
+    def per_step(carry, xs):
+        state, mask, tokens = xs
+        logits = llada_forward(params, cfg, state)
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        tok_logp = jnp.take_along_axis(
+            logp, jnp.clip(tokens, 0, logits.shape[-1] - 1)[..., None],
+            axis=-1)[..., 0]
+        step_lp = jnp.where(mask, tok_logp, 0.0).sum(axis=1)   # [B]
+        return carry + step_lp, None
+
+    B = states.shape[1]
+    total, _ = jax.lax.scan(per_step, jnp.zeros((B,)),
+                            (states, commit_mask, committed))
+    return total
+
+
+def pararl_loss(
+    params: Dict[str, Any],
+    cfg: LLaDAConfig,
+    traj: Dict[str, jax.Array],
+    rewards: jax.Array,
+    opts: TI2TIOptions,
+    baseline: Optional[jax.Array] = None,
+    step_indices: Optional[jax.Array] = None,
+) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+    """REINFORCE over the trajectory: ``-(R - b) * log pi(traj)``."""
+    logp = trajectory_log_prob(params, cfg, traj, opts, step_indices)
+    b = baseline if baseline is not None else jax.lax.stop_gradient(
+        rewards.mean())
+    advantage = jax.lax.stop_gradient(rewards - b)
+    loss = -(advantage * logp).mean()
+    return loss, {"reward_mean": rewards.mean(), "advantage_std":
+                  advantage.std(), "traj_logp": logp.mean()}

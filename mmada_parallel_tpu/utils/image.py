@@ -94,7 +94,7 @@ def array_to_image(x: np.ndarray, from_range: str = "zero_one"):
         x = x[0]
     if from_range == "pm_one":
         x = (x + 1.0) / 2.0
-    x = np.clip(x, 0.0, 1.0)
+    x = np.clip(np.nan_to_num(x), 0.0, 1.0)
     return Image.fromarray((x * 255.0).round().astype(np.uint8))
 
 

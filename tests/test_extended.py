@@ -1,0 +1,160 @@
+"""Tests for streaming samplers, mmu_fast, top-k/p, ParaRL, eval harness."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from mmada_parallel_tpu import tokens as tk
+from mmada_parallel_tpu.models.llada import (LLaDAConfig, init_llada_params,
+                                             llada_forward)
+from mmada_parallel_tpu.ops import sampling as S
+from mmada_parallel_tpu.samplers.parallel_ti2ti import (TI2TIOptions,
+                                                        generate_ti2ti)
+from mmada_parallel_tpu.samplers.stepwise import (generate_ti2ti_stepwise,
+                                                  decode_text_with_masks)
+from mmada_parallel_tpu.samplers.mmu import (MMUOptions, mmu_generate,
+                                             mmu_generate_fast)
+from mmada_parallel_tpu.training.pararl import (rollout_ti2ti,
+                                                trajectory_log_prob,
+                                                pararl_loss, RewardSpec)
+from mmada_parallel_tpu.evaluation import EvalRequest, run_parabench_sweep
+
+TVS, CB, MASK, NEWLINE = 256, 32, 250, 251
+TOK = tk.VariantATokens(mask=MASK, newline=NEWLINE, answer_start=252,
+                        answer_end=253, boi=254, eoi=255, uncondition=249,
+                        pad=248, text_vocab_size=TVS, codebook_size=CB)
+
+
+@pytest.fixture(scope="module")
+def model():
+    cfg = LLaDAConfig.tiny(d_model=32, n_heads=2, n_kv_heads=2, n_layers=1,
+                           mlp_hidden_size=64, vocab_size=TVS + CB,
+                           mask_token_id=MASK)
+    return cfg, init_llada_params(jax.random.key(7), cfg)
+
+
+def _req(prompt=(5, 6, 7, 8)):
+    return tk.assemble_ti2ti_sequence(list(prompt), 8, 2, 3, [9], tokens=TOK)
+
+
+def _opts(**kw):
+    base = dict(text_steps=8, timesteps=4, temperature=0.0,
+                text_temperature=0.0, cfg_scale=0.0, cfg_img=0.0,
+                text_vocab_size=TVS, codebook_size=CB, mask_token=MASK)
+    base.update(kw)
+    return TI2TIOptions(**base)
+
+
+def test_stepwise_yields_progress(model):
+    cfg, params = model
+    ids, lay = _req()
+    opts = _opts()
+    frames = list(generate_ti2ti_stepwise(params, cfg, ids, lay, opts,
+                                          yield_every=2))
+    assert frames[-1][0] == opts.text_steps
+    # masks decrease over frames
+    masked_counts = [(f[1][lay.text_start:lay.text_end] == MASK).sum()
+                     for f in frames]
+    assert masked_counts[-1] == 0
+    assert all(a >= b for a, b in zip(masked_counts, masked_counts[1:]))
+    # codes valid
+    assert frames[-1][2].min() >= 0 and frames[-1][2].max() < CB
+
+
+def test_decode_text_with_masks():
+    class Tok:
+        def decode(self, ids, **kw):
+            return "".join(chr(65 + i % 26) for i in ids)
+    ids, lay = _req()
+    s = decode_text_with_masks(ids, lay, Tok(), MASK)
+    assert s == "░" * 8  # all masked initially
+
+
+def test_mmu_fast_matches_slow_without_eot(model):
+    cfg, params = model
+    prompt = jnp.arange(20, 28, dtype=jnp.int32)[None]
+    opts = MMUOptions(max_new_tokens=8, steps=8, block_length=4,
+                      temperature=0.0, mask_token=MASK)
+    slow = np.asarray(mmu_generate(params, cfg, prompt, opts, key=None))
+    fast = np.asarray(mmu_generate_fast(params, cfg, prompt, opts,
+                                        eot_token=None, key=None))
+    assert np.array_equal(slow, fast)
+
+
+def test_mmu_fast_early_exit(model):
+    cfg, params = model
+    prompt = jnp.arange(20, 28, dtype=jnp.int32)[None]
+    opts = MMUOptions(max_new_tokens=8, steps=8, block_length=4,
+                      temperature=0.0, mask_token=MASK)
+    slow = np.asarray(mmu_generate(params, cfg, prompt, opts, key=None))
+    eot = int(slow[0, 8 + 4 - 1])  # whatever the first block ends with
+    fast = np.asarray(mmu_generate_fast(params, cfg, prompt, opts,
+                                        eot_token=eot, key=None))
+    # early exit: second block stays masked
+    assert np.all(fast[0, 12:] == MASK)
+    assert np.array_equal(fast[0, :12], slow[0, :12])
+
+
+def test_top_k_top_p_filtering():
+    logits = jnp.asarray([[1.0, 2.0, 3.0, 4.0, 0.0]])
+    k2 = np.asarray(S.top_k_top_p_filtering(logits, top_k=2))
+    assert (k2[0] > S.NEG_INF / 2).sum() == 2
+    assert k2[0, 3] == 4.0 and k2[0, 2] == 3.0
+    p = np.asarray(S.top_k_top_p_filtering(logits, top_p=0.5))
+    # top token always kept
+    assert p[0, 3] == 4.0
+    probs = np.exp(np.asarray(logits[0]))
+    probs /= probs.sum()
+    # tokens with cumulative prob beyond 0.5 (after the first above) dropped
+    assert p[0, 0] < S.NEG_INF / 2
+
+
+def test_pararl_rollout_and_loss(model):
+    cfg, params = model
+    ids, lay = _req()
+    opts = _opts(temperature=1.0, text_temperature=0.7)
+    key = jax.random.key(0)
+    final_ids, traj = jax.jit(
+        lambda p, i, k: rollout_ti2ti(p, cfg, i, lay, opts, k))(
+        params, jnp.asarray(ids)[None], key)
+    assert traj["states"].shape == (opts.text_steps, 1, lay.total_len)
+    # commits only happen at masked positions turning into tokens
+    assert bool(traj["commit_mask"].any())
+
+    lp = trajectory_log_prob(params, cfg, traj, opts,
+                             step_indices=jnp.asarray([0, 3, 7]))
+    assert lp.shape == (1,) and np.isfinite(float(lp[0]))
+    assert float(lp[0]) < 0
+
+    rewards = jnp.asarray([1.0])
+    def loss_fn(p):
+        return pararl_loss(p, cfg, traj, rewards, opts,
+                           baseline=jnp.asarray(0.5),
+                           step_indices=jnp.asarray([0, 3, 7]))[0]
+    g = jax.grad(loss_fn)(params)
+    gn = sum(float(jnp.abs(x).sum()) for x in jax.tree_util.tree_leaves(g))
+    assert np.isfinite(gn) and gn > 0
+
+
+def test_reward_spec_combines():
+    spec = RewardSpec(fns=[lambda f, c, m: jnp.ones(2),
+                           lambda f, c, m: jnp.full(2, 2.0)],
+                      weights=[0.5, 0.25])
+    out = np.asarray(spec(None, None))
+    np.testing.assert_allclose(out, [1.0, 1.0])
+
+
+def test_parabench_sweep(model):
+    cfg, params = model
+    reqs = [EvalRequest(prompt_ids=[5, 6, 7], meta={"i": i})
+            for i in range(3)]
+    out = run_parabench_sweep(
+        params, cfg, reqs, grid_hw=(2, 3), text_gen_length=8,
+        end_token_ids=[9], opts=_opts(), batch_size=2, tokens=TOK)
+    assert out["num_requests"] == 3
+    assert len(out["results"]) == 3
+    assert out["results"][0]["meta"] == {"i": 0}
+    assert out["edits_per_min"] > 0
+    for r in out["results"]:
+        assert r["codes"].shape == (6,)
