@@ -79,9 +79,15 @@ def _kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, m_scr, l_scr, acc_scr,
                    static_argnames=("block_q", "block_k", "interpret"))
 def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array,
                     bias: Optional[jax.Array] = None,
-                    block_q: int = 512, block_k: int = 512,
+                    block_q: int = 128, block_k: Optional[int] = None,
                     interpret: bool = False) -> jax.Array:
     """``[B, L, H, hd] x [B, L, KV, hd] -> [B, L, H, hd]``, non-causal.
+
+    Default blocking is narrow-q x full-K: on v5e a (128, full-L) sweep
+    measured 85-105 TFLOP/s vs ~58 for square 512x512 blocks (K/V stream
+    once per q block; the single-pass softmax needs no rescale chain).
+    ``block_k=None`` -> the padded sequence length, capped at 8192 to bound
+    VMEM (K+V+scores ~8 MB at the cap).
 
     ``interpret=True`` runs the kernel in the Pallas interpreter (exact, any
     backend) — the CPU test path."""
@@ -93,6 +99,8 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     scale = D ** -0.5
 
     block_q = min(block_q, max(128, 1 << (L - 1).bit_length()))
+    if block_k is None:
+        block_k = min(-(-L // 128) * 128, 8192)
     block_k = min(block_k, max(128, 1 << (L - 1).bit_length()))
     Lp_q = -(-L // block_q) * block_q
     Lp_k = -(-L // block_k) * block_k

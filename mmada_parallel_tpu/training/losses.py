@@ -172,6 +172,8 @@ def m_forward_process_losses(
 
     lm_lo, lm_hi = batch_size_t2i, batch_size_t2i + batch_size_lm
     if batch_size_lm > 0:
+        if p_mask_lm is None:
+            p_mask_lm = jnp.ones(())
         m = masked[lm_lo:lm_hi] & valid[lm_lo:lm_hi]
         w = ce[lm_lo:lm_hi] / jnp.clip(p_mask_lm, 1e-9, None)
         if answer_lengths_lm is not None:
@@ -183,6 +185,10 @@ def m_forward_process_losses(
         out["loss_lm"] = jnp.asarray(0.0)
 
     if batch_size_mmu > 0:
+        if p_mask_mmu is None:
+            p_mask_mmu = jnp.ones(())
+        if answer_lengths_mmu is None:
+            answer_lengths_mmu = jnp.ones(())
         m = masked[-batch_size_mmu:] & valid[-batch_size_mmu:]
         w = (ce[-batch_size_mmu:] / jnp.clip(p_mask_mmu, 1e-9, None)
              / jnp.clip(answer_lengths_mmu, 1, None))
