@@ -92,6 +92,8 @@ def llada_config_from_hf(config_json: Dict[str, Any], **overrides) -> LLaDAConfi
             c.get("layer_norm_type", "rms"), "rms"),
         include_bias=c.get("include_bias", False),
         include_qkv_bias=c.get("include_qkv_bias", False),
+        block_type=c.get("block_type", "llama"),
+        activation_type=c.get("activation_type", "silu"),
         weight_tying=c.get("weight_tying", False),
         input_emb_norm=c.get("input_emb_norm", False),
         scale_logits=c.get("scale_logits", False),
@@ -120,21 +122,33 @@ def llada_params_from_torch(tensors: Dict[str, np.ndarray],
     def stack(sub: str, f: Callable[[np.ndarray], np.ndarray]):
         return np.stack([f(get(f"blocks.{i}.{sub}")) for i in range(L)])
 
-    blocks = {
-        "attn_norm": stack("attn_norm.weight", lambda w: w),
-        "ff_norm": stack("ff_norm.weight", lambda w: w),
-        "q_proj": stack("q_proj.weight", _t),
-        "k_proj": stack("k_proj.weight", _t),
-        "v_proj": stack("v_proj.weight", _t),
-        "attn_out": stack("attn_out.weight", _t),
-        "ff_proj": stack("ff_proj.weight", _t),
-        "up_proj": stack("up_proj.weight", _t),
-        "ff_out": stack("ff_out.weight", _t),
-    }
-    if cfg.include_qkv_bias:
-        blocks["q_bias"] = stack("q_proj.bias", lambda w: w)
-        blocks["k_bias"] = stack("k_proj.bias", lambda w: w)
-        blocks["v_bias"] = stack("v_proj.bias", lambda w: w)
+    if cfg.block_type == "sequential":
+        blocks = {
+            "attn_norm": stack("attn_norm.weight", lambda w: w),
+            "ff_norm": stack("ff_norm.weight", lambda w: w),
+            "att_proj": stack("att_proj.weight", _t),
+            "attn_out": stack("attn_out.weight", _t),
+            "ff_proj": stack("ff_proj.weight", _t),
+            "ff_out": stack("ff_out.weight", _t),
+        }
+        if cfg.include_qkv_bias:
+            blocks["att_proj_bias"] = stack("att_proj.bias", lambda w: w)
+    else:
+        blocks = {
+            "attn_norm": stack("attn_norm.weight", lambda w: w),
+            "ff_norm": stack("ff_norm.weight", lambda w: w),
+            "q_proj": stack("q_proj.weight", _t),
+            "k_proj": stack("k_proj.weight", _t),
+            "v_proj": stack("v_proj.weight", _t),
+            "attn_out": stack("attn_out.weight", _t),
+            "ff_proj": stack("ff_proj.weight", _t),
+            "up_proj": stack("up_proj.weight", _t),
+            "ff_out": stack("ff_out.weight", _t),
+        }
+        if cfg.include_qkv_bias:
+            blocks["q_bias"] = stack("q_proj.bias", lambda w: w)
+            blocks["k_bias"] = stack("k_proj.bias", lambda w: w)
+            blocks["v_bias"] = stack("v_proj.bias", lambda w: w)
 
     params: Dict[str, Any] = {
         "wte": get("wte.weight"),

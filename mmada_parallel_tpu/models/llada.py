@@ -76,6 +76,8 @@ class LLaDAConfig:
     layer_norm_type: str = "rms"              # "rms" | "gemma_rms"
     include_bias: bool = False
     include_qkv_bias: bool = False
+    block_type: str = "llama"                 # "llama" | "sequential"
+    activation_type: str = "silu"             # "silu" | "gelu" | "relu" | "swiglu"
     weight_tying: bool = False
     input_emb_norm: bool = False
     scale_logits: bool = False
@@ -106,6 +108,11 @@ class LLaDAConfig:
     @property
     def emb_size(self) -> int:
         return self.embedding_size if self.embedding_size is not None else self.vocab_size
+
+    @property
+    def act_output_multiplier(self) -> float:
+        # SwiGLU consumes 2x and emits 1x (modeling_llada.py:482-489)
+        return 0.5 if self.activation_type == "swiglu" else 1.0
 
     def validate(self) -> None:
         if self.d_model % self.n_heads:
@@ -162,10 +169,8 @@ def init_llada_params(key: jax.Array, cfg: LLaDAConfig) -> Dict[str, Any]:
     def nrm(k, shape):
         return (std * jax.random.truncated_normal(k, -3, 3, shape)).astype(pd)
 
-    params: Dict[str, Any] = {
-        "wte": nrm(keys[0], (cfg.emb_size, d)),
-        "ln_f": jnp.ones((d,), pd),
-        "blocks": {
+    if cfg.block_type == "llama":
+        blocks = {
             "attn_norm": jnp.ones((L, d), pd),
             "ff_norm": jnp.ones((L, d), pd),
             "q_proj": nrm(keys[1], (L, d, d)),
@@ -175,12 +180,32 @@ def init_llada_params(key: jax.Array, cfg: LLaDAConfig) -> Dict[str, Any]:
             "ff_proj": nrm(keys[5], (L, d, h)),
             "up_proj": nrm(keys[6], (L, d, h)),
             "ff_out": nrm(keys[7], (L, h, d)),
-        },
+        }
+        if cfg.include_qkv_bias:
+            blocks["q_bias"] = jnp.zeros((L, d), pd)
+            blocks["k_bias"] = jnp.zeros((L, kvd), pd)
+            blocks["v_bias"] = jnp.zeros((L, kvd), pd)
+    elif cfg.block_type == "sequential":
+        # fused qkv + plain-or-SwiGLU MLP (modeling_llada.py:766-853)
+        ff_out_in = int(cfg.act_output_multiplier * h)
+        blocks = {
+            "attn_norm": jnp.ones((L, d), pd),
+            "ff_norm": jnp.ones((L, d), pd),
+            "att_proj": nrm(keys[1], (L, d, d + 2 * kvd)),
+            "attn_out": nrm(keys[4], (L, d, d)),
+            "ff_proj": nrm(keys[5], (L, d, h)),
+            "ff_out": nrm(keys[7], (L, ff_out_in, d)),
+        }
+        if cfg.include_qkv_bias:
+            blocks["att_proj_bias"] = jnp.zeros((L, d + 2 * kvd), pd)
+    else:
+        raise ValueError(f"unknown block_type: {cfg.block_type}")
+
+    params: Dict[str, Any] = {
+        "wte": nrm(keys[0], (cfg.emb_size, d)),
+        "ln_f": jnp.ones((d,), pd),
+        "blocks": blocks,
     }
-    if cfg.include_qkv_bias:
-        params["blocks"]["q_bias"] = jnp.zeros((L, d), pd)
-        params["blocks"]["k_bias"] = jnp.zeros((L, kvd), pd)
-        params["blocks"]["v_bias"] = jnp.zeros((L, kvd), pd)
     if not cfg.weight_tying:
         params["head"] = nrm(jax.random.split(keys[0])[1], (d, cfg.emb_size))
     return params
@@ -239,13 +264,29 @@ def _apply_rope(q: jax.Array, k: jax.Array, sin: jax.Array, cos: jax.Array,
     return q.astype(og_q), k.astype(og_k)
 
 
+def _activation(x: jax.Array, kind: str) -> jax.Array:
+    if kind == "silu":
+        return jax.nn.silu(x)
+    if kind == "gelu":
+        return jax.nn.gelu(x, approximate=False)
+    if kind == "relu":
+        return jax.nn.relu(x)
+    if kind == "swiglu":
+        # x, gate = chunk(2); silu(gate) * x  (modeling_llada.py:482-486)
+        a, gate = jnp.split(x, 2, axis=-1)
+        return jax.nn.silu(gate) * a
+    raise ValueError(f"unknown activation: {kind}")
+
+
 def _block(x: jax.Array, lp: Dict[str, jax.Array], cfg: LLaDAConfig,
            sin: jax.Array, cos: jax.Array,
            attn_bias: Optional[jax.Array]) -> jax.Array:
-    """One ``LLaDALlamaBlock`` (``modeling_llada.py:907-972``):
+    """One transformer block, bidirectional attention.
 
-    ``x = x + attn(attn_norm(x)); x = x + ff_out(silu(ff_proj(ff_norm(x))) *
-    up_proj(ff_norm(x)))`` with bidirectional attention.
+    ``llama`` flavor (``modeling_llada.py:907-972``): separate q/k/v,
+    ``ff_out(silu(ff_proj(h)) * up_proj(h))`` gating.
+    ``sequential`` flavor (``:766-853``): fused ``att_proj`` qkv split +
+    ``ff_out(act(ff_proj(h)))`` (SwiGLU halves the hidden dim).
     """
     B, L, D = x.shape
     nh, nkv, hd = cfg.n_heads, cfg.effective_n_kv_heads, cfg.head_dim
@@ -253,13 +294,22 @@ def _block(x: jax.Array, lp: Dict[str, jax.Array], cfg: LLaDAConfig,
     cdt = x.dtype
 
     h = _rms_norm(x, lp["attn_norm"], cfg.rms_norm_eps, gemma)
-    q = h @ lp["q_proj"].astype(cdt)
-    k = h @ lp["k_proj"].astype(cdt)
-    v = h @ lp["v_proj"].astype(cdt)
-    if "q_bias" in lp:
-        q = q + lp["q_bias"].astype(cdt)
-        k = k + lp["k_bias"].astype(cdt)
-        v = v + lp["v_bias"].astype(cdt)
+    if cfg.block_type == "sequential":
+        qkv = h @ lp["att_proj"].astype(cdt)
+        if "att_proj_bias" in lp:
+            qkv = qkv + lp["att_proj_bias"].astype(cdt)
+        kvd = nkv * hd
+        q = qkv[..., :D]
+        k = qkv[..., D:D + kvd]
+        v = qkv[..., D + kvd:]
+    else:
+        q = h @ lp["q_proj"].astype(cdt)
+        k = h @ lp["k_proj"].astype(cdt)
+        v = h @ lp["v_proj"].astype(cdt)
+        if "q_bias" in lp:
+            q = q + lp["q_bias"].astype(cdt)
+            k = k + lp["k_bias"].astype(cdt)
+            v = v + lp["v_bias"].astype(cdt)
 
     q = q.reshape(B, L, nh, hd)
     k = k.reshape(B, L, nkv, hd)
@@ -272,9 +322,13 @@ def _block(x: jax.Array, lp: Dict[str, jax.Array], cfg: LLaDAConfig,
     x = x + att @ lp["attn_out"].astype(cdt)
 
     h = _rms_norm(x, lp["ff_norm"], cfg.rms_norm_eps, gemma)
-    gate = jax.nn.silu(h @ lp["ff_proj"].astype(cdt))
-    up = h @ lp["up_proj"].astype(cdt)
-    x = x + (gate * up) @ lp["ff_out"].astype(cdt)
+    if cfg.block_type == "sequential":
+        act = _activation(h @ lp["ff_proj"].astype(cdt), cfg.activation_type)
+        x = x + act @ lp["ff_out"].astype(cdt)
+    else:
+        gate = jax.nn.silu(h @ lp["ff_proj"].astype(cdt))
+        up = h @ lp["up_proj"].astype(cdt)
+        x = x + (gate * up) @ lp["ff_out"].astype(cdt)
     return x
 
 
@@ -384,10 +438,19 @@ def param_shardings(cfg: LLaDAConfig, fsdp_axis: str = "fsdp",
     over ``tensor`` on the vocab axis so per-shard softmax stays local.
     """
     fs, tp = fsdp_axis, tensor_axis
-    specs = {
-        "wte": P(tp, fs),
-        "ln_f": P(None),
-        "blocks": {
+    if cfg.block_type == "sequential":
+        blocks = {
+            "attn_norm": P(None, None),
+            "ff_norm": P(None, None),
+            "att_proj": P(None, fs, tp),
+            "attn_out": P(None, tp, fs),
+            "ff_proj": P(None, fs, tp),
+            "ff_out": P(None, tp, fs),
+        }
+        if cfg.include_qkv_bias:
+            blocks["att_proj_bias"] = P(None, tp)
+    else:
+        blocks = {
             "attn_norm": P(None, None),
             "ff_norm": P(None, None),
             "q_proj": P(None, fs, tp),
@@ -397,12 +460,16 @@ def param_shardings(cfg: LLaDAConfig, fsdp_axis: str = "fsdp",
             "ff_proj": P(None, fs, tp),
             "up_proj": P(None, fs, tp),
             "ff_out": P(None, tp, fs),
-        },
+        }
+        if cfg.include_qkv_bias:
+            blocks["q_bias"] = P(None, tp)
+            blocks["k_bias"] = P(None, tp)
+            blocks["v_bias"] = P(None, tp)
+    specs = {
+        "wte": P(tp, fs),
+        "ln_f": P(None),
+        "blocks": blocks,
     }
-    if cfg.include_qkv_bias:
-        specs["blocks"]["q_bias"] = P(None, tp)
-        specs["blocks"]["k_bias"] = P(None, tp)
-        specs["blocks"]["v_bias"] = P(None, tp)
     if not cfg.weight_tying:
         specs["head"] = P(fs, tp)
     return specs

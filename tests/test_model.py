@@ -147,6 +147,44 @@ def test_count_params_8b_scale():
     assert 7.5e9 < total < 9e9
 
 
+def test_sequential_block_matches_oracle():
+    """Fused-qkv + SwiGLU sequential block vs numpy oracle."""
+    cfg = LLaDAConfig.tiny(block_type="sequential", activation_type="swiglu")
+    params = init_llada_params(jax.random.key(5), cfg)
+    rng = np.random.default_rng(5)
+    ids = rng.integers(0, cfg.vocab_size, size=(1, 6))
+    got = np.asarray(llada_forward(params, cfg, jnp.asarray(ids)))
+
+    p = jax.tree_util.tree_map(np.asarray, params)
+    x = p["wte"][ids]
+    nh, nkv, hd = cfg.n_heads, cfg.effective_n_kv_heads, cfg.head_dim
+    D = cfg.d_model
+    for l in range(cfg.n_layers):
+        lp = {k: v[l] for k, v in p["blocks"].items()}
+        h = np_rms(x, lp["attn_norm"], cfg.rms_norm_eps)
+        qkv = h @ lp["att_proj"]
+        kvd = nkv * hd
+        q = qkv[..., :D].reshape(1, 6, nh, hd)
+        k = qkv[..., D:D + kvd].reshape(1, 6, nkv, hd)
+        v = qkv[..., D + kvd:].reshape(1, 6, nkv, hd)
+        q, k = np_rope(q, cfg.rope_theta), np_rope(k, cfg.rope_theta)
+        if nh != nkv:
+            k = np.repeat(k, nh // nkv, 2); v = np.repeat(v, nh // nkv, 2)
+        s = np.einsum("bqhd,bkhd->bhqk", q, k) / np.sqrt(hd)
+        s -= s.max(-1, keepdims=True)
+        pr = np.exp(s); pr /= pr.sum(-1, keepdims=True)
+        att = np.einsum("bhqk,bkhd->bqhd", pr, v).reshape(1, 6, -1)
+        x = x + att @ lp["attn_out"]
+        h2 = np_rms(x, lp["ff_norm"], cfg.rms_norm_eps)
+        ff = h2 @ lp["ff_proj"]
+        a, gate = np.split(ff, 2, axis=-1)
+        act = (gate / (1 + np.exp(-gate))) * a
+        x = x + act @ lp["ff_out"]
+    x = np_rms(x, p["ln_f"], cfg.rms_norm_eps)
+    want = x @ p["head"]
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=2e-3)
+
+
 def test_param_shardings_tree_matches_params(tiny):
     cfg, params = tiny
     specs = param_shardings(cfg)
