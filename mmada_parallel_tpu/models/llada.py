@@ -88,7 +88,10 @@ class LLaDAConfig:
     # --- TPU execution policy (not part of the checkpoint contract) ---
     param_dtype: Any = jnp.float32
     compute_dtype: Any = jnp.bfloat16
-    remat: str = "none"                       # "none" | "whole_layer"
+    # activation rematerialisation, mirroring the reference's
+    # ActivationCheckpointingStrategy enum (configuration_llada.py:386-430):
+    # "none" | "whole_layer" | "one_in_two" | "one_in_three" | "one_in_four"
+    remat: str = "none"
     attention_impl: str = "auto"              # "auto" | "xla" | "pallas"
 
     @property
@@ -373,13 +376,40 @@ def llada_hidden(
         attn_bias = jnp.where(pair[:, None, :, :], 0.0, -1e30).astype(jnp.float32)
 
     body_fn = partial(_block, cfg=cfg, sin=sin, cos=cos, attn_bias=attn_bias)
-    if cfg.remat == "whole_layer":
-        body_fn = jax.checkpoint(body_fn)
 
-    def scan_body(carry, layer_params):
-        return body_fn(carry, layer_params), None
+    group = {"none": 0, "whole_layer": 1, "one_in_two": 2,
+             "one_in_three": 3, "one_in_four": 4}.get(cfg.remat)
+    if group is None:
+        raise ValueError(f"unknown remat strategy: {cfg.remat}")
 
-    x, _ = jax.lax.scan(scan_body, x, params["blocks"])
+    if group <= 1 or cfg.n_layers % group != 0:
+        if group == 1:
+            body_fn = jax.checkpoint(body_fn)
+
+        def scan_body(carry, layer_params):
+            return body_fn(carry, layer_params), None
+
+        x, _ = jax.lax.scan(scan_body, x, params["blocks"])
+    else:
+        # one_in_k: checkpoint only every k-th layer boundary — scan over
+        # layer *groups* of size k with the group body rematerialized
+        # (the k inner layers recompute in backward, saving 1/k of the
+        # activation memory the whole-layer strategy would keep).
+        grouped = jax.tree_util.tree_map(
+            lambda p: p.reshape((cfg.n_layers // group, group) + p.shape[1:]),
+            params["blocks"])
+
+        @jax.checkpoint
+        def group_body_fn(carry, group_params):
+            def inner(c, lp):
+                return body_fn(c, lp), None
+            out, _ = jax.lax.scan(inner, carry, group_params)
+            return out
+
+        def scan_groups(carry, gp):
+            return group_body_fn(carry, gp), None
+
+        x, _ = jax.lax.scan(scan_groups, x, grouped)
 
     gemma = cfg.layer_norm_type == "gemma_rms"
     return _rms_norm(x, params["ln_f"], cfg.rms_norm_eps, gemma)

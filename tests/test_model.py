@@ -129,13 +129,23 @@ def test_weight_tying_shapes():
     assert logits.shape == (1, 4, cfg.emb_size)
 
 
-def test_remat_whole_layer_same_output(tiny):
+def test_remat_strategies_same_output_and_grads(tiny):
     cfg, params = tiny
-    cfg_r = LLaDAConfig.tiny(remat="whole_layer")
     ids = jnp.asarray(np.random.default_rng(4).integers(0, 100, (1, 5)))
     a = np.asarray(llada_forward(params, cfg, ids))
-    b = np.asarray(llada_forward(params, cfg_r, ids))
-    np.testing.assert_allclose(a, b, atol=1e-6)
+
+    def loss(p, c):
+        return jnp.sum(llada_forward(p, c, ids) ** 2) * 1e-4
+    g_ref = jax.grad(loss)(params, cfg)
+    for strat in ["whole_layer", "one_in_two"]:
+        cfg_r = LLaDAConfig.tiny(remat=strat)
+        b = np.asarray(llada_forward(params, cfg_r, ids))
+        np.testing.assert_allclose(a, b, atol=1e-6, err_msg=strat)
+        g = jax.grad(loss)(params, cfg_r)
+        for x, y in zip(jax.tree_util.tree_leaves(g_ref),
+                        jax.tree_util.tree_leaves(g)):
+            np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                       atol=1e-5, err_msg=strat)
 
 
 def test_count_params_8b_scale():
