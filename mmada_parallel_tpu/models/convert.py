@@ -358,3 +358,78 @@ def load_llada_checkpoint(ckpt_dir: str, dtype=np.float32,
         cfg = llada_config_from_hf(json.load(f), **cfg_overrides)
     tensors = load_safetensors_dir(ckpt_dir)
     return cfg, llada_params_from_torch(tensors, cfg, dtype)
+
+
+# ---------------------------------------------------------------------------
+# Reverse direction: params -> HF-style safetensors (the role of the
+# reference's consolidated save, xllm/util/ckpt.py:66-97 save_pretrained)
+# ---------------------------------------------------------------------------
+
+
+def llada_state_dict_from_params(params: Dict[str, Any],
+                                 cfg: LLaDAConfig,
+                                 dtype=np.float32) -> Dict[str, np.ndarray]:
+    """Param pytree -> torch-layout state dict with HF names."""
+    import jax
+    p = jax.tree_util.tree_map(lambda x: np.asarray(x, dtype=dtype), params)
+    pre = "model.transformer."
+    sd: Dict[str, np.ndarray] = {
+        pre + "wte.weight": p["wte"],
+        pre + "ln_f.weight": p["ln_f"],
+    }
+    if not cfg.weight_tying:
+        sd[pre + "ff_out.weight"] = np.ascontiguousarray(p["head"].T)
+    names = (["att_proj", "attn_out", "ff_proj", "ff_out"]
+             if cfg.block_type == "sequential"
+             else ["q_proj", "k_proj", "v_proj", "attn_out",
+                   "ff_proj", "up_proj", "ff_out"])
+    for i in range(cfg.n_layers):
+        b = f"{pre}blocks.{i}."
+        sd[b + "attn_norm.weight"] = p["blocks"]["attn_norm"][i]
+        sd[b + "ff_norm.weight"] = p["blocks"]["ff_norm"][i]
+        for name in names:
+            sd[b + name + ".weight"] = np.ascontiguousarray(
+                p["blocks"][name][i].T)
+        if cfg.include_qkv_bias:
+            if cfg.block_type == "sequential":
+                sd[b + "att_proj.bias"] = p["blocks"]["att_proj_bias"][i]
+            else:
+                for n in ["q", "k", "v"]:
+                    sd[b + f"{n}_proj.bias"] = p["blocks"][f"{n}_bias"][i]
+    return sd
+
+
+def save_llada_checkpoint(ckpt_dir: str, params: Dict[str, Any],
+                          cfg: LLaDAConfig, dtype=np.float32,
+                          extra_config: Optional[Dict[str, Any]] = None):
+    """Write ``model.safetensors`` + ``config.json`` loadable by both this
+    framework and the reference's HF classes."""
+    from safetensors.numpy import save_file
+    os.makedirs(ckpt_dir, exist_ok=True)
+    sd = llada_state_dict_from_params(params, cfg, dtype)
+    save_file(sd, os.path.join(ckpt_dir, "model.safetensors"))
+    config = {
+        "d_model": cfg.d_model, "n_heads": cfg.n_heads,
+        "n_kv_heads": cfg.n_kv_heads, "n_layers": cfg.n_layers,
+        "mlp_hidden_size": cfg.mlp_hidden_size, "mlp_ratio": cfg.mlp_ratio,
+        "vocab_size": cfg.vocab_size, "embedding_size": cfg.embedding_size,
+        "max_sequence_length": cfg.max_sequence_length,
+        "rope": True, "rope_theta": cfg.rope_theta,
+        "rope_full_precision": cfg.rope_full_precision,
+        "rms_norm_eps": cfg.rms_norm_eps,
+        "layer_norm_type": cfg.layer_norm_type,
+        "include_bias": cfg.include_bias,
+        "include_qkv_bias": cfg.include_qkv_bias,
+        "block_type": cfg.block_type,
+        "activation_type": cfg.activation_type,
+        "weight_tying": cfg.weight_tying,
+        "input_emb_norm": cfg.input_emb_norm,
+        "scale_logits": cfg.scale_logits,
+        "mask_token_id": cfg.mask_token_id,
+        "eos_token_id": cfg.eos_token_id,
+        "pad_token_id": cfg.pad_token_id,
+    }
+    if extra_config:
+        config.update(extra_config)
+    with open(os.path.join(ckpt_dir, "config.json"), "w") as f:
+        json.dump(config, f, indent=2)

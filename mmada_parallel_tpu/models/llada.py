@@ -453,6 +453,123 @@ def llada_forward(
 
 
 # ---------------------------------------------------------------------------
+# Feature-cached partial forward (the reference's use_cache machinery,
+# modeling_llada.py:593-600,929-940 — per-block k/v caches with a
+# `to_compute_mask` subset recompute)
+# ---------------------------------------------------------------------------
+
+
+def llada_hidden_with_cache(
+    params: Dict[str, Any],
+    cfg: LLaDAConfig,
+    input_ids: jax.Array,
+) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+    """Full forward that also returns the per-layer k/v feature cache
+    (``{"k": [n_layers, B, L, KV, hd], "v": ...}``) for subsequent partial
+    steps."""
+    if cfg.block_type != "llama":
+        raise NotImplementedError("feature cache supports llama blocks only")
+    cdt = cfg.compute_dtype
+    B, L = input_ids.shape
+    nh, nkv, hd = cfg.n_heads, cfg.effective_n_kv_heads, cfg.head_dim
+    x = jnp.take(params["wte"], input_ids, axis=0, mode="clip").astype(cdt)
+    sin, cos = _rope_sin_cos(L, cfg.head_dim, cfg.rope_theta)
+    gemma = cfg.layer_norm_type == "gemma_rms"
+
+    def body(carry, lp):
+        x = carry
+        h = _rms_norm(x, lp["attn_norm"], cfg.rms_norm_eps, gemma)
+        q = h @ lp["q_proj"].astype(cdt)
+        k = h @ lp["k_proj"].astype(cdt)
+        v = h @ lp["v_proj"].astype(cdt)
+        q = q.reshape(B, L, nh, hd)
+        k = k.reshape(B, L, nkv, hd)
+        v = v.reshape(B, L, nkv, hd)
+        # the cache stores PRE-rope k (rope re-applied per use, as the
+        # reference caches pre-rope projections and applies rope with
+        # position subsets, modeling_llada.py:716-722)
+        k_cache, v_cache = k, v
+        qr, kr = _apply_rope(q, k, sin, cos, cfg.rope_full_precision)
+        att = dot_product_attention(qr, kr, v, impl=cfg.attention_impl)
+        x = x + att.reshape(B, L, nh * hd) @ lp["attn_out"].astype(cdt)
+        h = _rms_norm(x, lp["ff_norm"], cfg.rms_norm_eps, gemma)
+        gate = jax.nn.silu(h @ lp["ff_proj"].astype(cdt))
+        up = h @ lp["up_proj"].astype(cdt)
+        x = x + (gate * up) @ lp["ff_out"].astype(cdt)
+        return x, {"k": k_cache, "v": v_cache}
+
+    x, cache = jax.lax.scan(body, x, params["blocks"])
+    x = _rms_norm(x, params["ln_f"], cfg.rms_norm_eps, gemma)
+    return x, cache
+
+
+def llada_hidden_partial(
+    params: Dict[str, Any],
+    cfg: LLaDAConfig,
+    sel_ids: jax.Array,        # [B, n] token ids at the selected positions
+    sel_pos: jax.Array,        # [B, n] absolute positions
+    cache: Dict[str, jax.Array],
+) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+    """Partial recompute: run only ``n`` selected tokens through the stack,
+    attending to the (updated) full k/v cache.
+
+    Returns ``(hidden_sel [B, n, d], updated cache)``.  RoPE uses the true
+    absolute positions of the selected tokens (the reference's ``q_mask``
+    path, ``modeling_llada.py:425-435``).
+    """
+    cdt = cfg.compute_dtype
+    B, n = sel_ids.shape
+    L = cache["k"].shape[2]
+    nh, nkv, hd = cfg.n_heads, cfg.effective_n_kv_heads, cfg.head_dim
+    gemma = cfg.layer_norm_type == "gemma_rms"
+
+    x = jnp.take(params["wte"], sel_ids, axis=0, mode="clip").astype(cdt)
+    sin_full, cos_full = _rope_sin_cos(L, cfg.head_dim, cfg.rope_theta)
+    sin_sel = jnp.take(sin_full, sel_pos, axis=0)      # [B, n, hd]
+    cos_sel = jnp.take(cos_full, sel_pos, axis=0)
+
+    def rope_sel(t):
+        og = t.dtype
+        tf = t.astype(jnp.float32) if cfg.rope_full_precision else t
+        s = sin_sel[:, :, None, :].astype(tf.dtype)
+        c = cos_sel[:, :, None, :].astype(tf.dtype)
+        return (tf * c + _rotate_half(tf) * s).astype(og)
+
+    def rope_full(t):
+        og = t.dtype
+        tf = t.astype(jnp.float32) if cfg.rope_full_precision else t
+        s = sin_full[None, :, None, :].astype(tf.dtype)
+        c = cos_full[None, :, None, :].astype(tf.dtype)
+        return (tf * c + _rotate_half(tf) * s).astype(og)
+
+    def body(carry, xs):
+        x = carry
+        lp, layer_cache = xs
+        h = _rms_norm(x, lp["attn_norm"], cfg.rms_norm_eps, gemma)
+        q = (h @ lp["q_proj"].astype(cdt)).reshape(B, n, nh, hd)
+        k_new = (h @ lp["k_proj"].astype(cdt)).reshape(B, n, nkv, hd)
+        v_new = (h @ lp["v_proj"].astype(cdt)).reshape(B, n, nkv, hd)
+        # scatter the recomputed k/v into the cache at sel positions
+        bidx = jnp.arange(B)[:, None]
+        k_full = layer_cache["k"].at[bidx, sel_pos].set(k_new)
+        v_full = layer_cache["v"].at[bidx, sel_pos].set(v_new)
+
+        qr = rope_sel(q)
+        kr = rope_full(k_full)
+        att = dot_product_attention(qr, kr, v_full, impl=cfg.attention_impl)
+        x = x + att.reshape(B, n, nh * hd) @ lp["attn_out"].astype(cdt)
+        h = _rms_norm(x, lp["ff_norm"], cfg.rms_norm_eps, gemma)
+        gate = jax.nn.silu(h @ lp["ff_proj"].astype(cdt))
+        up = h @ lp["up_proj"].astype(cdt)
+        x = x + (gate * up) @ lp["ff_out"].astype(cdt)
+        return x, {"k": k_full, "v": v_full}
+
+    x, new_cache = jax.lax.scan(body, x, (params["blocks"], cache))
+    x = _rms_norm(x, params["ln_f"], cfg.rms_norm_eps, gemma)
+    return x, new_cache
+
+
+# ---------------------------------------------------------------------------
 # Sharding metadata
 # ---------------------------------------------------------------------------
 

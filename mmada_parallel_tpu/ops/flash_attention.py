@@ -90,33 +90,36 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     VMEM (K+V+scores ~8 MB at the cap).
 
     ``interpret=True`` runs the kernel in the Pallas interpreter (exact, any
-    backend) — the CPU test path."""
-    B, L, H, D = q.shape
+    backend) — the CPU test path.  ``q`` and ``k/v`` sequence lengths may
+    differ (rectangular attention, used by the feature-cache partial
+    recompute)."""
+    B, Lq, H, D = q.shape
+    Lk = k.shape[1]
     KV = k.shape[2]
     if H % KV:
         raise ValueError("n_heads must be a multiple of n_kv_heads")
     rep = H // KV
     scale = D ** -0.5
 
-    block_q = min(block_q, max(128, 1 << (L - 1).bit_length()))
+    block_q = min(block_q, max(128, 1 << (Lq - 1).bit_length()))
     if block_k is None:
-        block_k = min(-(-L // 128) * 128, 8192)
-    block_k = min(block_k, max(128, 1 << (L - 1).bit_length()))
-    Lp_q = -(-L // block_q) * block_q
-    Lp_k = -(-L // block_k) * block_k
+        block_k = min(-(-Lk // 128) * 128, 8192)
+    block_k = min(block_k, max(128, 1 << (Lk - 1).bit_length()))
+    Lp_q = -(-Lq // block_q) * block_q
+    Lp_k = -(-Lk // block_k) * block_k
 
-    needs_pad = Lp_q != L or Lp_k != L
+    needs_pad = Lp_q != Lq or Lp_k != Lk
     if needs_pad or (bias is not None):
         # fold key padding into the bias; query padding rows are garbage we
         # slice off at the end
         if bias is None:
-            bias = jnp.zeros((B, 1, L, L), jnp.float32)
-        bias = jnp.pad(bias, ((0, 0), (0, 0), (0, Lp_q - L), (0, Lp_k - L)),
+            bias = jnp.zeros((B, 1, Lq, Lk), jnp.float32)
+        bias = jnp.pad(bias, ((0, 0), (0, 0), (0, Lp_q - Lq), (0, Lp_k - Lk)),
                        constant_values=NEG_INF)
     if needs_pad:
-        q = jnp.pad(q, ((0, 0), (0, Lp_q - L), (0, 0), (0, 0)))
-        k = jnp.pad(k, ((0, 0), (0, Lp_k - L), (0, 0), (0, 0)))
-        v = jnp.pad(v, ((0, 0), (0, Lp_k - L), (0, 0), (0, 0)))
+        q = jnp.pad(q, ((0, 0), (0, Lp_q - Lq), (0, 0), (0, 0)))
+        k = jnp.pad(k, ((0, 0), (0, Lp_k - Lk), (0, 0), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, Lp_k - Lk), (0, 0), (0, 0)))
 
     # TPU tiling wants the (sequence, head_dim) axes last -> BHLD layout
     q = q.transpose(0, 2, 1, 3)
@@ -165,6 +168,6 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array,
         interpret=interpret,
     )(*args)
     out = out.transpose(0, 2, 1, 3)  # back to BLHD
-    if Lp_q != L:
-        out = out[:, :L]
+    if Lp_q != Lq:
+        out = out[:, :Lq]
     return out

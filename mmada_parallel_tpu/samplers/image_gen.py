@@ -18,9 +18,10 @@ updates are masked writes.  The re-mask cutoff index is clamped to
 (``generation_utils.py:59-60``).
 
 The reference's adaptive feature cache (``use_cache``/``cache_ratio``
-partial recompute, ``:226-237``) is an orthogonal optimisation of the
-backbone forward and is not reimplemented in this sampler; the TPU build
-gets its speed from the fused scan + sliced heads instead.
+partial recompute, ``:226-237``) is provided by
+:func:`generate_image_cached` — full forwards on warmup/refresh steps,
+static-size lowest-confidence partial recompute against per-layer k/v
+caches in between.
 """
 
 from __future__ import annotations
@@ -32,11 +33,14 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from mmada_parallel_tpu.models.llada import LLaDAConfig, llada_head, llada_hidden
+from mmada_parallel_tpu.models.llada import (LLaDAConfig, llada_head,
+                                             llada_hidden,
+                                             llada_hidden_with_cache,
+                                             llada_hidden_partial)
 from mmada_parallel_tpu.ops import sampling as S
 from mmada_parallel_tpu.tokens import SequenceLayout
 
-__all__ = ["ImageGenOptions", "generate_image"]
+__all__ = ["ImageGenOptions", "generate_image", "generate_image_cached"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -48,6 +52,14 @@ class ImageGenOptions:
     text_vocab_size: int = 126356
     codebook_size: int = 8192
     mask_token: int = 126336
+    # adaptive feature cache (image_generation_generator.py:34-38,70-75):
+    # full forwards during warmup and every refresh_interval-th step; in
+    # between, only the (1 - cache_ratio) lowest-confidence fraction of the
+    # sequence is recomputed against cached per-layer k/v.
+    use_cache: bool = False
+    cache_ratio: float = 0.9
+    refresh_interval: int = 5
+    warmup_ratio: float = 0.3
 
 
 def generate_image(
@@ -150,6 +162,131 @@ def generate_image(
 
     (final_ids, _), _ = jax.lax.scan(
         step_fn, (input_ids, key), (jnp.arange(T), fracs))
+
+    img_tokens = jnp.take_along_axis(final_ids, img_pos[None, :], axis=1)
+    codes = jnp.clip(img_tokens - tvs, 0, cb - 1)
+    return final_ids, codes
+
+
+def generate_image_cached(
+    params: Dict[str, Any],
+    cfg: LLaDAConfig,
+    input_ids: jax.Array,
+    layout: SequenceLayout,
+    opts: ImageGenOptions,
+    key: Optional[jax.Array] = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """MaskGit decode with the adaptive feature cache.
+
+    The reference's ``use_cache`` path
+    (``image_generation_generator.py:70-75,104-108,226-237``): full forwards
+    during warmup and every ``refresh_interval``-th step; in between, only
+    the lowest-confidence fraction of *image slots* is recomputed through
+    :func:`llada_hidden_partial` against the cached per-layer k/v; logits at
+    unrecomputed slots are reused from the last computation.
+
+    TPU redesign: the recompute set has a *static* size
+    ``n = ceil((1 - cache_ratio) * n_vq)`` chosen by confidence rank (the
+    reference uses a dynamic quantile threshold over the whole sequence —
+    prompt positions here are never recomputed, which only helps: prompt
+    tokens never change).  CFG with caching (two branch caches) is not yet
+    implemented — use ``generate_image`` for CFG.
+    """
+    if opts.cfg_scale > 0:
+        raise NotImplementedError("feature cache + CFG: use generate_image")
+    B, L = input_ids.shape
+    tvs, cb = opts.text_vocab_size, opts.codebook_size
+    img_pos = jnp.asarray(layout.image_positions(), dtype=jnp.int32)
+    n_vq = int(img_pos.shape[0])
+    T = opts.timesteps
+    n_compute = max(int(np.ceil((1.0 - opts.cache_ratio) * n_vq)), 1)
+
+    sched = S.get_mask_schedule(opts.schedule)
+    fracs = sched((jnp.arange(T, dtype=jnp.float32) + 1) / T)
+    warmup_step = int(T * opts.warmup_ratio)
+    refresh = np.zeros(T, bool)
+    for step in range(T):
+        if step <= warmup_step or (step - warmup_step) % opts.refresh_interval == 0:
+            refresh[step] = True
+    refresh = jnp.asarray(refresh)
+
+    vq_len0 = (jnp.take_along_axis(input_ids, img_pos[None, :], axis=1)
+               == opts.mask_token).sum(axis=1)
+
+    def full_compute(ids, cache, vq_logits):
+        hidden, cache = llada_hidden_with_cache(params, cfg, ids)
+        img_h = jnp.take_along_axis(hidden, img_pos[None, :, None], axis=1)
+        vq = llada_head(params, cfg, img_h, vocab_slice=(tvs, cb))
+        return vq, cache
+
+    def partial_compute(ids, cache, vq_logits):
+        conf = vq_logits.max(axis=-1)                     # [B, n_vq]
+        sel_slot = jnp.argsort(conf, axis=-1)[:, :n_compute]  # lowest-conf
+        sel_pos = jnp.take(img_pos, sel_slot)             # [B, n]
+        sel_ids = jnp.take_along_axis(ids, sel_pos, axis=1)
+        h_sel, cache = llada_hidden_partial(params, cfg, sel_ids, sel_pos,
+                                            cache)
+        vq_sel = llada_head(params, cfg, h_sel, vocab_slice=(tvs, cb))
+        idx = jnp.broadcast_to(sel_slot[..., None], vq_sel.shape)
+        vq = jnp.put_along_axis(vq_logits, idx,
+                                vq_sel.astype(vq_logits.dtype), axis=1,
+                                inplace=False)
+        return vq, cache
+
+    def step_fn(carry, xs):
+        ids, k, cache, vq_logits = carry
+        step_idx, frac = xs
+        keys = jax.random.split(k, 3) if k is not None else (None,) * 3
+        next_key = keys[0] if k is not None else None
+
+        cur = jnp.take_along_axis(ids, img_pos[None, :], axis=1)
+        masked = cur == opts.mask_token
+        unknown_cnt = masked.sum(axis=1)
+
+        vq_logits, cache = jax.lax.cond(
+            refresh[step_idx], full_compute, partial_compute,
+            ids, cache, vq_logits)
+        logits = vq_logits
+
+        if opts.temperature == 0 or keys[1] is None:
+            sampled = jnp.argmax(logits, axis=-1)
+        else:
+            u = jax.random.uniform(keys[1], logits.shape)
+            g = -jnp.log(-jnp.log(u + 1e-20) + 1e-20)
+            sampled = jnp.argmax(logits / opts.temperature + g, axis=-1)
+
+        probs = jax.nn.softmax(logits, axis=-1)
+        conf = jnp.take_along_axis(probs, sampled[..., None], axis=-1)[..., 0]
+
+        keep_n = jnp.floor(vq_len0.astype(jnp.float32) * frac).astype(jnp.int32)
+        keep_n = jnp.maximum(keep_n, 1)
+        keep_n = jnp.where(step_idx == T - 1, 0, keep_n)
+        keep_n = jnp.minimum(keep_n, jnp.maximum(unknown_cnt - 1, 0))
+
+        conf = jnp.where(masked, conf, jnp.inf)
+        remask = S.remask_below_cutoff(
+            keys[2] if (k is not None and opts.temperature != 0) else None,
+            keep_n, conf, opts.temperature)
+        remask = remask & masked
+
+        new_vals = jnp.where(masked, sampled + tvs, cur)
+        new_vals = jnp.where(remask, opts.mask_token, new_vals)
+        idx = jnp.broadcast_to(img_pos[None, :], new_vals.shape)
+        ids = jnp.put_along_axis(ids, idx, new_vals.astype(ids.dtype), axis=1,
+                                 inplace=False)
+        return (ids, next_key, cache, vq_logits), None
+
+    # init cache/logits via one full forward shape (zeros; step 0 refreshes)
+    nkv, hd = cfg.effective_n_kv_heads, cfg.head_dim
+    zero_cache = {
+        "k": jnp.zeros((cfg.n_layers, B, L, nkv, hd), cfg.compute_dtype),
+        "v": jnp.zeros((cfg.n_layers, B, L, nkv, hd), cfg.compute_dtype),
+    }
+    zero_logits = jnp.zeros((B, n_vq, cb), jnp.float32)
+
+    (final_ids, _, _, _), _ = jax.lax.scan(
+        step_fn, (input_ids, key, zero_cache, zero_logits),
+        (jnp.arange(T), fracs))
 
     img_tokens = jnp.take_along_axis(final_ids, img_pos[None, :], axis=1)
     codes = jnp.clip(img_tokens - tvs, 0, cb - 1)

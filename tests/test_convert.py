@@ -206,6 +206,40 @@ def test_amused_roundtrip():
         np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]), k)
 
 
+def test_save_load_llada_roundtrip(tmp_path):
+    """save_llada_checkpoint -> load_llada_checkpoint reproduces everything."""
+    cfg = LLaDAConfig.tiny()
+    params = init_llada_params(jax.random.key(4), cfg)
+    CV.save_llada_checkpoint(str(tmp_path), params, cfg)
+    cfg2, params2 = CV.load_llada_checkpoint(str(tmp_path))
+    assert cfg2.d_model == cfg.d_model and cfg2.n_layers == cfg.n_layers
+    assert cfg2.block_type == cfg.block_type
+    # execution policy is not part of the checkpoint; align it for comparison
+    import dataclasses
+    cfg2 = dataclasses.replace(cfg2, compute_dtype=cfg.compute_dtype,
+                               param_dtype=cfg.param_dtype)
+    for a, b in zip(jax.tree_util.tree_leaves(params),
+                    jax.tree_util.tree_leaves(params2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    ids = jnp.zeros((1, 4), jnp.int32)
+    np.testing.assert_allclose(
+        np.asarray(llada_forward(params, cfg, ids)),
+        np.asarray(llada_forward(
+            jax.tree_util.tree_map(jnp.asarray, params2), cfg2, ids)),
+        atol=1e-6)
+
+
+def test_save_load_sequential_roundtrip(tmp_path):
+    cfg = LLaDAConfig.tiny(block_type="sequential", activation_type="swiglu")
+    params = init_llada_params(jax.random.key(5), cfg)
+    CV.save_llada_checkpoint(str(tmp_path), params, cfg)
+    cfg2, params2 = CV.load_llada_checkpoint(str(tmp_path))
+    assert cfg2.block_type == "sequential"
+    for a, b in zip(jax.tree_util.tree_leaves(params),
+                    jax.tree_util.tree_leaves(params2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_amused_config_from_hf():
     cfg = CV.amused_config_from_hf({
         "block_out_channels": [128, 256, 256, 512, 768],
