@@ -98,7 +98,7 @@ def interleave_generate(
         return text_logits, vq_logits
 
     def step_fn(carry, xs):
-        ids, k = carry
+        ids, last_sampled, k = carry
         step_idx, budget = xs
         keys = jax.random.split(k, 4) if k is not None else (None,) * 4
         next_key = keys[0] if k is not None else None
@@ -128,7 +128,7 @@ def interleave_generate(
             ids, jnp.where(transfer, x0, cur), ts, axis=1)
 
         # --- scheduled image refresh (modeling_mmada.py:211-241) ---
-        def do_image(ids):
+        def do_image(ids, last_sampled):
             cur_img = jax.lax.dynamic_slice_in_dim(ids, ist, n_vq, axis=1)
             unknown = cur_img == opts.mask_token
             cur_codes = cur_img - tvs  # known tokens are offset codes
@@ -152,14 +152,20 @@ def interleave_generate(
                 mask_len, sel, img_temps[step_idx])
 
             new_img = jnp.where(remask, opts.mask_token, sampled + tvs)
-            return jax.lax.dynamic_update_slice_in_dim(ids, new_img, ist, axis=1)
+            return (jax.lax.dynamic_update_slice_in_dim(ids, new_img, ist,
+                                                        axis=1),
+                    sampled.astype(last_sampled.dtype))
 
-        ids = jax.lax.cond(img_step[step_idx], do_image, lambda x: x, ids)
-        return (ids, next_key), None
+        ids, last_sampled = jax.lax.cond(
+            img_step[step_idx], do_image, lambda i, s: (i, s),
+            ids, last_sampled)
+        return (ids, last_sampled, next_key), None
 
-    (final_ids, _), _ = jax.lax.scan(
-        step_fn, (input_ids, key), (jnp.arange(steps), budgets.T))
+    # the reference returns the last image step's pre-remask sampled ids
+    # (modeling_mmada.py:243-244), not the remasked sequence state
+    sampled0 = jnp.zeros((B, n_vq), input_ids.dtype)
+    (final_ids, last_sampled, _), _ = jax.lax.scan(
+        step_fn, (input_ids, sampled0, key), (jnp.arange(steps), budgets.T))
 
-    img_tokens = final_ids[:, ist:ien]
-    codes = jnp.clip(img_tokens - tvs, 0, cb - 1)
+    codes = jnp.clip(last_sampled, 0, cb - 1)
     return final_ids, codes

@@ -30,7 +30,8 @@ from mmada_parallel_tpu.samplers.parallel_ti2ti import make_ti2ti_step  # noqa: 
 from mmada_parallel_tpu.models.llada import llada_head, llada_hidden
 from mmada_parallel_tpu.tokens import SequenceLayout
 
-__all__ = ["generate_ti2ti_stepwise", "decode_text_with_masks"]
+__all__ = ["generate_ti2ti_stepwise", "decode_text_with_masks",
+           "t2i_generate_stepwise"]
 
 
 def decode_text_with_masks(ids: np.ndarray, layout: SequenceLayout,
@@ -155,3 +156,91 @@ def generate_ti2ti_stepwise(
             still_masked = img_tokens == opts.mask_token
             codes = np.clip(img_tokens - tvs, 0, cb - 1)
             yield step + 1, ids_np, codes, still_masked
+
+
+def t2i_generate_stepwise(
+    params: Dict[str, Any],
+    cfg: LLaDAConfig,
+    input_ids: np.ndarray,
+    uncond_input_ids: Optional[np.ndarray],
+    prompt_len: int,
+    num_vq_tokens: int,
+    opts,
+    key: Optional[jax.Array] = None,
+) -> Iterator[Tuple[int, np.ndarray, np.ndarray]]:
+    """Streaming M-variant t2i decode.
+
+    Mirrors ``t2i_generate_decoding_stepwise``
+    (``MMaDA-Parallel-M/models/modeling_mmada.py:768-873``): identical math
+    to :func:`mmada_parallel_tpu.samplers.t2i.t2i_generate`, yielding
+    ``(step, codes, still_masked)`` after every MaskGit step for demo
+    rendering.  ``opts`` is a ``T2IOptions``.
+    """
+    from mmada_parallel_tpu.samplers.t2i import T2IOptions  # noqa: F401
+
+    ids = jnp.asarray(input_ids)
+    if ids.ndim == 1:
+        ids = ids[None]
+    B, L = ids.shape
+    tvs, cb = opts.text_vocab_size, opts.codebook_size
+    ist = L - (num_vq_tokens + 1)
+    T = opts.timesteps
+    sched = S.get_mask_schedule(opts.schedule)
+    use_cfg = opts.guidance_scale > 0 and uncond_input_ids is not None
+    un_prefix = (jnp.asarray(uncond_input_ids)[None, :prompt_len + 1]
+                 if use_cfg else None)
+
+    @jax.jit
+    def vq_logits(ids):
+        if use_cfg:
+            un = jnp.concatenate(
+                [jnp.broadcast_to(un_prefix, (B, prompt_len + 1)),
+                 ids[:, prompt_len + 1:]], axis=1)
+            both = jnp.concatenate([ids, un], axis=0)
+            hidden = llada_hidden(params, cfg, both)
+        else:
+            hidden = llada_hidden(params, cfg, ids)
+        h = jax.lax.dynamic_slice_in_dim(hidden, ist, num_vq_tokens, axis=1)
+        vq = llada_head(params, cfg, h, vocab_slice=(tvs, cb))
+        if use_cfg:
+            return ((1 + opts.guidance_scale) * vq[:B]
+                    - opts.guidance_scale * vq[B:])
+        return vq
+
+    @jax.jit
+    def update(ids, logits, mask_ratio, temp, k1, k2):
+        cur = jax.lax.dynamic_slice_in_dim(ids, ist, num_vq_tokens, axis=1)
+        unknown = cur == opts.mask_token
+        cur_codes = cur - tvs
+        sampled = S.categorical_sample(
+            k1, logits, temperature_is_zero=(opts.temperature == 0))
+        sampled = jnp.where(unknown, sampled, cur_codes)
+        probs = jax.nn.softmax(logits, axis=-1)
+        sel = jnp.take_along_axis(
+            probs, jnp.clip(sampled, 0, cb - 1)[..., None], axis=-1)[..., 0]
+        sel = jnp.where(unknown, sel, jnp.finfo(sel.dtype).max)
+        mask_len = jnp.floor(num_vq_tokens * mask_ratio).astype(jnp.int32)
+        mask_len = jnp.maximum(1, jnp.minimum(unknown.sum(-1) - 1, mask_len))
+        remask = S.remask_below_cutoff(
+            k2 if (k2 is not None and opts.temperature != 0) else None,
+            jnp.broadcast_to(mask_len, (B,)), sel, temp)
+        new_img = jnp.where(remask, opts.mask_token, sampled + tvs)
+        ids = jax.lax.dynamic_update_slice_in_dim(ids, new_img, ist, axis=1)
+        return ids, sampled
+
+    for step in range(T):
+        if key is not None:
+            key, k1, k2 = jax.random.split(key, 3)
+        else:
+            k1 = k2 = None
+        ratio = (step + 1) / T
+        logits = vq_logits(ids)
+        ids, sampled = update(ids, logits, sched(jnp.asarray(ratio)),
+                              jnp.asarray(opts.temperature * (1 - ratio)),
+                              k1, k2)
+        # yield the pre-remask sampled codes (the reference decodes these
+        # for the preview) + the post-remask mask state for overlays
+        cur = np.asarray(ids)[0, ist:ist + num_vq_tokens]
+        still = cur == opts.mask_token
+        codes = np.clip(np.asarray(sampled)[0], 0, cb - 1)
+        yield step + 1, codes, still

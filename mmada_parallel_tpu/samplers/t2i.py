@@ -78,7 +78,7 @@ def t2i_generate(
         return llada_head(params, cfg, h, vocab_slice=(tvs, cb))
 
     def step_fn(carry, xs):
-        ids, k = carry
+        ids, last_sampled, k = carry
         step_idx, mask_ratio, temp = xs
         keys = jax.random.split(k, 3) if k is not None else (None,) * 3
         next_key = keys[0] if k is not None else None
@@ -115,10 +115,13 @@ def t2i_generate(
 
         new_img = jnp.where(remask, opts.mask_token, sampled + tvs)
         ids = jax.lax.dynamic_update_slice_in_dim(ids, new_img, ist, axis=1)
-        return (ids, next_key), None
+        return (ids, sampled, next_key), None
 
-    (final_ids, _), _ = jax.lax.scan(
-        step_fn, (input_ids, key), (jnp.arange(T), mask_ratios, temps))
+    # the reference returns the final step's pre-remask `sampled_ids`
+    # (modeling_mmada.py:359) — every slot filled, no MASK leakage
+    sampled0 = jnp.zeros((B, num_vq_tokens), input_ids.dtype)
+    (final_ids, last_sampled, _), _ = jax.lax.scan(
+        step_fn, (input_ids, sampled0, key),
+        (jnp.arange(T), mask_ratios, temps))
 
-    cur = final_ids[:, ist:ist + num_vq_tokens]
-    return jnp.clip(cur - tvs, 0, cb - 1)
+    return jnp.clip(last_sampled, 0, cb - 1)

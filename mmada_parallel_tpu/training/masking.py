@@ -65,22 +65,61 @@ def mask_tokens_schedule(
     schedule: Callable[[jax.Array], jax.Array] = S.cosine_schedule,
     min_masking_rate: float = 0.0,
     mask_token: int = 126336,
+    noise_type: str = "mask",
+    codebook_size: int = 8192,
+    mask_contiguous_region: bool = False,
+    predict_all_tokens: bool = False,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """M-variant t2i masking: ``(input_ids, labels, mask_prob)``.
 
-    Mirrors ``training/utils.py:98-106,113-116,146-168`` (mask noise type,
-    predict-masked-only labels).
+    Mirrors ``training/utils.py:77-175`` including the optional paths:
+    ``noise_type="random_replace"`` substitutes random codebook tokens
+    instead of MASK; ``mask_contiguous_region`` masks an approximate
+    rectangle of the square token grid; ``predict_all_tokens`` labels every
+    position (the reference pairs it with a ``1/p`` loss weight — returned
+    here via ``mask_prob``).
     """
     B, L = image_tokens.shape
-    k1, k2 = jax.random.split(key)
+    k1, k2, k3, k4 = jax.random.split(key, 4)
     t = jax.random.uniform(k1, (B,))
     mask_prob = jnp.clip(schedule(t), min_masking_rate, None)
     num = jnp.clip(jnp.round(L * mask_prob).astype(jnp.int32), 1, None)
-    rank = jnp.argsort(jnp.argsort(jax.random.uniform(k2, (B, L)), axis=-1),
-                       axis=-1)
-    mask = rank < num[:, None]
-    input_ids = jnp.where(mask, mask_token, image_tokens)
-    labels = jnp.where(mask, image_tokens, -100)
+
+    if mask_contiguous_region:
+        # approximate-rectangle masking on the sqrt(L) grid
+        # (training/utils.py:117-144), vectorized: pick height ~ U within
+        # the valid range, width = ceil(num/height), random top-left corner
+        res = int(round(L ** 0.5))
+        hmin = jnp.ceil(num / res).astype(jnp.int32)
+        hmax = jnp.minimum(res, num)
+        u = jax.random.uniform(k2, (B,))
+        h = (hmin + (u * (hmax - hmin + 1)).astype(jnp.int32)).clip(1, res)
+        w = jnp.minimum(jnp.ceil(num / h).astype(jnp.int32), res)
+        ty = (jax.random.uniform(k3, (B,)) * (res - h + 1)).astype(jnp.int32)
+        tx = (jax.random.uniform(k4, (B,)) * (res - w + 1)).astype(jnp.int32)
+        rows = jnp.arange(res)[None, :, None]
+        cols = jnp.arange(res)[None, None, :]
+        grid = ((rows >= ty[:, None, None]) & (rows < (ty + h)[:, None, None])
+                & (cols >= tx[:, None, None]) & (cols < (tx + w)[:, None, None]))
+        mask = grid.reshape(B, res * res)[:, :L]
+    else:
+        rank = jnp.argsort(jnp.argsort(jax.random.uniform(k2, (B, L)),
+                                       axis=-1), axis=-1)
+        mask = rank < num[:, None]
+
+    if noise_type == "mask":
+        input_ids = jnp.where(mask, mask_token, image_tokens)
+    elif noise_type == "random_replace":
+        rnd = jax.random.randint(k3, (B, L), 0, codebook_size,
+                                 image_tokens.dtype)
+        input_ids = jnp.where(mask, rnd, image_tokens)
+    else:
+        raise ValueError(noise_type)
+
+    if predict_all_tokens or noise_type == "random_replace":
+        labels = image_tokens
+    else:
+        labels = jnp.where(mask, image_tokens, -100)
     return input_ids, labels, mask_prob
 
 

@@ -145,6 +145,47 @@ def test_reward_spec_combines():
     np.testing.assert_allclose(out, [1.0, 1.0])
 
 
+def test_t2i_stepwise_streaming(model):
+    from mmada_parallel_tpu.samplers.t2i import T2IOptions
+    from mmada_parallel_tpu.samplers.stepwise import t2i_generate_stepwise
+    cfg, params = model
+    n_vq, plen = 6, 4
+    ids = np.concatenate([np.arange(10, 10 + plen), [251],
+                          np.full(n_vq, MASK), [250]]).astype(np.int32)
+    un = ids.copy(); un[:plen] = 40
+    opts = T2IOptions(timesteps=4, temperature=0.0, guidance_scale=1.5,
+                      text_vocab_size=TVS, codebook_size=CB, mask_token=MASK)
+    frames = list(t2i_generate_stepwise(params, cfg, ids, un, plen, n_vq,
+                                        opts, key=None))
+    assert len(frames) == 4
+    # sampled codes always fill every slot (pre-remask, reference contract)
+    assert all(0 <= f[1].min() and f[1].max() < CB for f in frames)
+    # post-remask mask state keeps >=1 masked (reference keeps one to the end)
+    masked = [f[2].sum() for f in frames]
+    assert all(a >= b for a, b in zip(masked, masked[1:]))
+    assert masked[-1] >= 1
+
+
+def test_mask_tokens_schedule_variants():
+    from mmada_parallel_tpu.training.masking import mask_tokens_schedule
+    toks = jnp.asarray(np.random.default_rng(0).integers(0, 32, (4, 16)))
+    # random_replace: no MASK token, labels everywhere
+    ii, ll, mp = mask_tokens_schedule(jax.random.key(0), toks,
+                                      noise_type="random_replace",
+                                      codebook_size=32, mask_token=999)
+    assert not np.any(np.asarray(ii) == 999)
+    assert not np.any(np.asarray(ll) == -100)
+    # contiguous region: masked positions form a rectangle on the 4x4 grid
+    ii2, ll2, _ = mask_tokens_schedule(jax.random.key(1), toks,
+                                       mask_contiguous_region=True,
+                                       mask_token=999)
+    m = (np.asarray(ii2) == 999).reshape(4, 4, 4)
+    for b in range(4):
+        rows = np.nonzero(m[b].any(1))[0]
+        cols = np.nonzero(m[b].any(0))[0]
+        assert m[b][rows[0]:rows[-1] + 1, cols[0]:cols[-1] + 1].all()
+
+
 def test_parabench_sweep(model):
     cfg, params = model
     reqs = [EvalRequest(prompt_ids=[5, 6, 7], meta={"i": i})
