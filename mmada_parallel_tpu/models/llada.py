@@ -82,6 +82,9 @@ class LLaDAConfig:
     input_emb_norm: bool = False
     scale_logits: bool = False
     attention_layer_norm: bool = False        # q/k norm (unused by 8B ckpts)
+    init_fn: str = "normal"                   # "normal" | "mitchell" | "fan_in" | "full_megatron"
+    init_std: float = 0.02
+    init_cutoff_factor: Optional[float] = None
     mask_token_id: int = 126336
     eos_token_id: int = 126081
     pad_token_id: int = 126081
@@ -156,21 +159,60 @@ class LLaDAConfig:
 
 
 def init_llada_params(key: jax.Array, cfg: LLaDAConfig) -> Dict[str, Any]:
-    """Initialize a parameter pytree (normal(0.02) init, the reference default
-    ``init_fn=normal`` path of ``modeling_llada.py:80-155``).
+    """Initialize a parameter pytree.
 
+    Init schemes mirror ``init_weights`` (``modeling_llada.py:80-155``):
+    ``normal`` (std=init_std, optional truncation cutoff, residual outputs
+    scaled by ``1/sqrt(2*n_layers)``), ``mitchell`` (``1/sqrt(d_in)`` with
+    per-layer decay), ``fan_in``, and ``full_megatron`` (role-keyed stds).
     Block parameters are stacked on a leading ``[n_layers, ...]`` axis.
     """
     cfg.validate()
     d, h = cfg.d_model, cfg.hidden_size
     kvd = cfg.effective_n_kv_heads * cfg.head_dim
     L = cfg.n_layers
-    std = 0.02
     keys = jax.random.split(key, 8)
     pd = cfg.param_dtype
+    std0 = cfg.init_std
+    resid_div = math.sqrt(2 * L)
 
-    def nrm(k, shape):
-        return (std * jax.random.truncated_normal(k, -3, 3, shape)).astype(pd)
+    def trunc(k, shape, std, cutoff):
+        if cutoff is None:
+            return (std * jax.random.normal(k, shape)).astype(pd)
+        return (std * jax.random.truncated_normal(k, -cutoff, cutoff,
+                                                  shape)).astype(pd)
+
+    def nrm(k, shape, role: str = "in"):
+        """role: in | out_attn | out_resid | emb | final.
+
+        ``out_resid`` is the block ``ff_out`` (the only ``_is_residual``
+        module, ``modeling_llada.py:574``); under ``normal`` init it gets the
+        extra ``1/sqrt(2*n_layers)`` scaling (``:153-155``); under
+        ``full_megatron`` both out roles share the scaled std.
+        """
+        d_in = shape[-2] if len(shape) >= 2 else d
+        if cfg.init_fn == "normal":
+            w = trunc(k, shape, std0, cfg.init_cutoff_factor)
+            if role == "out_resid":
+                w = w / resid_div
+            return w.astype(pd)
+        if cfg.init_fn == "mitchell":
+            std = 1.0 / math.sqrt(d_in)
+            w = trunc(k, shape, std, 3.0)
+            if role in ("out_attn", "out_resid") and len(shape) == 3:
+                # per-layer decay 1/sqrt(2*(layer_id+1)) (modeling_llada.py:107-110)
+                decay = 1.0 / jnp.sqrt(2.0 * (jnp.arange(L) + 1.0))
+                w = (w * decay[:, None, None].astype(w.dtype))
+            return w.astype(pd)
+        if cfg.init_fn == "fan_in":
+            return trunc(k, shape, 1.0 / math.sqrt(d_in), None)
+        if cfg.init_fn == "full_megatron":
+            cut = cfg.init_cutoff_factor if cfg.init_cutoff_factor else 3.0
+            std = {"in": std0, "out_attn": std0 / resid_div,
+                   "out_resid": std0 / resid_div, "emb": std0,
+                   "final": d ** -0.5}[role]
+            return trunc(k, shape, std, cut)
+        raise ValueError(f"unknown init_fn: {cfg.init_fn}")
 
     if cfg.block_type == "llama":
         blocks = {
@@ -179,10 +221,10 @@ def init_llada_params(key: jax.Array, cfg: LLaDAConfig) -> Dict[str, Any]:
             "q_proj": nrm(keys[1], (L, d, d)),
             "k_proj": nrm(keys[2], (L, d, kvd)),
             "v_proj": nrm(keys[3], (L, d, kvd)),
-            "attn_out": nrm(keys[4], (L, d, d)),
+            "attn_out": nrm(keys[4], (L, d, d), "out_attn"),
             "ff_proj": nrm(keys[5], (L, d, h)),
             "up_proj": nrm(keys[6], (L, d, h)),
-            "ff_out": nrm(keys[7], (L, h, d)),
+            "ff_out": nrm(keys[7], (L, h, d), "out_resid"),
         }
         if cfg.include_qkv_bias:
             blocks["q_bias"] = jnp.zeros((L, d), pd)
@@ -195,9 +237,9 @@ def init_llada_params(key: jax.Array, cfg: LLaDAConfig) -> Dict[str, Any]:
             "attn_norm": jnp.ones((L, d), pd),
             "ff_norm": jnp.ones((L, d), pd),
             "att_proj": nrm(keys[1], (L, d, d + 2 * kvd)),
-            "attn_out": nrm(keys[4], (L, d, d)),
+            "attn_out": nrm(keys[4], (L, d, d), "out_attn"),
             "ff_proj": nrm(keys[5], (L, d, h)),
-            "ff_out": nrm(keys[7], (L, ff_out_in, d)),
+            "ff_out": nrm(keys[7], (L, ff_out_in, d), "out_resid"),
         }
         if cfg.include_qkv_bias:
             blocks["att_proj_bias"] = jnp.zeros((L, d + 2 * kvd), pd)
@@ -205,12 +247,13 @@ def init_llada_params(key: jax.Array, cfg: LLaDAConfig) -> Dict[str, Any]:
         raise ValueError(f"unknown block_type: {cfg.block_type}")
 
     params: Dict[str, Any] = {
-        "wte": nrm(keys[0], (cfg.emb_size, d)),
+        "wte": nrm(keys[0], (cfg.emb_size, d), "emb"),
         "ln_f": jnp.ones((d,), pd),
         "blocks": blocks,
     }
     if not cfg.weight_tying:
-        params["head"] = nrm(jax.random.split(keys[0])[1], (d, cfg.emb_size))
+        params["head"] = nrm(jax.random.split(keys[0])[1], (d, cfg.emb_size),
+                             "final")
     return params
 
 

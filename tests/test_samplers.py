@@ -354,6 +354,35 @@ def test_mmu_generate_matches_reference_loop(model):
     assert not np.any(got == MASK)
 
 
+def test_baseline_config1_256px_edit_fp32_cpu():
+    """BASELINE.json config #1: 256x256 edit, timesteps=8, text_steps=16,
+    cfg=0, fp32 CPU — the real token space (full 134548 vocab, 16x16 grid)
+    on a thin backbone."""
+    T = tk.TOKENS_A
+    cfg = LLaDAConfig.tiny(d_model=32, n_heads=2, n_kv_heads=2, n_layers=1,
+                           mlp_hidden_size=64, vocab_size=T.full_vocab_size,
+                           mask_token_id=T.mask)
+    params = init_llada_params(jax.random.key(11), cfg)
+    _, _, gh, gw = tk.calculate_vq_params(256, 256, 16)
+    assert (gh, gw) == (16, 16)
+    prompt = list(range(1000, 1016))
+    in_img = [T.vq_offset + 3] * (gh * (gw + 1))
+    con = prompt[:-1] + [T.boi] + in_img + [T.eoi] + prompt[-1:]
+    ids, lay = tk.assemble_ti2ti_sequence(con, 32, gh, gw, [T.answer_end])
+    opts = TI2TIOptions(text_steps=16, timesteps=8, temperature=0.0,
+                        text_temperature=0.0, cfg_scale=0.0, cfg_img=0.0)
+    fin, codes = generate_ti2ti(params, cfg, jnp.asarray(ids)[None], lay,
+                                opts, key=None)
+    f = np.asarray(fin)[0]
+    # prompt + input image untouched; text fully decoded into text vocab
+    assert np.array_equal(f[:lay.code_start], ids[:lay.code_start])
+    text = f[lay.text_start:lay.text_end]
+    assert not np.any(text == T.mask)
+    # output image slots are VQ tokens or (for the held-back slot) MASK->fill
+    c = np.asarray(codes)[0]
+    assert c.shape == (256,) and c.min() >= 0 and c.max() < T.codebook_size
+
+
 def test_t2i_generate_shape_and_fill(model):
     cfg, params, fwd = model
     n_vq, plen = 6, 5
