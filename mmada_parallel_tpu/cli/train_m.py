@@ -26,10 +26,34 @@ DEFAULTS = {
         "min_masking_rate": 1e-3, "cond_dropout_prob": 0.1,
         "warmup_steps": 100, "scheduler": "cosine",
         "save_every": 500, "log_every": 10, "seed": 0,
+        "generate_every": 0,   # >0: periodic validation generation
     },
     "mesh": {"fsdp": 1, "tensor": 1},
     "tiny_debug": False,
 }
+
+
+def _validate(params, mcfg, vq_params, vq_cfg, tokenizer, sample, cfg,
+              step):
+    """Generate from one validation sample and save the result
+    (the reference's ``generate_interleave`` wandb table,
+    ``train_interleave.py:986-1169``, minus the wandb sink)."""
+    import os as _os
+    from mmada_parallel_tpu.pipeline import InterleavePipeline
+    from mmada_parallel_tpu.samplers.interleave import InterleaveOptions
+    pipe = InterleavePipeline(
+        mcfg, params, vq_cfg, vq_params, tokenizer,
+        num_vq_tokens=cfg.model.mmada.num_vq_tokens,
+        max_seq_length=cfg.dataset.preprocessing.max_seq_length,
+        resolution=cfg.dataset.preprocessing.resolution)
+    opts = InterleaveOptions(text_steps=32, image_steps=8)
+    img, text, _ = pipe(sample["caption"], sample["image"], opts, seed=step)
+    out = _os.path.join(cfg.output_dir, "validation")
+    _os.makedirs(out, exist_ok=True)
+    img.save(_os.path.join(out, f"step{step:07d}.png"))
+    with open(_os.path.join(out, f"step{step:07d}.txt"), "w") as f:
+        f.write(text if isinstance(text, str) else str(text))
+    print(f"[validate] step {step}: saved validation sample")
 
 
 def main(argv=None):
@@ -76,8 +100,9 @@ def main(argv=None):
 
     # --- models ---
     if cfg.tiny_debug or cfg.checkpoint is None:
-        mcfg = LLaDAConfig.tiny(vocab_size=TOKENS_M.full_vocab_size
-                                if not cfg.tiny_debug else 1024,
+        # tiny width, REAL token space — the full M vocab embedding at
+        # d_model 64 is ~35 MB, cheap enough for smoke runs
+        mcfg = LLaDAConfig.tiny(vocab_size=TOKENS_M.full_vocab_size,
                                 mask_token_id=TOKENS_M.mask)
         params = init_llada_params(jax.random.key(tr.seed), mcfg)
         from transformers import AutoTokenizer
@@ -169,7 +194,7 @@ def main(argv=None):
                     cond_dropout_prob=tr.cond_dropout_prob,
                     output_image_labels=np.asarray(img_lab))
             else:  # tiny debug path without a tokenizer
-                seq = np.concatenate([codes_in % 1000, np.asarray(noisy_img),
+                seq = np.concatenate([codes_in, np.asarray(noisy_img),
                                       np.asarray(noisy_txt)], 1)
                 labels = np.concatenate(
                     [np.full_like(codes_in, -100), np.asarray(img_lab),
@@ -192,6 +217,11 @@ def main(argv=None):
                 print(f"step {global_step}: {logger}")
             if global_step % tr.save_every == 0:
                 mngr.save(global_step, state, {"step": global_step})
+            if (tr.generate_every and tokenizer is not None
+                    and global_step % tr.generate_every == 0):
+                # periodic validation generation (train_interleave.py:950-964)
+                _validate(state.params, mcfg, vq_params, vq_cfg, tokenizer,
+                          group[0], cfg, global_step)
             if global_step >= tr.max_train_steps:
                 break
     mngr.save(global_step, state, {"step": global_step})

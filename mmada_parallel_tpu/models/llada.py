@@ -528,11 +528,12 @@ def llada_hidden_with_cache(
         q = q.reshape(B, L, nh, hd)
         k = k.reshape(B, L, nkv, hd)
         v = v.reshape(B, L, nkv, hd)
-        # the cache stores PRE-rope k (rope re-applied per use, as the
-        # reference caches pre-rope projections and applies rope with
-        # position subsets, modeling_llada.py:716-722)
-        k_cache, v_cache = k, v
         qr, kr = _apply_rope(q, k, sin, cos, cfg.rope_full_precision)
+        # the cache stores POST-rope k: rope depends only on the absolute
+        # position, so partial steps need to rope only the recomputed
+        # positions instead of the whole cache every layer (the reference
+        # re-applies rope per use, modeling_llada.py:716-722 — pure cost)
+        k_cache, v_cache = kr, v
         att = dot_product_attention(qr, kr, v, impl=cfg.attention_impl)
         x = x + att.reshape(B, L, nh * hd) @ lp["attn_out"].astype(cdt)
         h = _rms_norm(x, lp["ff_norm"], cfg.rms_norm_eps, gemma)
@@ -578,12 +579,18 @@ def llada_hidden_partial(
         c = cos_sel[:, :, None, :].astype(tf.dtype)
         return (tf * c + _rotate_half(tf) * s).astype(og)
 
-    def rope_full(t):
-        og = t.dtype
-        tf = t.astype(jnp.float32) if cfg.rope_full_precision else t
-        s = sin_full[None, :, None, :].astype(tf.dtype)
-        c = cos_full[None, :, None, :].astype(tf.dtype)
-        return (tf * c + _rotate_half(tf) * s).astype(og)
+    # TPU scatters serialize; express the cache update as one small int
+    # scatter ([B, L]) plus per-layer GATHER + select, which vectorize.
+    bidx = jnp.arange(B)[:, None]
+    inv = jnp.zeros((B, L), jnp.int32).at[bidx, sel_pos].set(
+        jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), (B, n)))
+    is_sel = jnp.zeros((B, L), bool).at[bidx, sel_pos].set(True)
+
+    def merge(new_compact, cached):
+        # new_compact [B, n, KV, hd]; gather to [B, L, KV, hd] then select
+        expanded = jnp.take_along_axis(
+            new_compact, inv[:, :, None, None], axis=1, mode="clip")
+        return jnp.where(is_sel[:, :, None, None], expanded, cached)
 
     def body(carry, xs):
         x = carry
@@ -592,14 +599,13 @@ def llada_hidden_partial(
         q = (h @ lp["q_proj"].astype(cdt)).reshape(B, n, nh, hd)
         k_new = (h @ lp["k_proj"].astype(cdt)).reshape(B, n, nkv, hd)
         v_new = (h @ lp["v_proj"].astype(cdt)).reshape(B, n, nkv, hd)
-        # scatter the recomputed k/v into the cache at sel positions
-        bidx = jnp.arange(B)[:, None]
-        k_full = layer_cache["k"].at[bidx, sel_pos].set(k_new)
-        v_full = layer_cache["v"].at[bidx, sel_pos].set(v_new)
-
         qr = rope_sel(q)
-        kr = rope_full(k_full)
-        att = dot_product_attention(qr, kr, v_full, impl=cfg.attention_impl)
+        kr_new = rope_sel(k_new)
+        k_full = merge(kr_new, layer_cache["k"])
+        v_full = merge(v_new, layer_cache["v"])
+
+        att = dot_product_attention(qr, k_full, v_full,
+                                    impl=cfg.attention_impl)
         x = x + att.reshape(B, n, nh * hd) @ lp["attn_out"].astype(cdt)
         h = _rms_norm(x, lp["ff_norm"], cfg.rms_norm_eps, gemma)
         gate = jax.nn.silu(h @ lp["ff_proj"].astype(cdt))

@@ -227,10 +227,15 @@ def generate_image_cached(
         h_sel, cache = llada_hidden_partial(params, cfg, sel_ids, sel_pos,
                                             cache)
         vq_sel = llada_head(params, cfg, h_sel, vocab_slice=(tvs, cb))
-        idx = jnp.broadcast_to(sel_slot[..., None], vq_sel.shape)
-        vq = jnp.put_along_axis(vq_logits, idx,
-                                vq_sel.astype(vq_logits.dtype), axis=1,
-                                inplace=False)
+        # gather+select instead of a large scatter (TPU scatters serialize)
+        bidx = jnp.arange(B)[:, None]
+        inv = jnp.zeros((B, n_vq), jnp.int32).at[bidx, sel_slot].set(
+            jnp.broadcast_to(jnp.arange(n_compute, dtype=jnp.int32),
+                             sel_slot.shape))
+        is_sel = jnp.zeros((B, n_vq), bool).at[bidx, sel_slot].set(True)
+        expanded = jnp.take_along_axis(vq_sel.astype(vq_logits.dtype),
+                                       inv[:, :, None], axis=1, mode="clip")
+        vq = jnp.where(is_sel[:, :, None], expanded, vq_logits)
         return vq, cache
 
     def step_fn(carry, xs):
