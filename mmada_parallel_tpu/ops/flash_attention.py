@@ -37,7 +37,7 @@ NEG_INF = -1e30
 
 
 def _kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, m_scr, l_scr, acc_scr,
-            *, scale: float, n_k: int):
+            *, scale: float, n_k: int, block_k: int, kv_len: int):
     ki = pl.program_id(3)
 
     @pl.when(ki == 0)
@@ -55,6 +55,11 @@ def _kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, m_scr, l_scr, acc_scr,
         preferred_element_type=jnp.float32) * scale      # [BQ, BK]
     if bias_ref is not None:
         s = s + bias_ref[0, 0, :, :].astype(jnp.float32)
+    elif kv_len % block_k:
+        # key padding handled in-kernel (no HBM bias materialization)
+        col = ki * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, s.shape, dimension=1)
+        s = jnp.where(col < kv_len, s, NEG_INF)
 
     m_prev = m_scr[:]                           # [BQ, 1]
     m_cur = jnp.max(s, axis=1, keepdims=True)
@@ -109,13 +114,13 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     Lp_k = -(-Lk // block_k) * block_k
 
     needs_pad = Lp_q != Lq or Lp_k != Lk
-    if needs_pad or (bias is not None):
-        # fold key padding into the bias; query padding rows are garbage we
-        # slice off at the end
-        if bias is None:
-            bias = jnp.zeros((B, 1, Lq, Lk), jnp.float32)
+    if bias is not None and needs_pad:
+        # fold key padding into the user bias; query padding rows are
+        # garbage we slice off at the end
         bias = jnp.pad(bias, ((0, 0), (0, 0), (0, Lp_q - Lq), (0, Lp_k - Lk)),
                        constant_values=NEG_INF)
+    # without a user bias, key padding is masked in-kernel by an iota
+    # compare against the true kv length — no [Lq, Lk] bias materialization
     if needs_pad:
         q = jnp.pad(q, ((0, 0), (0, Lp_q - Lq), (0, 0), (0, 0)))
         k = jnp.pad(k, ((0, 0), (0, Lp_k - Lk), (0, 0), (0, 0)))
@@ -142,12 +147,13 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array,
         in_specs.append(pl.BlockSpec((1, 1, block_q, block_k),
                                      lambda b, h, qi, ki: (b, 0, qi, ki)))
         args.append(bias)
-        kernel = functools.partial(_kernel, scale=scale, n_k=n_k)
+        kernel = functools.partial(_kernel, scale=scale, n_k=n_k,
+                                   block_k=block_k, kv_len=Lk)
     else:
         kernel = functools.partial(
             lambda qr, kr, vr, o, m, l, a, **kw: _kernel(
                 qr, kr, vr, None, o, m, l, a, **kw),
-            scale=scale, n_k=n_k)
+            scale=scale, n_k=n_k, block_k=block_k, kv_len=Lk)
 
     out = pl.pallas_call(
         kernel,

@@ -165,6 +165,15 @@ def make_ti2ti_step(
                  if need_ut else None)
     ui_prefix = (jnp.asarray(uncond_image_prefix, jnp.int32)
                  if need_ui else None)
+    # A nonzero scale without its prefix contributes nothing in the
+    # reference (the "uncond" clone equals the cond sequence,
+    # parallel_generator.py:246-258); zero the scale so the formula matches.
+    if (opts.cfg_scale != 0.0 and not need_ut) or \
+            (opts.cfg_img != 0.0 and not need_ui):
+        opts = dataclasses.replace(
+            opts,
+            cfg_scale=opts.cfg_scale if need_ut else 0.0,
+            cfg_img=opts.cfg_img if need_ui else 0.0)
 
     def cond_heads(ids):
         """Conditional forward -> (text full-vocab logits, image codebook logits)."""
