@@ -91,6 +91,84 @@ class PreTokenizer:
         return done
 
 
+def parquet_items(dataset_path: str, task_type: str,
+                  target_size: int = 512):
+    """Yield (caption, images) pre-tokenizer items from an HF arrow/parquet
+    dataset, by task type.
+
+    Mirrors ``pre_tokenizer/pre_tokenize.py:44-140`` (``ParquetItemProcessor``):
+    field-name fallbacks per task (edit/ti2ti: input+output image pairs;
+    t2i: one image; mmu / mmu_multi_image: context image(s)), caption from
+    the first present of input_text/prompt/caption/instruction/text.
+    """
+    import io as _io
+    from PIL import Image
+    from datasets import load_dataset, load_from_disk
+
+    try:
+        ds = load_from_disk(dataset_path)
+    except Exception:
+        ds = load_dataset(dataset_path, split="train")
+
+    def load_img(field):
+        if hasattr(field, "convert"):
+            return field.convert("RGB")
+        if isinstance(field, (bytes, bytearray)):
+            return Image.open(_io.BytesIO(field)).convert("RGB")
+        if isinstance(field, dict) and "bytes" in field:
+            return Image.open(_io.BytesIO(field["bytes"])).convert("RGB")
+        if isinstance(field, str):
+            return Image.open(field).convert("RGB")
+        raise ValueError(f"unsupported image field type: {type(field)}")
+
+    def first_image(item, keys):
+        for k in keys:
+            if item.get(k) is not None:
+                try:
+                    return load_img(item[k])
+                except Exception:
+                    continue
+        return None
+
+    for item in ds:
+        if task_type in ("edit", "ti2ti"):
+            a = first_image(item, ["input_image", "input_image_bytes", "image"])
+            b = first_image(item, ["output_image", "output_image_bytes",
+                                   "edited_image"])
+            if a is None or b is None:
+                continue
+            images = [a, b]
+        elif task_type == "t2i":
+            img = first_image(item, ["output_image", "image",
+                                     "output_image_bytes", "image_bytes"])
+            if img is None:
+                continue
+            images = [img]
+        elif task_type in ("mmu", "mmu_single_image"):
+            img = first_image(item, ["input_image", "image",
+                                     "input_image_bytes", "image_bytes"])
+            if img is None:
+                continue
+            images = [img]
+        elif task_type == "mmu_multi_image":
+            lst = next((item[k] for k in ["image_list", "images",
+                                          "input_images"] if item.get(k)),
+                       None)
+            if not lst:
+                continue
+            images = [load_img(e["image"] if isinstance(e, dict) else e)
+                      for e in lst]
+        else:
+            raise ValueError(f"unsupported task type: {task_type}")
+
+        caption = next((item[k] for k in ("input_text", "prompt", "caption",
+                                          "instruction", "text")
+                        if item.get(k) is not None), None)
+        if caption is None:
+            continue
+        yield {"caption": caption, "images": images, "task_type": task_type}
+
+
 def concat_records(out_dir: str, num_shards: int,
                    output: str = "all_records.json") -> str:
     """Merge shard jsonl records (``pre_tokenizer/concat_record.py:16-55``)."""
