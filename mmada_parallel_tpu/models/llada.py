@@ -122,7 +122,7 @@ class LLaDAConfig:
 
     def validate(self) -> None:
         if self.d_model % self.n_heads:
-            raise ValueError("d_model must divide n_heads")
+            raise ValueError("d_model must be a multiple of n_heads")
         if self.n_heads % self.effective_n_kv_heads:
             raise ValueError("n_heads must be a multiple of n_kv_heads")
 
@@ -424,8 +424,12 @@ def llada_hidden(
              "one_in_three": 3, "one_in_four": 4}.get(cfg.remat)
     if group is None:
         raise ValueError(f"unknown remat strategy: {cfg.remat}")
+    if group > 1 and cfg.n_layers % group != 0:
+        raise ValueError(
+            f"remat={cfg.remat!r} needs n_layers divisible by {group} "
+            f"(got {cfg.n_layers}); use 'whole_layer' instead")
 
-    if group <= 1 or cfg.n_layers % group != 0:
+    if group <= 1:
         if group == 1:
             body_fn = jax.checkpoint(body_fn)
 

@@ -168,15 +168,22 @@ def lfq_losses(z: jax.Array, beta: float = 0.25) -> Dict[str, jax.Array]:
     return {"entropy_loss": entropy - mean_entropy, "commit_loss": commit}
 
 
-def lfq_codebook_entry(indices: jax.Array, z_channels: int) -> jax.Array:
-    """Indices ``[B, N]`` -> ±1 latents ``[B, sqrt(N), sqrt(N), C]``
-    (``modeling_magvitv2.py:206-219``)."""
+def lfq_codebook_entry(indices: jax.Array, z_channels: int,
+                       shape: Optional[Tuple[int, int]] = None) -> jax.Array:
+    """Indices ``[B, N]`` -> ±1 latents ``[B, h, w, C]``
+    (``modeling_magvitv2.py:206-219``).  ``shape=(h, w)`` overrides the
+    default square grid ``h = w = sqrt(N)`` for non-square images."""
     B, N = indices.shape
-    hw = int(round(N ** 0.5))
+    if shape is None:
+        h = w = int(round(N ** 0.5))
+    else:
+        h, w = shape
+    if h * w != N:
+        raise ValueError(f"grid {h}x{w} != {N} codes")
     powers = jnp.asarray(2 ** np.arange(z_channels - 1, -1, -1), jnp.int32)
     bits = (indices[..., None] // powers) % 2
     z_q = bits.astype(jnp.float32) * 2.0 - 1.0
-    return z_q.reshape(B, hw, hw, z_channels)
+    return z_q.reshape(B, h, w, z_channels)
 
 
 # ---------------------------------------------------------------------------
@@ -235,11 +242,5 @@ def magvit_decode_code(params: Dict[str, Any], cfg: MagvitConfig,
                        shape: Optional[Tuple[int, int]] = None) -> jax.Array:
     """Indices ``[B, N]`` -> pixels ``[B, H, W, 3]``
     (``modeling_magvitv2.py:430-433``)."""
-    if shape is not None:
-        h, w = shape
-        B, N = indices.shape
-        z_q = lfq_codebook_entry(indices, cfg.z_channels)
-        z_q = z_q.reshape(B, h, w, cfg.z_channels)
-    else:
-        z_q = lfq_codebook_entry(indices, cfg.z_channels)
+    z_q = lfq_codebook_entry(indices, cfg.z_channels, shape)
     return _decoder(params["decoder"], cfg, z_q)

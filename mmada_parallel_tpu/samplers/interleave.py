@@ -100,7 +100,7 @@ def interleave_generate(
     def step_fn(carry, xs):
         ids, last_sampled, k = carry
         step_idx, budget = xs
-        keys = jax.random.split(k, 4) if k is not None else (None,) * 4
+        keys = jax.random.split(k, 5) if k is not None else (None,) * 5
         next_key = keys[0] if k is not None else None
 
         uncond_ids = jnp.concatenate(
@@ -120,7 +120,8 @@ def interleave_generate(
         if opts.remasking == "low_confidence":
             conf = S.token_confidence(guided, x0)
         else:
-            conf = jax.random.uniform(keys[1], x0.shape)
+            # independent stream from the sampling noise (keys[1])
+            conf = jax.random.uniform(keys[4], x0.shape)
         x0 = jnp.where(masked, x0, cur)
         conf = jnp.where(masked, conf, S.NEG_INF)
         transfer = S.topk_transfer_mask(conf, budget)

@@ -165,10 +165,16 @@ def mmu_generate_fast(
             logits = uncond + (opts.cfg_scale + 1) * (cond - uncond)
         else:
             logits = llada_forward(params, cfg, x, attn_mask)
+        if k is not None:
+            k_noise, k_rand = jax.random.split(k)
+        else:
+            k_noise = k_rand = None
         x0 = S.gumbel_argmax(logits, opts.temperature,
-                             k if (k is not None and opts.temperature != 0)
-                             else None)
-        conf = S.token_confidence(logits, x0)
+                             k_noise if opts.temperature != 0 else None)
+        if opts.remasking == "low_confidence":
+            conf = S.token_confidence(logits, x0)
+        else:
+            conf = jax.random.uniform(k_rand, x0.shape)
         conf = jnp.where(pos >= bend, S.NEG_INF, conf)
         x0 = jnp.where(mask_index, x0, x)
         conf = jnp.where(mask_index, conf, S.NEG_INF)

@@ -147,9 +147,6 @@ def make_ti2ti_step(
 
     img_pos = jnp.asarray(layout.image_positions(), dtype=jnp.int32)
     ts, te = layout.text_start, layout.text_end
-    # answer span: everything the heads consume lies in [code_start, total)
-    ans_start = layout.code_start
-    ans_len = layout.total_len - ans_start
     tvs, cb = opts.text_vocab_size, opts.codebook_size
 
     steps = opts.text_steps
@@ -286,9 +283,14 @@ def generate_ti2ti(
 
 def decode_text(final_ids: np.ndarray, layout: SequenceLayout,
                 opts: TI2TIOptions, tokenizer=None):
-    """Host-side text extraction (``parallel_generator.py:347-352``)."""
-    text = [int(t) for t in
-            np.asarray(final_ids)[layout.text_start:layout.text_end]
+    """Host-side text extraction (``parallel_generator.py:347-352``).
+
+    Accepts a single row ``[L]`` or a batch ``[B, L]`` (first row used).
+    """
+    arr = np.asarray(final_ids)
+    if arr.ndim == 2:
+        arr = arr[0]
+    text = [int(t) for t in arr[layout.text_start:layout.text_end]
             if int(t) != opts.mask_token]
     if tokenizer is None:
         return text

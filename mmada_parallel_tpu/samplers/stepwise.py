@@ -187,8 +187,13 @@ def t2i_generate_stepwise(
     T = opts.timesteps
     sched = S.get_mask_schedule(opts.schedule)
     use_cfg = opts.guidance_scale > 0 and uncond_input_ids is not None
-    un_prefix = (jnp.asarray(uncond_input_ids)[None, :prompt_len + 1]
-                 if use_cfg else None)
+    if use_cfg:
+        un = jnp.asarray(uncond_input_ids)
+        if un.ndim == 1:
+            un = un[None]
+        un_prefix = un[:, :prompt_len + 1]
+    else:
+        un_prefix = None
 
     @jax.jit
     def vq_logits(ids):

@@ -137,6 +137,16 @@ def test_pararl_rollout_and_loss(model):
     assert np.isfinite(gn) and gn > 0
 
 
+def test_decode_text_accepts_1d_and_2d(model):
+    from mmada_parallel_tpu.samplers.parallel_ti2ti import decode_text
+    ids, lay = _req()
+    arr = np.asarray(ids).copy()
+    arr[lay.text_start:lay.text_end] = 42
+    opts = _opts()
+    assert decode_text(arr, lay, opts) == [42] * 8
+    assert decode_text(arr[None, :], lay, opts) == [42] * 8
+
+
 def test_reward_spec_combines():
     spec = RewardSpec(fns=[lambda f, c, m: jnp.ones(2),
                            lambda f, c, m: jnp.full(2, 2.0)],

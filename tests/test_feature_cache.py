@@ -106,6 +106,24 @@ def test_cached_sampler_runs_and_matches_on_always_refresh(model):
     assert np.asarray(codes).min() >= 0 and np.asarray(codes).max() < CB
 
 
+def test_cached_sampler_bf16_compute_dtype(model):
+    """Regression: with bf16 compute the lax.cond branches must still agree
+    on the carried logits dtype."""
+    cfg = LLaDAConfig.tiny(d_model=32, n_heads=2, n_kv_heads=2, n_layers=1,
+                           mlp_hidden_size=64, vocab_size=TVS + CB,
+                           mask_token_id=MASK, compute_dtype=jnp.bfloat16)
+    params = init_llada_params(jax.random.key(8), cfg)
+    ids, lay = tk.assemble_ti2ti_sequence([5, 6], 0, 2, 3, [9], tokens=TOK)
+    opts = ImageGenOptions(timesteps=4, temperature=0.0, cfg_scale=0.0,
+                           use_cache=True, cache_ratio=0.5,
+                           refresh_interval=2, warmup_ratio=0.3,
+                           text_vocab_size=TVS, codebook_size=CB,
+                           mask_token=MASK)
+    fin, codes = generate_image_cached(params, cfg, jnp.asarray(ids)[None],
+                                       lay, opts, key=None)
+    assert np.asarray(codes).max() < CB
+
+
 def test_cached_sampler_rejects_cfg(model):
     cfg, params = model
     ids, lay = tk.assemble_ti2ti_sequence([5], 0, 2, 3, [9], tokens=TOK)
