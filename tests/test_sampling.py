@@ -97,6 +97,24 @@ def test_token_confidence_matches_softmax_gather():
     np.testing.assert_allclose(got, want, rtol=2e-4)
 
 
+def test_token_confidence_f64_path():
+    """The reference computes confidence at f64 (parallel_generator.py:193);
+    on CPU with x64 enabled the same path is available here."""
+    from jax.experimental import enable_x64
+    rng = np.random.default_rng(7)
+    logits = rng.normal(size=(1, 4, 9)).astype(np.float64)
+    chosen = rng.integers(0, 9, size=(1, 4))
+    with enable_x64():
+        got = np.asarray(S.token_confidence(jnp.asarray(logits),
+                                            jnp.asarray(chosen),
+                                            dtype=jnp.float64))
+        assert got.dtype == np.float64
+    e = np.exp(logits - logits.max(-1, keepdims=True))
+    p = e / e.sum(-1, keepdims=True)
+    want = np.take_along_axis(p, chosen[..., None], -1)[..., 0]
+    np.testing.assert_allclose(got, want, rtol=1e-12)
+
+
 def test_image_step_mask_matches_linspace_membership():
     text_steps, timesteps = 128, 64
     mask = np.asarray(S.image_step_mask(text_steps, timesteps))

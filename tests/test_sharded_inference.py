@@ -1,0 +1,63 @@
+"""Sharded inference: the fused samplers under a (data, fsdp, tensor) mesh
+must produce exactly the unsharded results (GSPMD inserts collectives; the
+math is unchanged)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from mmada_parallel_tpu import tokens as tk
+from mmada_parallel_tpu.models.llada import (LLaDAConfig, init_llada_params,
+                                             llada_forward, param_shardings)
+from mmada_parallel_tpu.parallel import (MeshConfig, make_mesh, shard_params,
+                                         batch_sharding)
+from mmada_parallel_tpu.samplers.parallel_ti2ti import (TI2TIOptions,
+                                                        generate_ti2ti)
+
+TVS, CB, MASK, NEWLINE = 256, 32, 250, 251
+TOK = tk.VariantATokens(mask=MASK, newline=NEWLINE, answer_start=252,
+                        answer_end=253, boi=254, eoi=255, uncondition=249,
+                        pad=248, text_vocab_size=TVS, codebook_size=CB)
+
+
+@pytest.fixture(scope="module")
+def setup(eight_devices):
+    cfg = LLaDAConfig.tiny(d_model=64, n_heads=4, n_kv_heads=4, n_layers=2,
+                           mlp_hidden_size=128, vocab_size=TVS + CB,
+                           mask_token_id=MASK)
+    params = init_llada_params(jax.random.key(2), cfg)
+    mesh = make_mesh(MeshConfig(data=2, fsdp=2, tensor=2),
+                     eight_devices)
+    sharded = shard_params(params, param_shardings(cfg), mesh)
+    return cfg, params, sharded, mesh
+
+
+def test_sharded_forward_matches_unsharded(setup):
+    cfg, params, sharded, mesh = setup
+    ids = jnp.asarray(np.random.default_rng(0).integers(0, 200, (4, 12)))
+    ref = np.asarray(llada_forward(params, cfg, ids))
+    ids_sh = jax.device_put(ids, batch_sharding(mesh))
+    got = np.asarray(jax.jit(lambda p, i: llada_forward(p, cfg, i))(
+        sharded, ids_sh))
+    np.testing.assert_allclose(ref, got, atol=2e-4, rtol=2e-3)
+
+
+def test_sharded_ti2ti_matches_unsharded(setup):
+    cfg, params, sharded, mesh = setup
+    ids, lay = tk.assemble_ti2ti_sequence([5, 6, 7], 8, 2, 3, [9],
+                                          tokens=TOK)
+    batch = jnp.asarray(np.stack([ids] * 4))
+    opts = TI2TIOptions(text_steps=4, timesteps=2, temperature=0.0,
+                        text_temperature=0.0, cfg_scale=0.0, cfg_img=2.0,
+                        text_vocab_size=TVS, codebook_size=CB,
+                        mask_token=MASK)
+    un = np.asarray([40, 41], np.int32)
+
+    run = lambda p, i: generate_ti2ti(p, cfg, i, lay, opts,
+                                      uncond_image_prefix=un, key=None)
+    ref_ids, ref_codes = run(params, batch)
+    got_ids, got_codes = jax.jit(run)(
+        sharded, jax.device_put(batch, batch_sharding(mesh)))
+    assert np.array_equal(np.asarray(ref_ids), np.asarray(got_ids))
+    assert np.array_equal(np.asarray(ref_codes), np.asarray(got_codes))
