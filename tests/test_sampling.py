@@ -100,11 +100,10 @@ def test_token_confidence_matches_softmax_gather():
 def test_token_confidence_f64_path():
     """The reference computes confidence at f64 (parallel_generator.py:193);
     on CPU with x64 enabled the same path is available here."""
-    from jax.experimental import enable_x64
     rng = np.random.default_rng(7)
     logits = rng.normal(size=(1, 4, 9)).astype(np.float64)
     chosen = rng.integers(0, 9, size=(1, 4))
-    with enable_x64():
+    with jax.enable_x64():
         got = np.asarray(S.token_confidence(jnp.asarray(logits),
                                             jnp.asarray(chosen),
                                             dtype=jnp.float64))
