@@ -37,7 +37,7 @@ def main():
     err = lambda *a: print(*a, file=sys.stderr, flush=True)
 
     # bench model: flagship width/vocab, reduced depth to fit one chip
-    BENCH_LAYERS = 4
+    BENCH_LAYERS = 8
     cfg = LLaDAConfig.llada_8b(n_layers=BENCH_LAYERS,
                                param_dtype=jnp.bfloat16,
                                compute_dtype=jnp.bfloat16)

@@ -1,0 +1,97 @@
+"""End-to-end pipeline tests (tiny models): image in -> tokens -> fused
+sampler -> decoded image + text out, for both variants."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from mmada_parallel_tpu import tokens as tk
+from mmada_parallel_tpu.models import LLaDAConfig, init_llada_params
+from mmada_parallel_tpu.models import amused_vq as AVQ
+from mmada_parallel_tpu.models import magvit2 as MVQ
+from mmada_parallel_tpu.pipeline import TI2TIPipeline, InterleavePipeline
+from mmada_parallel_tpu.samplers.parallel_ti2ti import TI2TIOptions
+from mmada_parallel_tpu.samplers.interleave import InterleaveOptions
+
+
+class FakeTok:
+    bos_token_id, eos_token_id = 1, 2
+
+    def __call__(self, t, **kw):
+        return {"input_ids": [1] + [10 + ord(c) % 80 for c in t[:8]] + [2]}
+
+    def decode(self, ids, **kw):
+        return " ".join(map(str, ids))
+
+
+@pytest.fixture(scope="module")
+def ti2ti_pipe():
+    acfg = AVQ.AmusedVQConfig.tiny()
+    vqp = AVQ.init_amused_vq_params(jax.random.key(0), acfg)
+    cfg = LLaDAConfig.tiny(vocab_size=tk.TOKENS_A.full_vocab_size)
+    params = init_llada_params(jax.random.key(1), cfg)
+    return TI2TIPipeline(cfg, params, acfg, vqp, FakeTok())
+
+
+def _img(size=32):
+    from PIL import Image
+    return Image.new("RGB", (size, size), (120, 80, 200))
+
+
+def test_ti2ti_pipeline_end_to_end(ti2ti_pipe):
+    opts = TI2TIOptions(text_steps=4, timesteps=2, temperature=0.0,
+                        text_temperature=0.0, cfg_scale=0.0, cfg_img=1.0)
+    out, text, info = ti2ti_pipe("add a hat", _img(), 32, 32, opts,
+                                 text_gen_length=8, seed=7)
+    assert out.size == (32, 32)
+    assert isinstance(text, str) and len(text) > 0
+    assert info["codes"].shape == (1, (32 // ti2ti_pipe.vq_cfg.scale) ** 2)
+    # determinism: same seed -> same codes
+    out2, text2, info2 = ti2ti_pipe("add a hat", _img(), 32, 32, opts,
+                                    text_gen_length=8, seed=7)
+    assert np.array_equal(info["codes"], info2["codes"])
+    assert text == text2
+
+
+def test_ti2ti_pipeline_painting_mode(ti2ti_pipe):
+    opts = TI2TIOptions(text_steps=4, timesteps=2, temperature=0.0,
+                        text_temperature=0.0, cfg_scale=0.0, cfg_img=0.0)
+    out, text, info = ti2ti_pipe("fill", _img(), 32, 32, opts,
+                                 text_gen_length=8, seed=3,
+                                 painting_mode="inpainting",
+                                 mask_h_ratio=0.5, mask_w_ratio=0.5)
+    assert out.size == (32, 32)
+
+
+def test_ti2ti_encode_img_with_breaks_layout(ti2ti_pipe):
+    toks = ti2ti_pipe.encode_img_with_breaks(_img())
+    T = tk.TOKENS_A
+    g = 32 // ti2ti_pipe.vq_cfg.scale
+    assert toks[0] == T.boi and toks[-1] == T.eoi
+    assert len(toks) == 2 + g * (g + 1)
+    # newline after each row
+    span = toks[1:-1]
+    assert all(span[(i + 1) * (g + 1) - 1] == T.newline for i in range(g))
+    # VQ tokens offset into image vocab
+    non_nl = [t for t in span if t != T.newline]
+    assert all(T.vq_offset <= t < T.vq_offset + T.codebook_size
+               for t in non_nl)
+
+
+def test_interleave_pipeline_end_to_end():
+    mcfg = MVQ.MagvitConfig.tiny()
+    mvp = MVQ.init_magvit_params(jax.random.key(2), mcfg)
+    TKM = tk.VariantMTokens(text_vocab_size=126464)
+    cfg2 = LLaDAConfig.tiny(vocab_size=TKM.full_vocab_size)
+    p2 = init_llada_params(jax.random.key(3), cfg2)
+    pipe = InterleavePipeline(cfg2, p2, mcfg, mvp, FakeTok(),
+                              num_vq_tokens=64, max_seq_length=8,
+                              resolution=16)
+    opts = InterleaveOptions(text_steps=4, image_steps=2, text_cfg=1.0,
+                             image_cfg=1.0, text_temperature=0.0,
+                             image_temperature=0.0)
+    img, text, info = pipe("make it red", _img(), opts, seed=5)
+    assert img.size == (16, 16)
+    assert info["codes"].shape == (1, 64)
+    assert (info["codes"] >= 0).all()
