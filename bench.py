@@ -13,6 +13,7 @@ Prints ONE JSON line on stdout; diagnostics go to stderr.
 """
 
 import json
+import os
 import sys
 import time
 
@@ -36,8 +37,12 @@ def main():
 
     err = lambda *a: print(*a, file=sys.stderr, flush=True)
 
-    # bench model: flagship width/vocab, reduced depth to fit one chip
-    BENCH_LAYERS = 8
+    # bench model: flagship width/vocab, reduced depth to fit one chip.
+    # 4 layers by default (remote compile time of the bigger program is
+    # erratic, 20s-10min); BENCH_LAYERS=8 measured 5.93s/edit vs 6.18s at 4
+    # (per-step fixed costs amortize with depth, so 4-layer extrapolation
+    # is the conservative one).
+    BENCH_LAYERS = int(os.environ.get("BENCH_LAYERS", "4"))
     cfg = LLaDAConfig.llada_8b(n_layers=BENCH_LAYERS,
                                param_dtype=jnp.bfloat16,
                                compute_dtype=jnp.bfloat16)
