@@ -69,6 +69,16 @@ def parse_overrides(args: Sequence[str]) -> Dict:
             raise ValueError(f"override must be key=value: {arg!r}")
         key, _, raw = arg.partition("=")
         value = yaml.safe_load(raw) if raw != "" else None
+        if isinstance(value, str):
+            # YAML 1.1 reads "1e-4" as a string (no dot before the
+            # exponent); users reasonably expect a float — match OmegaConf.
+            try:
+                value = int(value)
+            except ValueError:
+                try:
+                    value = float(value)
+                except ValueError:
+                    pass
         node = out
         parts = key.split(".")
         for p in parts[:-1]:
