@@ -124,7 +124,8 @@ def main(argv=None):
         return out["loss"], {"text_loss": out["text_loss"],
                              "image_loss": out["image_loss"]}
 
-    step = jax.jit(make_train_step(loss_fn, opt, accum_steps=args.accum_iter))
+    step = jax.jit(make_train_step(loss_fn, opt, accum_steps=args.accum_iter),
+                   donate_argnums=0)
 
     mngr = CheckpointManager(os.path.join(args.output_dir, "ckpt"),
                              max_to_keep=args.ckpt_max_keep)

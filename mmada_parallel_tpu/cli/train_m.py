@@ -41,11 +41,18 @@ def _validate(params, mcfg, vq_params, vq_cfg, tokenizer, sample, cfg,
     import os as _os
     from mmada_parallel_tpu.pipeline import InterleavePipeline
     from mmada_parallel_tpu.samplers.interleave import InterleaveOptions
-    pipe = InterleavePipeline(
-        mcfg, params, vq_cfg, vq_params, tokenizer,
-        num_vq_tokens=cfg.model.mmada.num_vq_tokens,
-        max_seq_length=cfg.dataset.preprocessing.max_seq_length,
-        resolution=cfg.dataset.preprocessing.resolution)
+    # build the pipeline once and keep its jit caches warm across calls;
+    # params are passed as a call argument so updating the attribute does
+    # not recompile
+    pipe = getattr(_validate, "_pipe", None)
+    if pipe is None:
+        pipe = InterleavePipeline(
+            mcfg, params, vq_cfg, vq_params, tokenizer,
+            num_vq_tokens=cfg.model.mmada.num_vq_tokens,
+            max_seq_length=cfg.dataset.preprocessing.max_seq_length,
+            resolution=cfg.dataset.preprocessing.resolution)
+        _validate._pipe = pipe
+    pipe.llada_params = params
     opts = InterleaveOptions(text_steps=32, image_steps=8)
     img, text, _ = pipe(sample["caption"], sample["image"], opts, seed=step)
     out = _os.path.join(cfg.output_dir, "validation")
@@ -143,7 +150,8 @@ def main(argv=None):
                              "image_loss": out["image_loss"]}
 
     step = jax.jit(make_train_step(
-        loss_fn, opt, accum_steps=tr.gradient_accumulation_steps))
+        loss_fn, opt, accum_steps=tr.gradient_accumulation_steps),
+        donate_argnums=0)
 
     mngr = CheckpointManager(os.path.join(cfg.output_dir, "ckpt"))
     restored, meta, last = mngr.restore(state)
@@ -175,7 +183,9 @@ def main(argv=None):
     global_step = int(state.step)
     t_end = time.time()
     while global_step < tr.max_train_steps:
+        epoch_steps = 0
         for group in batches():
+            epoch_steps += 1
             px_in = jnp.concatenate([jnp.asarray(g["pixels"]) for g in group])
             # samples carry in/out pairs; single-image shards use the same
             # image as input and target (t2i-style interleave warmup)
@@ -224,6 +234,11 @@ def main(argv=None):
                           group[0], cfg, global_step)
             if global_step >= tr.max_train_steps:
                 break
+        if epoch_steps == 0:
+            raise RuntimeError(
+                f"data stream produced no batches — check shards pattern "
+                f"{cfg.shards!r} (need >= batch x accum = "
+                f"{tr.batch_size * tr.gradient_accumulation_steps} samples)")
     mngr.save(global_step, state, {"step": global_step})
     mngr.wait()
     writer.close()

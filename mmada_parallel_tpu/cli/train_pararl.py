@@ -104,6 +104,10 @@ def main(argv=None):
         prompt_sets = [[5, 6, 7, 8], [9, 10, 11, 12]]
 
     gh = gw = args.grid
+    # right-pad prompts to a common length so every rollout shares one
+    # layout (and one compiled sampler)
+    plen = max(len(p) for p in prompt_sets)
+    prompt_sets = [list(p) + [T.pad] * (plen - len(p)) for p in prompt_sets]
     seqs = []
     for pr in prompt_sets:
         ids, lay = tk.assemble_ti2ti_sequence(pr, args.text_gen_length,
@@ -125,7 +129,7 @@ def main(argv=None):
                                     step_indices=sub_idx)
         return loss, metrics
 
-    step = jax.jit(make_train_step(loss_fn, opt))
+    step = jax.jit(make_train_step(loss_fn, opt), donate_argnums=0)
     rollout = jax.jit(lambda p, i, k: rollout_ti2ti(p, cfg, i, layout, opts, k))
 
     mngr = CheckpointManager(os.path.join(args.output_dir, "ckpt"))

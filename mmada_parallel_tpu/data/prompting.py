@@ -211,9 +211,13 @@ class UniversalPrompting:
         seqs, labels, masks = [], [], []
         for i in range(B):
             t = self._bos_eos(in_text[i])
+            # independent text/image condition dropout draws
+            # (train_interleave.py:699-703; image dropout zeroes the tokens)
             if self.rng.random() < cond_dropout_prob:
                 t = [bos, eos]
             img_in = input_image_ids[i]
+            if self.rng.random() < cond_dropout_prob:
+                img_in = np.zeros_like(img_in)
             max_text = msl
             if max_text >= len(t):
                 in_mask = [1] * (len(t) + 3 + N_in) + [0] * (max_text - len(t))

@@ -126,16 +126,22 @@ class PrefetchLoader:
         self._thread.start()
 
     def _work(self, schedule):
-        for idxs in schedule:
-            batch = self.store.gather(idxs, self.max_len, self.pad)
-            if self.postprocess is not None:
-                batch = self.postprocess(*batch)
-            self._q.put(batch)
-        self._q.put(None)
+        try:
+            for idxs in schedule:
+                batch = self.store.gather(idxs, self.max_len, self.pad)
+                if self.postprocess is not None:
+                    batch = self.postprocess(*batch)
+                self._q.put(batch)
+        except BaseException as e:  # propagate instead of hanging the consumer
+            self._q.put(e)
+        finally:
+            self._q.put(None)
 
     def __iter__(self) -> Iterator:
         while True:
             item = self._q.get()
             if item is None:
                 return
+            if isinstance(item, BaseException):
+                raise item
             yield item

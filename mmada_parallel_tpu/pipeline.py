@@ -116,7 +116,12 @@ class TI2TIPipeline:
             con_input, text_gen_length, gh, gw, end_ids,
             image_span_tokens=span, tokens=T)
 
-        run_key = (layout.total_len, opts)
+        # the cached closure captures the layout AND the CFG prefixes — all
+        # of them must key the cache or a later same-length request would
+        # silently reuse the previous prompt's guidance
+        run_key = (layout, opts,
+                   uncon_text.tobytes() if opts.cfg_scale else None,
+                   uncon_image.tobytes() if opts.cfg_img else None)
         if run_key not in self._runs:
             self._runs[run_key] = jax.jit(
                 lambda p, i, k: generate_ti2ti(
@@ -124,7 +129,11 @@ class TI2TIPipeline:
                     uncond_text_prefix=uncon_text if opts.cfg_scale else None,
                     uncond_image_prefix=uncon_image if opts.cfg_img else None,
                     key=k))
-        key = jax.random.key(seed) if seed else None
+        # seed=0 matches the reference's unseeded-generator semantics
+        # (inference.py: still stochastic) — draw an OS-random seed;
+        # temperature-0 runs are deterministic regardless of the key
+        key = jax.random.key(seed if seed else
+                             int(np.random.randint(1, 2 ** 31)))
         t0 = time.time()
         fin, codes = self._runs[run_key](self.llada_params,
                                          jnp.asarray(ids)[None], key)
@@ -181,12 +190,13 @@ class InterleavePipeline:
         un_ids, _ = tk.assemble_interleave_sequence(
             un_prompt, self.num_vq_tokens, self.max_seq_length, T)
 
-        run_key = (layout.total_len, opts)
+        run_key = (layout, opts)
         if run_key not in self._runs:
             self._runs[run_key] = jax.jit(
                 lambda p, i, u, k: interleave_generate(
                     p, self.llada_cfg, i, u, layout, opts, key=k))
-        key = jax.random.key(seed) if seed else None
+        key = jax.random.key(seed if seed else
+                             int(np.random.randint(1, 2 ** 31)))
         t0 = time.time()
         fin, out_codes = self._runs[run_key](
             self.llada_params, jnp.asarray(ids)[None],

@@ -40,9 +40,10 @@ class CheckpointManager:
 
     def save(self, step: int, state: Any,
              metadata: Optional[Dict[str, Any]] = None) -> bool:
-        args = {"state": ocp.args.StandardSave(state)}
-        if metadata is not None:
-            args["metadata"] = ocp.args.JsonSave(metadata)
+        # always write a metadata item ({} when omitted) so restore() can
+        # request it unconditionally
+        args = {"state": ocp.args.StandardSave(state),
+                "metadata": ocp.args.JsonSave(metadata or {})}
         return self._mngr.save(step, args=ocp.args.Composite(**args))
 
     def restore(self, state_template: Any, step: Optional[int] = None):
@@ -53,11 +54,18 @@ class CheckpointManager:
             return None, None, None
         target = jax.tree_util.tree_map(ocp.utils.to_shape_dtype_struct,
                                         state_template)
-        restored = self._mngr.restore(
-            step, args=ocp.args.Composite(
-                state=ocp.args.StandardRestore(target),
-                metadata=ocp.args.JsonRestore(),
-            ))
+        try:
+            restored = self._mngr.restore(
+                step, args=ocp.args.Composite(
+                    state=ocp.args.StandardRestore(target),
+                    metadata=ocp.args.JsonRestore(),
+                ))
+        except (FileNotFoundError, KeyError, ValueError):
+            # checkpoint written without a metadata item (older layout)
+            restored = self._mngr.restore(
+                step, args=ocp.args.Composite(
+                    state=ocp.args.StandardRestore(target)))
+            return restored["state"], None, step
         return restored["state"], restored.get("metadata"), step
 
     def latest_step(self) -> Optional[int]:

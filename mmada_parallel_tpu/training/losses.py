@@ -86,11 +86,12 @@ def a_variant_losses(
     ans_end = jnp.where(has_ans_end, ans_end_idx, lengths)
 
     in_answer = after_ans & (pos < ans_end[:, None]) & has_ans[:, None]
-    img_start, has_img = _first_index((input_ids == image_start_token) & in_answer)
+    img_start, has_img_start = _first_index(
+        (input_ids == image_start_token) & in_answer)
     after_img = pos >= img_start[:, None]
     img_end_idx, has_img_end = _first_index(
         (input_ids == image_end_token) & after_img)
-    has_img = has_img & has_img_end
+    has_img = has_img_start & has_img_end
 
     # image positions: (img_start, img_end) exclusive, skipping newlines
     # (note: includes label==-100 positions, whose CE is 0 — faithful to
@@ -100,10 +101,12 @@ def a_variant_losses(
                   & (input_ids != newline_token))
 
     # text positions: after image (img_end+1, ans_end) with labels, or the
-    # whole answer when no image (ans_start+1, ans_end)
+    # whole answer when no image started (ans_start+1, ans_end).  A row with
+    # <image_start> but no <image_end> contributes nothing — the reference's
+    # scan finds no end and falls through (modeling_xllmx_dimoo.py:126-143).
     text_with_img = (has_img[:, None]
                      & (pos > img_end_idx[:, None]) & (pos < ans_end[:, None]))
-    text_no_img = ((~has_img)[:, None] & has_ans[:, None]
+    text_no_img = ((~has_img_start)[:, None] & has_ans[:, None]
                    & (pos > ans_start[:, None]) & (pos < ans_end[:, None]))
     text_region = (text_with_img | text_no_img) & valid
 

@@ -82,7 +82,6 @@ def make_train_step(
     loss_fn: Callable[[Any, Any, Optional[jax.Array]], Tuple[jax.Array, Dict]],
     optimizer: optax.GradientTransformation,
     accum_steps: int = 1,
-    donate: bool = True,
 ) -> Callable:
     """Build ``step(state, batch, key) -> (state, metrics)``.
 
@@ -91,6 +90,9 @@ def make_train_step(
     ``lax.scan`` of microbatches (the reference's ``no_sync`` accumulation,
     ``finetune.py:575-625`` — under GSPMD there is nothing to "not sync";
     the collective simply runs once on the averaged grads).
+
+    Wrap the returned step with ``jax.jit(step, donate_argnums=0)`` so the
+    TrainState buffers are donated (halves optimizer-state HBM).
     """
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
