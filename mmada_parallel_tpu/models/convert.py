@@ -88,8 +88,7 @@ def llada_config_from_hf(config_json: Dict[str, Any], **overrides) -> LLaDAConfi
         rope_theta=c.get("rope_theta", 10000.0),
         rope_full_precision=c.get("rope_full_precision", True),
         rms_norm_eps=c.get("rms_norm_eps", 1e-5),
-        layer_norm_type={"rms": "rms", "gemma_rms": "gemma_rms"}.get(
-            c.get("layer_norm_type", "rms"), "rms"),
+        layer_norm_type=c.get("layer_norm_type", "rms"),
         include_bias=c.get("include_bias", False),
         include_qkv_bias=c.get("include_qkv_bias", False),
         block_type=c.get("block_type", "llama"),

@@ -73,7 +73,7 @@ class LLaDAConfig:
     rope_theta: float = 500000.0
     rope_full_precision: bool = True
     rms_norm_eps: float = 1e-5
-    layer_norm_type: str = "rms"              # "rms" | "gemma_rms"
+    layer_norm_type: str = "rms"              # "rms" | "gemma_rms" | "default"
     include_bias: bool = False
     include_qkv_bias: bool = False
     block_type: str = "llama"                 # "llama" | "sequential"
@@ -279,6 +279,24 @@ def _rms_norm(x: jax.Array, weight: jax.Array, eps: float,
     return x * weight.astype(og)
 
 
+def _layer_norm(x: jax.Array, weight: jax.Array, eps: float = 1e-5) -> jax.Array:
+    """Plain LayerNorm, no bias (``modeling_llada.py:270-299`` with the
+    default ``include_bias=False``); fp32 statistics."""
+    og = x.dtype
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.var(xf, axis=-1, keepdims=True)
+    xf = (xf - mean) * jax.lax.rsqrt(var + eps)
+    return xf.astype(og) * weight.astype(og)
+
+
+def _norm(x: jax.Array, weight: jax.Array, cfg: "LLaDAConfig") -> jax.Array:
+    if cfg.layer_norm_type == "default":
+        return _layer_norm(x, weight)
+    return _rms_norm(x, weight, cfg.rms_norm_eps,
+                     cfg.layer_norm_type == "gemma_rms")
+
+
 def _rope_sin_cos(seq_len: int, head_dim: int, theta: float) -> Tuple[jax.Array, jax.Array]:
     """Neox-style RoPE tables ``[L, head_dim]`` in fp32.
 
@@ -336,10 +354,9 @@ def _block(x: jax.Array, lp: Dict[str, jax.Array], cfg: LLaDAConfig,
     """
     B, L, D = x.shape
     nh, nkv, hd = cfg.n_heads, cfg.effective_n_kv_heads, cfg.head_dim
-    gemma = cfg.layer_norm_type == "gemma_rms"
     cdt = x.dtype
 
-    h = _rms_norm(x, lp["attn_norm"], cfg.rms_norm_eps, gemma)
+    h = _norm(x, lp["attn_norm"], cfg)
     if cfg.block_type == "sequential":
         qkv = h @ lp["att_proj"].astype(cdt)
         if "att_proj_bias" in lp:
@@ -367,7 +384,7 @@ def _block(x: jax.Array, lp: Dict[str, jax.Array], cfg: LLaDAConfig,
     att = att.reshape(B, L, D)
     x = x + att @ lp["attn_out"].astype(cdt)
 
-    h = _rms_norm(x, lp["ff_norm"], cfg.rms_norm_eps, gemma)
+    h = _norm(x, lp["ff_norm"], cfg)
     if cfg.block_type == "sequential":
         act = _activation(h @ lp["ff_proj"].astype(cdt), cfg.activation_type)
         x = x + act @ lp["ff_out"].astype(cdt)
@@ -458,8 +475,7 @@ def llada_hidden(
 
         x, _ = jax.lax.scan(scan_groups, x, grouped)
 
-    gemma = cfg.layer_norm_type == "gemma_rms"
-    return _rms_norm(x, params["ln_f"], cfg.rms_norm_eps, gemma)
+    return _norm(x, params["ln_f"], cfg)
 
 
 def llada_head(
@@ -521,11 +537,10 @@ def llada_hidden_with_cache(
     nh, nkv, hd = cfg.n_heads, cfg.effective_n_kv_heads, cfg.head_dim
     x = jnp.take(params["wte"], input_ids, axis=0, mode="clip").astype(cdt)
     sin, cos = _rope_sin_cos(L, cfg.head_dim, cfg.rope_theta)
-    gemma = cfg.layer_norm_type == "gemma_rms"
 
     def body(carry, lp):
         x = carry
-        h = _rms_norm(x, lp["attn_norm"], cfg.rms_norm_eps, gemma)
+        h = _norm(x, lp["attn_norm"], cfg)
         q = h @ lp["q_proj"].astype(cdt)
         k = h @ lp["k_proj"].astype(cdt)
         v = h @ lp["v_proj"].astype(cdt)
@@ -540,14 +555,14 @@ def llada_hidden_with_cache(
         k_cache, v_cache = kr, v
         att = dot_product_attention(qr, kr, v, impl=cfg.attention_impl)
         x = x + att.reshape(B, L, nh * hd) @ lp["attn_out"].astype(cdt)
-        h = _rms_norm(x, lp["ff_norm"], cfg.rms_norm_eps, gemma)
+        h = _norm(x, lp["ff_norm"], cfg)
         gate = jax.nn.silu(h @ lp["ff_proj"].astype(cdt))
         up = h @ lp["up_proj"].astype(cdt)
         x = x + (gate * up) @ lp["ff_out"].astype(cdt)
         return x, {"k": k_cache, "v": v_cache}
 
     x, cache = jax.lax.scan(body, x, params["blocks"])
-    x = _rms_norm(x, params["ln_f"], cfg.rms_norm_eps, gemma)
+    x = _norm(x, params["ln_f"], cfg)
     return x, cache
 
 
@@ -569,7 +584,6 @@ def llada_hidden_partial(
     B, n = sel_ids.shape
     L = cache["k"].shape[2]
     nh, nkv, hd = cfg.n_heads, cfg.effective_n_kv_heads, cfg.head_dim
-    gemma = cfg.layer_norm_type == "gemma_rms"
 
     x = jnp.take(params["wte"], sel_ids, axis=0, mode="clip").astype(cdt)
     sin_full, cos_full = _rope_sin_cos(L, cfg.head_dim, cfg.rope_theta)
@@ -599,7 +613,7 @@ def llada_hidden_partial(
     def body(carry, xs):
         x = carry
         lp, layer_cache = xs
-        h = _rms_norm(x, lp["attn_norm"], cfg.rms_norm_eps, gemma)
+        h = _norm(x, lp["attn_norm"], cfg)
         q = (h @ lp["q_proj"].astype(cdt)).reshape(B, n, nh, hd)
         k_new = (h @ lp["k_proj"].astype(cdt)).reshape(B, n, nkv, hd)
         v_new = (h @ lp["v_proj"].astype(cdt)).reshape(B, n, nkv, hd)
@@ -611,14 +625,14 @@ def llada_hidden_partial(
         att = dot_product_attention(qr, k_full, v_full,
                                     impl=cfg.attention_impl)
         x = x + att.reshape(B, n, nh * hd) @ lp["attn_out"].astype(cdt)
-        h = _rms_norm(x, lp["ff_norm"], cfg.rms_norm_eps, gemma)
+        h = _norm(x, lp["ff_norm"], cfg)
         gate = jax.nn.silu(h @ lp["ff_proj"].astype(cdt))
         up = h @ lp["up_proj"].astype(cdt)
         x = x + (gate * up) @ lp["ff_out"].astype(cdt)
         return x, {"k": k_full, "v": v_full}
 
     x, new_cache = jax.lax.scan(body, x, (params["blocks"], cache))
-    x = _rms_norm(x, params["ln_f"], cfg.rms_norm_eps, gemma)
+    x = _norm(x, params["ln_f"], cfg)
     return x, new_cache
 
 

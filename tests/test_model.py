@@ -121,6 +121,42 @@ def test_padding_mask_isolates_real_tokens(tiny):
     np.testing.assert_allclose(a[0, :6], b[0, :6], atol=1e-5)
 
 
+def test_plain_layer_norm_matches_numpy():
+    cfg = LLaDAConfig.tiny(layer_norm_type="default", n_layers=1)
+    params = init_llada_params(jax.random.key(9), cfg)
+    ids = np.random.default_rng(9).integers(0, 100, (1, 6))
+    got = np.asarray(llada_forward(params, cfg, jnp.asarray(ids)))
+    # oracle: same block math but with mean-subtracted LayerNorm
+    p = jax.tree_util.tree_map(np.asarray, params)
+
+    def ln(x, w):
+        m = x.mean(-1, keepdims=True)
+        v = x.var(-1, keepdims=True)
+        return (x - m) / np.sqrt(v + 1e-5) * w
+
+    x = p["wte"][ids]
+    lp = {k: v[0] for k, v in p["blocks"].items()}
+    nh, nkv, hd = cfg.n_heads, cfg.effective_n_kv_heads, cfg.head_dim
+    h = ln(x, lp["attn_norm"])
+    q = np_rope((h @ lp["q_proj"]).reshape(1, 6, nh, hd), cfg.rope_theta)
+    k = np_rope((h @ lp["k_proj"]).reshape(1, 6, nkv, hd), cfg.rope_theta)
+    v = (h @ lp["v_proj"]).reshape(1, 6, nkv, hd)
+    if nh != nkv:
+        k = np.repeat(k, nh // nkv, 2); v = np.repeat(v, nh // nkv, 2)
+    s = np.einsum("bqhd,bkhd->bhqk", q, k) / np.sqrt(hd)
+    s -= s.max(-1, keepdims=True)
+    pr = np.exp(s); pr /= pr.sum(-1, keepdims=True)
+    att = np.einsum("bhqk,bkhd->bqhd", pr, v).reshape(1, 6, -1)
+    x = x + att @ lp["attn_out"]
+    h2 = ln(x, lp["ff_norm"])
+    gate = h2 @ lp["ff_proj"]
+    gate = gate / (1 + np.exp(-gate))
+    x = x + (gate * (h2 @ lp["up_proj"])) @ lp["ff_out"]
+    x = ln(x, p["ln_f"])
+    want = x @ p["head"]
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=2e-3)
+
+
 def test_weight_tying_shapes():
     cfg = LLaDAConfig.tiny(weight_tying=True)
     params = init_llada_params(jax.random.key(2), cfg)
