@@ -174,6 +174,7 @@ def generate_image_cached(
     input_ids: jax.Array,
     layout: SequenceLayout,
     opts: ImageGenOptions,
+    uncond_ids: Optional[np.ndarray] = None,
     key: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """MaskGit decode with the adaptive feature cache.
@@ -189,17 +190,25 @@ def generate_image_cached(
     ``n = ceil((1 - cache_ratio) * n_vq)`` chosen by confidence rank (the
     reference uses a dynamic quantile threshold over the whole sequence —
     prompt positions here are never recomputed, which only helps: prompt
-    tokens never change).  CFG with caching (two branch caches) is not yet
-    implemented — use ``generate_image`` for CFG.
+    tokens never change).  With ``cfg_scale > 0`` and ``uncond_ids``, the
+    cond and uncond branches keep independent caches and confidence-chosen
+    recompute sets (the reference's per-branch thresholds,
+    ``image_generation_generator.py:226-237``).
     """
-    if opts.cfg_scale > 0:
-        raise NotImplementedError("feature cache + CFG: use generate_image")
     B, L = input_ids.shape
     tvs, cb = opts.text_vocab_size, opts.codebook_size
     img_pos = jnp.asarray(layout.image_positions(), dtype=jnp.int32)
     n_vq = int(img_pos.shape[0])
     T = opts.timesteps
     n_compute = max(int(np.ceil((1.0 - opts.cache_ratio) * n_vq)), 1)
+
+    use_cfg = opts.cfg_scale > 0 and uncond_ids is not None
+    if use_cfg:
+        un_prefix = jnp.asarray(uncond_ids, jnp.int32)
+        tail_start = layout.code_start
+        Lu = int(un_prefix.shape[0]) + (L - tail_start)
+        shift = int(un_prefix.shape[0]) - tail_start
+        un_img_pos = img_pos + shift
 
     sched = S.get_mask_schedule(opts.schedule)
     fracs = sched((jnp.arange(T, dtype=jnp.float32) + 1) / T)
@@ -213,17 +222,17 @@ def generate_image_cached(
     vq_len0 = (jnp.take_along_axis(input_ids, img_pos[None, :], axis=1)
                == opts.mask_token).sum(axis=1)
 
-    def full_compute(ids, cache, vq_logits):
-        hidden, cache = llada_hidden_with_cache(params, cfg, ids)
-        img_h = jnp.take_along_axis(hidden, img_pos[None, :, None], axis=1)
+    def full_branch(seq_ids, positions):
+        hidden, cache = llada_hidden_with_cache(params, cfg, seq_ids)
+        img_h = jnp.take_along_axis(hidden, positions[None, :, None], axis=1)
         vq = llada_head(params, cfg, img_h, vocab_slice=(tvs, cb))
         return vq, cache
 
-    def partial_compute(ids, cache, vq_logits):
+    def partial_branch(seq_ids, positions, cache, vq_logits):
         conf = vq_logits.max(axis=-1)                     # [B, n_vq]
         sel_slot = jnp.argsort(conf, axis=-1)[:, :n_compute]  # lowest-conf
-        sel_pos = jnp.take(img_pos, sel_slot)             # [B, n]
-        sel_ids = jnp.take_along_axis(ids, sel_pos, axis=1)
+        sel_pos = jnp.take(positions, sel_slot)           # [B, n]
+        sel_ids = jnp.take_along_axis(seq_ids, sel_pos, axis=1)
         h_sel, cache = llada_hidden_partial(params, cfg, sel_ids, sel_pos,
                                             cache)
         vq_sel = llada_head(params, cfg, h_sel, vocab_slice=(tvs, cb))
@@ -238,8 +247,15 @@ def generate_image_cached(
         vq = jnp.where(is_sel[:, :, None], expanded, vq_logits)
         return vq, cache
 
+    def uncond_seq(ids):
+        tail = jax.lax.dynamic_slice_in_dim(ids, tail_start, L - tail_start,
+                                            axis=1)
+        return jnp.concatenate(
+            [jnp.broadcast_to(un_prefix, (B,) + un_prefix.shape), tail],
+            axis=1)
+
     def step_fn(carry, xs):
-        ids, k, cache, vq_logits = carry
+        ids, k, state = carry
         step_idx, frac = xs
         keys = jax.random.split(k, 3) if k is not None else (None,) * 3
         next_key = keys[0] if k is not None else None
@@ -248,10 +264,39 @@ def generate_image_cached(
         masked = cur == opts.mask_token
         unknown_cnt = masked.sum(axis=1)
 
-        vq_logits, cache = jax.lax.cond(
-            refresh[step_idx], full_compute, partial_compute,
-            ids, cache, vq_logits)
-        logits = vq_logits
+        if use_cfg:
+            def full_both(ids, state):
+                c_vq, c_cache = full_branch(ids, img_pos)
+                u_vq, u_cache = full_branch(uncond_seq(ids), un_img_pos)
+                return {"cache": c_cache, "vq": c_vq,
+                        "un_cache": u_cache, "un_vq": u_vq}
+
+            def partial_both(ids, state):
+                c_vq, c_cache = partial_branch(ids, img_pos, state["cache"],
+                                               state["vq"])
+                u_vq, u_cache = partial_branch(uncond_seq(ids), un_img_pos,
+                                               state["un_cache"],
+                                               state["un_vq"])
+                return {"cache": c_cache, "vq": c_vq,
+                        "un_cache": u_cache, "un_vq": u_vq}
+
+            state = jax.lax.cond(refresh[step_idx], full_both, partial_both,
+                                 ids, state)
+            logits = ((1 + opts.cfg_scale) * state["vq"]
+                      - opts.cfg_scale * state["un_vq"])
+        else:
+            def full_one(ids, state):
+                vq, cache = full_branch(ids, img_pos)
+                return {"cache": cache, "vq": vq}
+
+            def partial_one(ids, state):
+                vq, cache = partial_branch(ids, img_pos, state["cache"],
+                                           state["vq"])
+                return {"cache": cache, "vq": vq}
+
+            state = jax.lax.cond(refresh[step_idx], full_one, partial_one,
+                                 ids, state)
+            logits = state["vq"]
 
         if opts.temperature == 0 or keys[1] is None:
             sampled = jnp.argmax(logits, axis=-1)
@@ -279,18 +324,25 @@ def generate_image_cached(
         idx = jnp.broadcast_to(img_pos[None, :], new_vals.shape)
         ids = jnp.put_along_axis(ids, idx, new_vals.astype(ids.dtype), axis=1,
                                  inplace=False)
-        return (ids, next_key, cache, vq_logits), None
+        return (ids, next_key, state), None
 
-    # init cache/logits via one full forward shape (zeros; step 0 refreshes)
+    # init caches/logits with zeros; step 0 is always a refresh
     nkv, hd = cfg.effective_n_kv_heads, cfg.head_dim
-    zero_cache = {
-        "k": jnp.zeros((cfg.n_layers, B, L, nkv, hd), cfg.compute_dtype),
-        "v": jnp.zeros((cfg.n_layers, B, L, nkv, hd), cfg.compute_dtype),
-    }
-    zero_logits = jnp.zeros((B, n_vq, cb), jnp.float32)
 
-    (final_ids, _, _, _), _ = jax.lax.scan(
-        step_fn, (input_ids, key, zero_cache, zero_logits),
+    def zero_cache(length):
+        return {"k": jnp.zeros((cfg.n_layers, B, length, nkv, hd),
+                               cfg.compute_dtype),
+                "v": jnp.zeros((cfg.n_layers, B, length, nkv, hd),
+                               cfg.compute_dtype)}
+
+    state0 = {"cache": zero_cache(L),
+              "vq": jnp.zeros((B, n_vq, cb), jnp.float32)}
+    if use_cfg:
+        state0["un_cache"] = zero_cache(Lu)
+        state0["un_vq"] = jnp.zeros((B, n_vq, cb), jnp.float32)
+
+    (final_ids, _, _), _ = jax.lax.scan(
+        step_fn, (input_ids, key, state0),
         (jnp.arange(T), fracs))
 
     img_tokens = jnp.take_along_axis(final_ids, img_pos[None, :], axis=1)

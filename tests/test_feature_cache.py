@@ -124,12 +124,29 @@ def test_cached_sampler_bf16_compute_dtype(model):
     assert np.asarray(codes).max() < CB
 
 
-def test_cached_sampler_rejects_cfg(model):
+def test_cached_sampler_cfg_matches_plain_on_always_refresh(model):
+    """With CFG + refresh-every-step, the two-branch cached sampler must
+    equal the plain CFG sampler exactly."""
     cfg, params = model
-    ids, lay = tk.assemble_ti2ti_sequence([5], 0, 2, 3, [9], tokens=TOK)
-    with pytest.raises(NotImplementedError):
-        generate_image_cached(params, cfg, jnp.asarray(ids)[None], lay,
-                              ImageGenOptions(cfg_scale=1.0, use_cache=True,
-                                              text_vocab_size=TVS,
-                                              codebook_size=CB,
-                                              mask_token=MASK))
+    ids, lay = tk.assemble_ti2ti_sequence([5, 6, 7], 0, 2, 3, [9], tokens=TOK)
+    un = np.asarray([60, 61], np.int32)
+    base = dict(timesteps=5, temperature=0.0, cfg_scale=1.5,
+                text_vocab_size=TVS, codebook_size=CB, mask_token=MASK)
+    plain_ids, _ = generate_image(params, cfg, jnp.asarray(ids)[None], lay,
+                                  ImageGenOptions(**base), uncond_ids=un,
+                                  key=None)
+    cached_ids, _ = generate_image_cached(
+        params, cfg, jnp.asarray(ids)[None], lay,
+        ImageGenOptions(**base, use_cache=True, refresh_interval=1,
+                        warmup_ratio=1.0), uncond_ids=un, key=None)
+    assert np.array_equal(np.asarray(plain_ids), np.asarray(cached_ids))
+
+    # real cache schedule with CFG still completes with valid codes
+    fin, codes = generate_image_cached(
+        params, cfg, jnp.asarray(ids)[None], lay,
+        ImageGenOptions(**base, use_cache=True, cache_ratio=0.5,
+                        refresh_interval=2, warmup_ratio=0.3),
+        uncond_ids=un, key=None)
+    f = np.asarray(fin)[0]
+    assert not np.any(f[lay.image_positions()] == MASK)
+    assert np.asarray(codes).max() < CB
