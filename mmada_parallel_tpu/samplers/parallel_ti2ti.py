@@ -46,7 +46,8 @@ from mmada_parallel_tpu.models.llada import LLaDAConfig, llada_head, llada_hidde
 from mmada_parallel_tpu.ops import sampling as S
 from mmada_parallel_tpu.tokens import SequenceLayout
 
-__all__ = ["TI2TIOptions", "generate_ti2ti", "make_ti2ti_step"]
+__all__ = ["TI2TIOptions", "generate_ti2ti", "generate_ti2ti_cached",
+           "make_ti2ti_step"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -295,3 +296,202 @@ def decode_text(final_ids: np.ndarray, layout: SequenceLayout,
     if tokenizer is None:
         return text
     return tokenizer.decode(text, skip_special_tokens=True)
+
+
+def generate_ti2ti_cached(
+    params: Dict[str, Any],
+    cfg: LLaDAConfig,
+    input_ids: jax.Array,
+    layout: SequenceLayout,
+    opts: TI2TIOptions,
+    cache_ratio: float = 0.95,
+    refresh_interval: int = 4,
+    warmup_ratio: float = 0.25,
+    uncond_text_prefix: Optional[np.ndarray] = None,
+    uncond_image_prefix: Optional[np.ndarray] = None,
+    key: Optional[jax.Array] = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """TI2TI with the adaptive feature cache on the *cond* trajectory —
+    an extension beyond the reference (which caches only pure image
+    generation, ``image_generation_generator.py``).
+
+    Image-refresh steps and the warmup/interval schedule run full forwards
+    (rebuilding the per-layer k/v cache); the remaining text-only steps
+    recompute just ``n = changed-token cap + (1 - cache_ratio) * text_len``
+    positions against the cache: every position committed since the last
+    compute (its cached k/v is stale and MUST be rewritten) plus the
+    lowest-confidence still-masked text slots.  Logits elsewhere are reused
+    — an approximation, so this sampler is opt-in; the exact
+    :func:`generate_ti2ti` remains the parity path.  Uncond CFG forwards
+    (image steps only) stay exact.
+    """
+    from mmada_parallel_tpu.models.llada import (llada_hidden_with_cache,
+                                                 llada_hidden_partial)
+
+    B, L = input_ids.shape
+    img_pos = jnp.asarray(layout.image_positions(), dtype=jnp.int32)
+    n_vq = int(img_pos.shape[0])
+    ts, te = layout.text_start, layout.text_end
+    text_len = te - ts
+    tvs, cb = opts.text_vocab_size, opts.codebook_size
+    steps = opts.text_steps
+    V = cfg.emb_size
+
+    schedules = S.get_mask_schedule(opts.schedule)
+    ratios = (jnp.arange(steps, dtype=jnp.float32) + 1) / steps
+    mask_ratios = schedules(ratios)
+    img_temps = opts.temperature * (1.0 - ratios)
+    img_step = np.asarray(S.image_step_mask(steps, opts.timesteps))
+
+    # refresh schedule: image steps, the step AFTER an image step (its
+    # writes invalidated cached k/v at image positions, which the text-span
+    # changed-tracking does not cover), warmup, and every
+    # refresh_interval-th step
+    warmup = int(steps * warmup_ratio)
+    refresh = img_step.copy()
+    refresh[1:] |= img_step[:-1]
+    refresh[:warmup + 1] = True
+    last = 0
+    for s in range(steps):
+        if refresh[s]:
+            last = s
+        elif s - last >= refresh_interval:
+            refresh[s] = True
+            last = s
+    refresh = jnp.asarray(refresh)
+
+    n_changed_cap = int(np.ceil(text_len / steps)) + 1
+    n_low = max(int(np.ceil((1.0 - cache_ratio) * text_len)), 1)
+    n_sel = min(n_changed_cap + n_low, text_len)
+
+    need_ut = opts.cfg_scale != 0.0 and uncond_text_prefix is not None
+    need_ui = opts.cfg_img != 0.0 and uncond_image_prefix is not None
+    eff = dataclasses.replace(
+        opts, cfg_scale=opts.cfg_scale if need_ut else 0.0,
+        cfg_img=opts.cfg_img if need_ui else 0.0)
+    ut_prefix = (jnp.asarray(uncond_text_prefix, jnp.int32)
+                 if need_ut else None)
+    ui_prefix = (jnp.asarray(uncond_image_prefix, jnp.int32)
+                 if need_ui else None)
+
+    def full_compute(ids, state):
+        hidden, cache = llada_hidden_with_cache(params, cfg, ids)
+        text_h = jax.lax.dynamic_slice_in_dim(hidden, ts, text_len, axis=1)
+        text_logits = llada_head(params, cfg, text_h)
+        img_h = jnp.take_along_axis(hidden, img_pos[None, :, None], axis=1)
+        vq = llada_head(params, cfg, img_h, vocab_slice=(tvs, cb))
+        return {"cache": cache, "text_logits": text_logits, "vq": vq,
+                "changed": jnp.zeros((B, text_len), bool)}
+
+    def partial_compute(ids, state):
+        cur = jax.lax.dynamic_slice_in_dim(ids, ts, text_len, axis=1)
+        masked = cur == opts.mask_token
+        conf = jax.nn.softmax(state["text_logits"], axis=-1).max(axis=-1)
+        score = (state["changed"].astype(jnp.float32) * 1e6
+                 + masked.astype(jnp.float32) * (1.0 - conf))
+        sel_slot = jnp.argsort(-score, axis=-1)[:, :n_sel]     # [B, n]
+        sel_pos = ts + sel_slot
+        sel_ids = jnp.take_along_axis(ids, sel_pos, axis=1)
+        h_sel, cache = llada_hidden_partial(params, cfg, sel_ids, sel_pos,
+                                            state["cache"])
+        logits_sel = llada_head(params, cfg, h_sel)
+        bidx = jnp.arange(B)[:, None]
+        inv = jnp.zeros((B, text_len), jnp.int32).at[bidx, sel_slot].set(
+            jnp.broadcast_to(jnp.arange(n_sel, dtype=jnp.int32),
+                             sel_slot.shape))
+        is_sel = jnp.zeros((B, text_len), bool).at[bidx, sel_slot].set(True)
+        expanded = jnp.take_along_axis(
+            logits_sel.astype(state["text_logits"].dtype),
+            inv[:, :, None], axis=1, mode="clip")
+        text_logits = jnp.where(is_sel[:, :, None], expanded,
+                                state["text_logits"])
+        return {"cache": cache, "text_logits": text_logits,
+                "vq": state["vq"], "changed": jnp.zeros((B, text_len), bool)}
+
+    def uncond_vq(ids):
+        rows = []
+        if need_ut:
+            rows.append(jax.lax.dynamic_update_slice_in_dim(
+                ids, jnp.broadcast_to(ut_prefix, (B,) + ut_prefix.shape), 0,
+                axis=1))
+        if need_ui:
+            rows.append(jax.lax.dynamic_update_slice_in_dim(
+                ids, jnp.broadcast_to(ui_prefix, (B,) + ui_prefix.shape), 0,
+                axis=1))
+        if not rows:
+            z = jnp.zeros((B, n_vq, cb), jnp.float32)
+            return z, z
+        stacked = jnp.concatenate(rows, axis=0)
+        hidden = llada_hidden(params, cfg, stacked)
+        img_h = jnp.take_along_axis(hidden, img_pos[None, :, None], axis=1)
+        vq = llada_head(params, cfg, img_h, vocab_slice=(tvs, cb))
+        if need_ut and need_ui:
+            return vq[:B], vq[B:]
+        zero = jnp.zeros_like(vq)
+        return (vq, zero) if need_ut else (zero, vq)
+
+    def step_fn(carry, xs):
+        ids, k, state = carry
+        step_idx, budget = xs
+        keys = (jax.random.split(k, 4) if k is not None else (None,) * 4)
+        next_key = keys[0] if k is not None else None
+
+        state = jax.lax.cond(refresh[step_idx], full_compute,
+                             partial_compute, ids, state)
+
+        # text update from (possibly partially stale) cached logits
+        cur = jax.lax.dynamic_slice_in_dim(ids, ts, text_len, axis=1)
+        masked = cur == opts.mask_token
+        kn, kr = ((jax.random.split(keys[1]) if keys[1] is not None
+                   else (None, None)))
+        x0 = S.gumbel_argmax(state["text_logits"], opts.text_temperature,
+                             kn if opts.text_temperature != 0 else None)
+        if opts.remasking == "low_confidence":
+            conf = S.token_confidence(state["text_logits"], x0)
+        else:
+            conf = jax.random.uniform(kr, x0.shape)
+        x0 = jnp.where(masked, x0, cur)
+        conf = jnp.where(masked, conf, S.NEG_INF)
+        transfer = S.topk_transfer_mask(conf, budget)
+        new_text = jnp.where(transfer, x0, cur)
+        ids = jax.lax.dynamic_update_slice_in_dim(ids, new_text, ts, axis=1)
+        state = dict(state, changed=state["changed"] | transfer)
+
+        def do_image(ids):
+            ut_vq, ui_vq = uncond_vq(ids)
+            return _image_update(ids, state["vq"], ut_vq, ui_vq, img_pos,
+                                 mask_ratios[step_idx], img_temps[step_idx],
+                                 eff, keys[2] if k is not None else None)
+
+        ids = jax.lax.cond(img_step_dev[step_idx], do_image, lambda x: x, ids)
+        return (ids, next_key, state), None
+
+    img_step_dev = jnp.asarray(img_step)
+    masked0 = (input_ids[:, ts:te] == opts.mask_token).sum(axis=1)
+    budgets = S.get_num_transfer_tokens(masked0, steps)
+
+    nkv, hd = cfg.effective_n_kv_heads, cfg.head_dim
+    state0 = {
+        "cache": {"k": jnp.zeros((cfg.n_layers, B, L, nkv, hd),
+                                 cfg.compute_dtype),
+                  "v": jnp.zeros((cfg.n_layers, B, L, nkv, hd),
+                                 cfg.compute_dtype)},
+        "text_logits": jnp.zeros((B, text_len, V), jnp.float32),
+        "vq": jnp.zeros((B, n_vq, cb), jnp.float32),
+        "changed": jnp.zeros((B, text_len), bool),
+    }
+
+    (final_ids, _, _), _ = jax.lax.scan(
+        step_fn, (input_ids, key, state0),
+        (jnp.arange(steps), budgets.T))
+
+    img_tokens = jnp.take_along_axis(final_ids, img_pos[None, :], axis=1)
+    codes = jnp.clip(img_tokens - tvs, 0, cb - 1)
+    still_masked = img_tokens == opts.mask_token
+    if key is not None:
+        fill = jax.random.randint(jax.random.fold_in(key, 0xF1),
+                                  codes.shape, 0, cb)
+    else:
+        fill = jnp.zeros_like(codes)
+    codes = jnp.where(still_masked, fill, codes)
+    return final_ids, codes

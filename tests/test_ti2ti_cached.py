@@ -1,0 +1,65 @@
+"""Cached TI2TI sampler: exactness with aggressive refresh, approximation
+sanity with a real cache schedule."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from mmada_parallel_tpu import tokens as tk
+from mmada_parallel_tpu.models.llada import LLaDAConfig, init_llada_params
+from mmada_parallel_tpu.samplers.parallel_ti2ti import (
+    TI2TIOptions, generate_ti2ti, generate_ti2ti_cached)
+
+TVS, CB, MASK, NEWLINE = 256, 32, 250, 251
+TOK = tk.VariantATokens(mask=MASK, newline=NEWLINE, answer_start=252,
+                        answer_end=253, boi=254, eoi=255, uncondition=249,
+                        pad=248, text_vocab_size=TVS, codebook_size=CB)
+
+
+@pytest.fixture(scope="module")
+def model():
+    cfg = LLaDAConfig.tiny(d_model=32, n_heads=2, n_kv_heads=2, n_layers=2,
+                           mlp_hidden_size=64, vocab_size=TVS + CB,
+                           mask_token_id=MASK)
+    return cfg, init_llada_params(jax.random.key(4), cfg)
+
+
+def _setup():
+    ids, lay = tk.assemble_ti2ti_sequence([5, 6, 7, 8], 8, 2, 3, [9],
+                                          tokens=TOK)
+    opts = TI2TIOptions(text_steps=8, timesteps=4, temperature=0.0,
+                        text_temperature=0.0, cfg_scale=0.0, cfg_img=2.0,
+                        text_vocab_size=TVS, codebook_size=CB,
+                        mask_token=MASK)
+    un = np.asarray([40, 41], np.int32)
+    return ids, lay, opts, un
+
+
+def test_cached_ti2ti_exact_when_always_refreshing(model):
+    cfg, params = model
+    ids, lay, opts, un = _setup()
+    ref_ids, ref_codes = generate_ti2ti(params, cfg, jnp.asarray(ids)[None],
+                                        lay, opts, uncond_image_prefix=un,
+                                        key=None)
+    got_ids, got_codes = generate_ti2ti_cached(
+        params, cfg, jnp.asarray(ids)[None], lay, opts,
+        refresh_interval=1, warmup_ratio=1.0,
+        uncond_image_prefix=un, key=None)
+    assert np.array_equal(np.asarray(ref_ids), np.asarray(got_ids))
+    assert np.array_equal(np.asarray(ref_codes), np.asarray(got_codes))
+
+
+def test_cached_ti2ti_completes_with_real_schedule(model):
+    cfg, params = model
+    ids, lay, opts, un = _setup()
+    fin, codes = generate_ti2ti_cached(
+        params, cfg, jnp.asarray(ids)[None], lay, opts,
+        cache_ratio=0.5, refresh_interval=3, warmup_ratio=0.25,
+        uncond_image_prefix=un, key=None)
+    f = np.asarray(fin)[0]
+    # text fully decoded, prompt untouched, codes valid
+    assert not np.any(f[lay.text_start:lay.text_end] == MASK)
+    assert np.array_equal(f[:lay.code_start], ids[:lay.code_start])
+    c = np.asarray(codes)[0]
+    assert c.min() >= 0 and c.max() < CB
