@@ -24,6 +24,7 @@ from mmada_parallel_tpu.models import magvit2 as MVQ
 from mmada_parallel_tpu.models.llada import LLaDAConfig
 from mmada_parallel_tpu.samplers.parallel_ti2ti import (TI2TIOptions,
                                                         generate_ti2ti,
+                                                        generate_ti2ti_cached,
                                                         decode_text)
 from mmada_parallel_tpu.samplers.interleave import (InterleaveOptions,
                                                     interleave_generate)
@@ -91,6 +92,7 @@ class TI2TIPipeline:
                  system_prompt: str = SYSTEM_PROMPT_EDIT,
                  seed: int = 0, painting_mode: Optional[str] = None,
                  mask_h_ratio: float = 0.5, mask_w_ratio: float = 0.5,
+                 use_cache: bool = False,
                  ) -> Tuple[Any, str, Dict]:
         """Run one edit; returns ``(pil_image, thinking_text, info)``."""
         T = self.tokens

@@ -341,7 +341,12 @@ def generate_ti2ti_cached(
     ratios = (jnp.arange(steps, dtype=jnp.float32) + 1) / steps
     mask_ratios = schedules(ratios)
     img_temps = opts.temperature * (1.0 - ratios)
-    img_step = np.asarray(S.image_step_mask(steps, opts.timesteps))
+    # pure-numpy schedule (this function may itself be traced under jit —
+    # np.asarray on a jnp value would fail there)
+    sched_steps = np.round(np.linspace(steps // 4, steps - 1,
+                                       opts.timesteps)).astype(int)
+    img_step = np.zeros(steps, bool)
+    img_step[sched_steps] = True
 
     # refresh schedule: image steps, the step AFTER an image step (its
     # writes invalidated cached k/v at image positions, which the text-span
