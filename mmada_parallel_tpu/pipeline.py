@@ -121,12 +121,15 @@ class TI2TIPipeline:
         # the cached closure captures the layout AND the CFG prefixes — all
         # of them must key the cache or a later same-length request would
         # silently reuse the previous prompt's guidance
-        run_key = (layout, opts,
+        run_key = (layout, opts, use_cache,
                    uncon_text.tobytes() if opts.cfg_scale else None,
                    uncon_image.tobytes() if opts.cfg_img else None)
         if run_key not in self._runs:
+            sampler = (generate_ti2ti_cached if use_cache else
+                       lambda p, c, i, l, o, **kw: generate_ti2ti(
+                           p, c, i, l, o, **kw))
             self._runs[run_key] = jax.jit(
-                lambda p, i, k: generate_ti2ti(
+                lambda p, i, k: sampler(
                     p, self.llada_cfg, i, layout, opts,
                     uncond_text_prefix=uncon_text if opts.cfg_scale else None,
                     uncond_image_prefix=uncon_image if opts.cfg_img else None,
