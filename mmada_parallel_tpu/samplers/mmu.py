@@ -75,9 +75,26 @@ def mmu_generate(
     block_end = P + (block_of_step + 1) * opts.block_length  # [steps]
     step_in_block = step_ids % spb
 
-    pos = jnp.arange(L)[None, :]  # [1, L]
+    # answer-span coordinates: the prompt is never masked, so argmax/
+    # confidence/transfer only ever act on [P, L) — the 134k-vocab head
+    # runs on max_new_tokens positions instead of the whole sequence
+    # (the reference projects every position, modeling_mmada.py:661-666)
+    N = opts.max_new_tokens
+    ans_pos = P + jnp.arange(N)[None, :]  # [1, N] absolute positions
 
-    attn_bias_mask = attn_mask
+    def answer_logits(x):
+        from mmada_parallel_tpu.models.llada import llada_head, llada_hidden
+        if opts.cfg_scale > 0.0:
+            un_x = jnp.where(prompt_index, opts.mask_token, x)
+            both = jnp.concatenate([x, un_x], axis=0)
+            hidden = llada_hidden(params, cfg, both)
+            h = jax.lax.dynamic_slice_in_dim(hidden, P, N, axis=1)
+            logits2 = llada_head(params, cfg, h)
+            cond, uncond = logits2[:B], logits2[B:]
+            return uncond + (opts.cfg_scale + 1) * (cond - uncond)
+        hidden = llada_hidden(params, cfg, x, attn_mask)
+        h = jax.lax.dynamic_slice_in_dim(hidden, P, N, axis=1)
+        return llada_head(params, cfg, h)
 
     def step_fn(carry, xs):
         x, k = carry
@@ -85,16 +102,9 @@ def mmu_generate(
         keys = jax.random.split(k, 3) if k is not None else (None,) * 3
         next_key = keys[0] if k is not None else None
 
-        mask_index = x == opts.mask_token
-
-        if opts.cfg_scale > 0.0:
-            un_x = jnp.where(prompt_index, opts.mask_token, x)
-            both = jnp.concatenate([x, un_x], axis=0)
-            logits2 = llada_forward(params, cfg, both)
-            cond, uncond = logits2[:B], logits2[B:]
-            logits = uncond + (opts.cfg_scale + 1) * (cond - uncond)
-        else:
-            logits = llada_forward(params, cfg, x, attn_bias_mask)
+        cur = jax.lax.dynamic_slice_in_dim(x, P, N, axis=1)
+        mask_index = cur == opts.mask_token
+        logits = answer_logits(x)
 
         x0 = S.gumbel_argmax(
             logits, opts.temperature,
@@ -105,13 +115,14 @@ def mmu_generate(
             conf = jax.random.uniform(keys[2], x0.shape)
 
         # confidence beyond the current block boundary -> -inf
-        conf = jnp.where(pos >= bend, S.NEG_INF, conf)
-        x0 = jnp.where(mask_index, x0, x)
+        conf = jnp.where(ans_pos >= bend, S.NEG_INF, conf)
+        x0 = jnp.where(mask_index, x0, cur)
         conf = jnp.where(mask_index, conf, S.NEG_INF)
 
         k_budget = jnp.broadcast_to(budgets[sib], (B,))
         transfer = S.topk_transfer_mask(conf, k_budget)
-        x = jnp.where(transfer, x0, x)
+        new_ans = jnp.where(transfer, x0, cur)
+        x = jax.lax.dynamic_update_slice_in_dim(x, new_ans, P, axis=1)
         return (x, next_key), None
 
     (final_x, _), _ = jax.lax.scan(
@@ -153,18 +164,26 @@ def mmu_generate_fast(
     prompt_index = x0_init != opts.mask_token
     budgets = S.get_num_transfer_tokens_frontloaded(
         jnp.full((1,), opts.block_length), spb)[0]
-    pos = jnp.arange(L)[None, :]
+
+    N = opts.max_new_tokens
+    ans_pos = P + jnp.arange(N)[None, :]
 
     def block_step(x, bend, sib, k):
-        mask_index = x == opts.mask_token
+        from mmada_parallel_tpu.models.llada import llada_head, llada_hidden
+        cur = jax.lax.dynamic_slice_in_dim(x, P, N, axis=1)
+        mask_index = cur == opts.mask_token
         if opts.cfg_scale > 0.0:
             un_x = jnp.where(prompt_index, opts.mask_token, x)
-            logits2 = llada_forward(params, cfg,
-                                    jnp.concatenate([x, un_x], axis=0))
+            hidden = llada_hidden(params, cfg,
+                                  jnp.concatenate([x, un_x], axis=0))
+            h = jax.lax.dynamic_slice_in_dim(hidden, P, N, axis=1)
+            logits2 = llada_head(params, cfg, h)
             cond, uncond = logits2[:B], logits2[B:]
             logits = uncond + (opts.cfg_scale + 1) * (cond - uncond)
         else:
-            logits = llada_forward(params, cfg, x, attn_mask)
+            hidden = llada_hidden(params, cfg, x, attn_mask)
+            h = jax.lax.dynamic_slice_in_dim(hidden, P, N, axis=1)
+            logits = llada_head(params, cfg, h)
         if k is not None:
             k_noise, k_rand = jax.random.split(k)
         else:
@@ -175,12 +194,13 @@ def mmu_generate_fast(
             conf = S.token_confidence(logits, x0)
         else:
             conf = jax.random.uniform(k_rand, x0.shape)
-        conf = jnp.where(pos >= bend, S.NEG_INF, conf)
-        x0 = jnp.where(mask_index, x0, x)
+        conf = jnp.where(ans_pos >= bend, S.NEG_INF, conf)
+        x0 = jnp.where(mask_index, x0, cur)
         conf = jnp.where(mask_index, conf, S.NEG_INF)
         transfer = S.topk_transfer_mask(conf, jnp.broadcast_to(budgets[sib],
                                                                (B,)))
-        return jnp.where(transfer, x0, x)
+        new_ans = jnp.where(transfer, x0, cur)
+        return jax.lax.dynamic_update_slice_in_dim(x, new_ans, P, axis=1)
 
     def outer_cond(state):
         b, x, k, done = state
