@@ -6,16 +6,20 @@ overrides, ``training/utils.py:12-17``) without the OmegaConf dependency:
 
     cfg = load_config("run.yaml", ["training.lr=1e-4", "mesh.tensor=4"])
 
-Values parse as YAML scalars; unknown keys raise; nested dataclasses merge.
+Values parse as YAML scalars (plus OmegaConf-style ``1e-4`` floats); new
+keys are accepted permissively (DEFAULTS-driven CLIs add run-specific keys).
 """
 
 from __future__ import annotations
 
 import copy
 import dataclasses
+import re
 from typing import Any, Dict, List, Mapping, Optional, Sequence
 
 import yaml
+
+_SCI_NOTATION = re.compile(r"[+-]?\d+(\.\d*)?[eE][+-]?\d+")
 
 __all__ = ["ConfigNode", "merge_dict", "parse_overrides", "load_config"]
 
@@ -69,16 +73,13 @@ def parse_overrides(args: Sequence[str]) -> Dict:
             raise ValueError(f"override must be key=value: {arg!r}")
         key, _, raw = arg.partition("=")
         value = yaml.safe_load(raw) if raw != "" else None
-        if isinstance(value, str):
+        if (isinstance(value, str) and raw == value
+                and _SCI_NOTATION.fullmatch(value)):
             # YAML 1.1 reads "1e-4" as a string (no dot before the
             # exponent); users reasonably expect a float — match OmegaConf.
-            try:
-                value = int(value)
-            except ValueError:
-                try:
-                    value = float(value)
-                except ValueError:
-                    pass
+            # Only unquoted strict scientific notation is coerced, so quoted
+            # values and strings like "nan"/"1_000" stay strings.
+            value = float(value)
         node = out
         parts = key.split(".")
         for p in parts[:-1]:

@@ -62,9 +62,25 @@ void* ts_open(const char* path) {
     munmap(mem, st.st_size); ::close(fd); delete s; return nullptr;
   }
   s->count = hdr[2];
+  // bounds-validate the header against the mapped size: a truncated or
+  // corrupt store must fail at open, not SIGBUS inside ts_gather
+  const uint64_t table_end = 32 + (s->count + 1) * sizeof(uint64_t);
+  if (s->count > (static_cast<uint64_t>(st.st_size) / sizeof(uint64_t)) ||
+      table_end > static_cast<uint64_t>(st.st_size)) {
+    munmap(mem, st.st_size); ::close(fd); delete s; return nullptr;
+  }
   s->offsets = reinterpret_cast<const uint64_t*>(s->base + 32);
-  s->tokens = reinterpret_cast<const int32_t*>(
-      s->base + 32 + (s->count + 1) * sizeof(uint64_t));
+  s->tokens = reinterpret_cast<const int32_t*>(s->base + table_end);
+  const uint64_t token_bytes = st.st_size - table_end;
+  if (s->offsets[0] != 0 ||
+      s->offsets[s->count] * sizeof(int32_t) > token_bytes) {
+    munmap(mem, st.st_size); ::close(fd); delete s; return nullptr;
+  }
+  for (uint64_t i = 0; i < s->count; ++i) {
+    if (s->offsets[i] > s->offsets[i + 1]) {
+      munmap(mem, st.st_size); ::close(fd); delete s; return nullptr;
+    }
+  }
   // advise the kernel we'll read records in random order
   madvise(mem, st.st_size, MADV_RANDOM);
   return s;

@@ -75,7 +75,11 @@ def generate_image(
 
     ``layout.code_start`` marks ``<answer_start>`` as in the TI2TI layout;
     the image span (with newlines) sits at ``[image_start, image_end)``.
+    ``opts.use_cache`` dispatches to :func:`generate_image_cached`.
     """
+    if opts.use_cache:
+        return generate_image_cached(params, cfg, input_ids, layout, opts,
+                                     uncond_ids=uncond_ids, key=key)
     B, L = input_ids.shape
     tvs, cb = opts.text_vocab_size, opts.codebook_size
     img_pos = jnp.asarray(layout.image_positions(), dtype=jnp.int32)

@@ -65,6 +65,8 @@ def interleave_generate(
     the uncond prompt region is the only part of ``uncond_input_ids`` read —
     the output region is refreshed from the cond row each step.
     """
+    if opts.remasking == "random" and key is None:
+        raise ValueError("remasking='random' requires a PRNG key")
     B, L = input_ids.shape
     ts, te = layout.text_start, layout.text_end
     max_seq = te - ts

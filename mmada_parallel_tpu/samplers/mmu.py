@@ -48,7 +48,13 @@ def mmu_generate(
     attn_mask: Optional[jax.Array] = None,
     key: Optional[jax.Array] = None,
 ) -> jax.Array:
-    """Returns the full ``[B, prompt_len + max_new_tokens]`` sequence."""
+    """Returns the full ``[B, prompt_len + max_new_tokens]`` sequence.
+
+    Note: with ``cfg_scale > 0`` the batched cond/uncond forward runs
+    without ``attn_mask`` — the reference has the same quirk
+    (``modeling_mmada.py:661``), preserved for parity."""
+    if opts.remasking == "random" and key is None:
+        raise ValueError("remasking='random' requires a PRNG key")
     if opts.max_new_tokens % opts.block_length:
         raise ValueError("max_new_tokens must be a multiple of block_length")
     num_blocks = opts.max_new_tokens // opts.block_length
@@ -148,6 +154,8 @@ def mmu_generate_fast(
     """
     if eot_token is None:
         return mmu_generate(params, cfg, prompt_ids, opts, attn_mask, key)
+    if opts.remasking == "random" and key is None:
+        raise ValueError("remasking='random' requires a PRNG key")
     if opts.max_new_tokens % opts.block_length:
         raise ValueError("max_new_tokens must be a multiple of block_length")
     num_blocks = opts.max_new_tokens // opts.block_length

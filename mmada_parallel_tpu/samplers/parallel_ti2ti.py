@@ -157,21 +157,23 @@ def make_ti2ti_step(
     img_temps = opts.temperature * (1.0 - ratios)     # [steps]
     img_step = S.image_step_mask(steps, opts.timesteps)
 
-    need_ut = opts.cfg_scale != 0.0 and uncond_text_prefix is not None
-    need_ui = opts.cfg_img != 0.0 and uncond_image_prefix is not None
+    # Reference CFG gating (parallel_generator.py:243-281):
+    # * uncond forwards are built only when (cfg_scale>0 and text prefix) or
+    #   (cfg_img>0 and image prefix);
+    # * inside that branch, a MISSING prefix falls back to a clone of the
+    #   cond ids — whose forward equals cond exactly, so its term vanishes;
+    # * when the branch is not entered, uncond logits are ZEROS and a
+    #   nonzero scale amplifies cond: cond + s*(cond - 0).
+    build_uncond = ((opts.cfg_scale > 0 and uncond_text_prefix is not None)
+                    or (opts.cfg_img > 0 and uncond_image_prefix is not None))
+    need_ut = build_uncond and uncond_text_prefix is not None
+    need_ui = build_uncond and uncond_image_prefix is not None
+    # missing-prefix term inside the branch: equals cond (clone forward)
+    missing_is_cond = build_uncond
     ut_prefix = (jnp.asarray(uncond_text_prefix, jnp.int32)
                  if need_ut else None)
     ui_prefix = (jnp.asarray(uncond_image_prefix, jnp.int32)
                  if need_ui else None)
-    # A nonzero scale without its prefix contributes nothing in the
-    # reference (the "uncond" clone equals the cond sequence,
-    # parallel_generator.py:246-258); zero the scale so the formula matches.
-    if (opts.cfg_scale != 0.0 and not need_ut) or \
-            (opts.cfg_img != 0.0 and not need_ui):
-        opts = dataclasses.replace(
-            opts,
-            cfg_scale=opts.cfg_scale if need_ut else 0.0,
-            cfg_img=opts.cfg_img if need_ui else 0.0)
 
     def cond_heads(ids):
         """Conditional forward -> (text full-vocab logits, image codebook logits)."""
@@ -183,8 +185,11 @@ def make_ti2ti_step(
         vq_logits = llada_head(params, cfg, img_h, vocab_slice=(tvs, cb))
         return text_logits, vq_logits
 
-    def uncond_vq(ids):
-        """Uncond forwards (batched together) -> codebook logits at image pos."""
+    def uncond_vq(ids, cond_vq):
+        """Uncond forwards (batched together) -> codebook logits at image
+        pos.  Missing-prefix branches inside the build-uncond gate resolve
+        to ``cond_vq`` (the reference's clone forward); outside the gate
+        both resolve to zeros."""
         B = ids.shape[0]
         batch = []
         if need_ut:
@@ -194,7 +199,7 @@ def make_ti2ti_step(
             batch.append(jax.lax.dynamic_update_slice_in_dim(
                 ids, jnp.broadcast_to(ui_prefix, (B,) + ui_prefix.shape), 0, axis=1))
         if not batch:
-            z = jnp.zeros((B, img_pos.shape[0], cb), jnp.float32)
+            z = jnp.zeros_like(cond_vq)
             return z, z
         stacked = jnp.concatenate(batch, axis=0)
         hidden = llada_hidden(params, cfg, stacked)
@@ -203,8 +208,8 @@ def make_ti2ti_step(
         vq = llada_head(params, cfg, img_h, vocab_slice=(tvs, cb))
         if need_ut and need_ui:
             return vq[:B], vq[B:]
-        zero = jnp.zeros_like(vq)
-        return (vq, zero) if need_ut else (zero, vq)
+        other = cond_vq if missing_is_cond else jnp.zeros_like(vq)
+        return (vq, other) if need_ut else (other, vq)
 
     def step_fn(carry, xs):
         ids, key = carry
@@ -218,7 +223,7 @@ def make_ti2ti_step(
                            keys[1] if key is not None else None)
 
         def do_image(ids):
-            ut_vq, ui_vq = uncond_vq(ids)
+            ut_vq, ui_vq = uncond_vq(ids, cond_vq)
             return _image_update(
                 ids, cond_vq, ut_vq, ui_vq, img_pos,
                 mask_ratios[step_idx], img_temps[step_idx], opts,
@@ -255,6 +260,8 @@ def generate_ti2ti(
         ``(final_ids [B, L], image_codes [B, N_vq])`` — text extraction and
         decode stay host-side (they are O(len) string ops).
     """
+    if opts.remasking == "random" and key is None:
+        raise ValueError("remasking='random' requires a PRNG key")
     step_fn = make_ti2ti_step(params, cfg, layout, opts,
                               uncond_text_prefix, uncond_image_prefix)
     ts, te = layout.text_start, layout.text_end
@@ -328,6 +335,9 @@ def generate_ti2ti_cached(
     from mmada_parallel_tpu.models.llada import (llada_hidden_with_cache,
                                                  llada_hidden_partial)
 
+    if opts.remasking == "random" and key is None:
+        raise ValueError("remasking='random' requires a PRNG key")
+
     B, L = input_ids.shape
     img_pos = jnp.asarray(layout.image_positions(), dtype=jnp.int32)
     n_vq = int(img_pos.shape[0])
@@ -369,11 +379,12 @@ def generate_ti2ti_cached(
     n_low = max(int(np.ceil((1.0 - cache_ratio) * text_len)), 1)
     n_sel = min(n_changed_cap + n_low, text_len)
 
-    need_ut = opts.cfg_scale != 0.0 and uncond_text_prefix is not None
-    need_ui = opts.cfg_img != 0.0 and uncond_image_prefix is not None
-    eff = dataclasses.replace(
-        opts, cfg_scale=opts.cfg_scale if need_ut else 0.0,
-        cfg_img=opts.cfg_img if need_ui else 0.0)
+    build_uncond = ((opts.cfg_scale > 0 and uncond_text_prefix is not None)
+                    or (opts.cfg_img > 0 and uncond_image_prefix is not None))
+    need_ut = build_uncond and uncond_text_prefix is not None
+    need_ui = build_uncond and uncond_image_prefix is not None
+    missing_is_cond = build_uncond
+    eff = opts
     ut_prefix = (jnp.asarray(uncond_text_prefix, jnp.int32)
                  if need_ut else None)
     ui_prefix = (jnp.asarray(uncond_image_prefix, jnp.int32)
@@ -413,7 +424,7 @@ def generate_ti2ti_cached(
         return {"cache": cache, "text_logits": text_logits,
                 "vq": state["vq"], "changed": jnp.zeros((B, text_len), bool)}
 
-    def uncond_vq(ids):
+    def uncond_vq(ids, cond_vq):
         rows = []
         if need_ut:
             rows.append(jax.lax.dynamic_update_slice_in_dim(
@@ -424,7 +435,7 @@ def generate_ti2ti_cached(
                 ids, jnp.broadcast_to(ui_prefix, (B,) + ui_prefix.shape), 0,
                 axis=1))
         if not rows:
-            z = jnp.zeros((B, n_vq, cb), jnp.float32)
+            z = jnp.zeros_like(cond_vq)
             return z, z
         stacked = jnp.concatenate(rows, axis=0)
         hidden = llada_hidden(params, cfg, stacked)
@@ -432,8 +443,8 @@ def generate_ti2ti_cached(
         vq = llada_head(params, cfg, img_h, vocab_slice=(tvs, cb))
         if need_ut and need_ui:
             return vq[:B], vq[B:]
-        zero = jnp.zeros_like(vq)
-        return (vq, zero) if need_ut else (zero, vq)
+        other = cond_vq if missing_is_cond else jnp.zeros_like(vq)
+        return (vq, other) if need_ut else (other, vq)
 
     def step_fn(carry, xs):
         ids, k, state = carry
@@ -463,7 +474,7 @@ def generate_ti2ti_cached(
         state = dict(state, changed=state["changed"] | transfer)
 
         def do_image(ids):
-            ut_vq, ui_vq = uncond_vq(ids)
+            ut_vq, ui_vq = uncond_vq(ids, state["vq"])
             return _image_update(ids, state["vq"], ut_vq, ui_vq, img_pos,
                                  mask_ratios[step_idx], img_temps[step_idx],
                                  eff, keys[2] if k is not None else None)

@@ -327,6 +327,12 @@ def build_interleave_layout(
     text_start = total - max_seq_length
     del tokens
     grid = int(round(num_vq_tokens ** 0.5))
+    if grid * grid != num_vq_tokens:
+        # non-square latent counts keep a consistent (1, N) "grid" — the
+        # flat M layout never uses the grid except for num_vq_tokens
+        grid_h, grid_w = 1, num_vq_tokens
+    else:
+        grid_h = grid_w = grid
     return SequenceLayout(
         total_len=total,
         code_start=prompt_len,
@@ -334,8 +340,8 @@ def build_interleave_layout(
         image_end=image_end,
         text_start=text_start,
         text_end=total,
-        grid_h=grid,
-        grid_w=grid,
+        grid_h=grid_h,
+        grid_w=grid_w,
         has_newlines=False,
     )
 

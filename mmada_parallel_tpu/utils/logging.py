@@ -88,8 +88,11 @@ class MetricLogger:
             self.meters[k].update(float(v))
 
     def __getattr__(self, name):
-        if name in self.meters:
-            return self.meters[name]
+        # guard against recursion during unpickling/deepcopy, where
+        # lookups happen before __init__ populated the instance dict
+        meters = self.__dict__.get("meters")
+        if meters is not None and name in meters:
+            return meters[name]
         raise AttributeError(name)
 
     def __str__(self):

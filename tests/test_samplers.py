@@ -82,14 +82,30 @@ def _ref_ti2ti(fwd, ids, layout, opts, uncond_text=None, uncond_image=None):
             unknown = cur == MASK
             codes = np.clip(cur - TVS, 0, CB - 1)
             cond_vq = logits[img_pos, TVS:TVS + CB]
+            # reference gating (parallel_generator.py:243-281): forwards are
+            # built when any (scale>0, prefix) pair exists; a missing prefix
+            # inside the branch falls back to a clone (== cond); outside the
+            # branch uncond logits are zeros
+            build = ((opts.cfg_scale > 0 and uncond_text is not None)
+                     or (opts.cfg_img > 0 and uncond_image is not None))
+            if build:
+                if uncond_text is not None:
+                    u = ids.copy(); u[:len(uncond_text)] = uncond_text
+                    ut_vq = fwd(u)[img_pos, TVS:TVS + CB]
+                else:
+                    ut_vq = fwd(ids.copy())[img_pos, TVS:TVS + CB]
+                if uncond_image is not None:
+                    u = ids.copy(); u[:len(uncond_image)] = uncond_image
+                    ui_vq = fwd(u)[img_pos, TVS:TVS + CB]
+                else:
+                    ui_vq = fwd(ids.copy())[img_pos, TVS:TVS + CB]
+            else:
+                ut_vq = np.zeros_like(cond_vq)
+                ui_vq = np.zeros_like(cond_vq)
             g = cond_vq.copy()
-            if opts.cfg_scale != 0 and uncond_text is not None:
-                u = ids.copy(); u[:len(uncond_text)] = uncond_text
-                ut_vq = fwd(u)[img_pos, TVS:TVS + CB]
+            if opts.cfg_scale != 0:
                 g = g + opts.cfg_scale * (cond_vq - ut_vq)
-            if opts.cfg_img != 0 and uncond_image is not None:
-                u = ids.copy(); u[:len(uncond_image)] = uncond_image
-                ui_vq = fwd(u)[img_pos, TVS:TVS + CB]
+            if opts.cfg_img != 0:
                 g = g + opts.cfg_img * (cond_vq - ui_vq)
             sampled = g.argmax(-1)  # temp 0
             sampled = np.where(unknown, sampled, codes)
@@ -144,6 +160,35 @@ def test_ti2ti_matches_reference_loop(model, cfg_scale, cfg_img):
     # codes consistent with final ids
     assert np.array_equal(np.asarray(got_codes)[0],
                           np.clip(got[lay.image_positions()] - TVS, 0, CB - 1))
+
+
+def test_ti2ti_cfg_without_prefix_amplifies(model):
+    """Reference edge case: cfg_img>0 with NO prefixes -> uncond logits are
+    zeros and cond is amplified by (1 + cfg_img)."""
+    cfg, params, fwd = model
+    ids, lay = _layout_and_ids()
+    opts = TI2TIOptions(text_steps=8, timesteps=4, temperature=0.0,
+                        text_temperature=0.0, cfg_scale=0.0, cfg_img=2.0,
+                        text_vocab_size=TVS, codebook_size=CB,
+                        mask_token=MASK)
+    want = _ref_ti2ti(fwd, ids, lay, opts, uncond_text=None,
+                      uncond_image=None)
+    got_ids, _ = generate_ti2ti(params, cfg, jnp.asarray(ids)[None], lay,
+                                opts, key=None)
+    got = np.asarray(got_ids)[0]
+    assert np.array_equal(got, want), (
+        f"mismatch at {np.nonzero(got != want)[0]}")
+    # and amplification differs from the cfg=0 trajectory
+    opts0 = TI2TIOptions(text_steps=8, timesteps=4, temperature=0.0,
+                         text_temperature=0.0, cfg_scale=0.0, cfg_img=0.0,
+                         text_vocab_size=TVS, codebook_size=CB,
+                         mask_token=MASK)
+    base_ids, _ = generate_ti2ti(params, cfg, jnp.asarray(ids)[None], lay,
+                                 opts0, key=None)
+    # at temp 0 amplification preserves argmax but changes re-mask
+    # confidences; trajectories may or may not diverge for a tiny model —
+    # only the oracle equality above is the contract.
+    assert base_ids.shape == got_ids.shape
 
 
 def test_ti2ti_fills_text_and_image(model):
