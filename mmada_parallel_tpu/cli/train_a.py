@@ -131,15 +131,19 @@ def main(argv=None):
                              max_to_keep=args.ckpt_max_keep)
     restored, meta, last = mngr.restore(state)
     start_epoch, start_iter = 0, 0
+    logger = MetricLogger()
     if restored is not None:
         state = restored
         start_epoch = meta.get("epoch", 0)
         start_iter = meta.get("iter", 0)
+        # seamless metric continuation (the reference's additional.{rank}.pth
+        # payload, xllm/util/ckpt.py:114-119)
+        if meta.get("metrics"):
+            logger.load_state_dict(meta["metrics"])
         print(f"[resume] step {last} (epoch {start_epoch} iter {start_iter})")
 
     writer = ScalarWriter(os.path.join(args.output_dir, "tb"),
                           is_main=jax.process_index() == 0)
-    logger = MetricLogger()
     bsh = batch_sharding(mesh)
 
     def collate(batch_indices):
@@ -198,12 +202,14 @@ def main(argv=None):
             if global_step % args.save_iteration_interval == 0:
                 mngr.save(global_step, state,
                           {"epoch": epoch,
-                           "iter": global_step % iters_per_epoch})
+                           "iter": global_step % iters_per_epoch,
+                           "metrics": logger.state_dict()})
             if args.max_steps and global_step >= args.max_steps:
                 break
         if args.max_steps and global_step >= args.max_steps:
             break
-        mngr.save(global_step, state, {"epoch": epoch + 1, "iter": 0})
+        mngr.save(global_step, state, {"epoch": epoch + 1, "iter": 0,
+                                       "metrics": logger.state_dict()})
     mngr.wait()
     writer.close()
     print(f"[done] {global_step} steps")
