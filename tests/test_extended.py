@@ -137,6 +137,26 @@ def test_pararl_rollout_and_loss(model):
     assert np.isfinite(gn) and gn > 0
 
 
+def test_random_remasking_requires_key(model):
+    cfg, params = model
+    ids, lay = _req()
+    opts = _opts(remasking="random")
+    with pytest.raises(ValueError, match="PRNG key"):
+        generate_ti2ti(params, cfg, jnp.asarray(ids)[None], lay, opts,
+                       key=None)
+    # with a key it runs and fills the text span
+    fin, _ = generate_ti2ti(params, cfg, jnp.asarray(ids)[None], lay, opts,
+                            key=jax.random.key(0))
+    f = np.asarray(fin)[0]
+    assert not np.any(f[lay.text_start:lay.text_end] == MASK)
+
+
+def test_interleave_nonsquare_grid_layout():
+    lay = tk.build_interleave_layout(10, num_vq_tokens=512, max_seq_length=8)
+    assert lay.num_vq_tokens == 512
+    assert lay.image_end - lay.image_start == 512
+
+
 def test_decode_text_accepts_1d_and_2d(model):
     from mmada_parallel_tpu.samplers.parallel_ti2ti import decode_text
     ids, lay = _req()
