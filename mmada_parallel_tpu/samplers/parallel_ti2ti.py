@@ -70,8 +70,12 @@ class TI2TIOptions:
 
 def _text_update(ids: jax.Array, text_logits: jax.Array, budget: jax.Array,
                  opts: TI2TIOptions, layout: SequenceLayout,
-                 key: Optional[jax.Array]) -> jax.Array:
-    """One text-transfer update (``parallel_generator.py:181-217``)."""
+                 key: Optional[jax.Array],
+                 return_transfer: bool = False):
+    """One text-transfer update (``parallel_generator.py:181-217``).
+
+    Returns the updated ids, or ``(ids, transfer_mask)`` when
+    ``return_transfer`` (the cached sampler tracks committed positions)."""
     ts, te = layout.text_start, layout.text_end
     cur = jax.lax.dynamic_slice_in_dim(ids, ts, te - ts, axis=1)
     masked = cur == opts.mask_token
@@ -88,7 +92,63 @@ def _text_update(ids: jax.Array, text_logits: jax.Array, budget: jax.Array,
     conf = jnp.where(masked, conf, S.NEG_INF)
     transfer = S.topk_transfer_mask(conf, budget)
     new_text = jnp.where(transfer, x0, cur)
-    return jax.lax.dynamic_update_slice_in_dim(ids, new_text, ts, axis=1)
+    out = jax.lax.dynamic_update_slice_in_dim(ids, new_text, ts, axis=1)
+    return (out, transfer) if return_transfer else out
+
+
+def _cfg_plan(opts: TI2TIOptions, uncond_text_prefix, uncond_image_prefix):
+    """Reference CFG gating (parallel_generator.py:243-281):
+
+    * uncond forwards are built only when (cfg_scale>0 and text prefix) or
+      (cfg_img>0 and image prefix);
+    * inside that branch, a MISSING prefix falls back to a clone of the
+      cond ids — whose forward equals cond exactly, so its term vanishes;
+    * when the branch is not entered, uncond logits are ZEROS and a
+      nonzero scale amplifies cond: cond + s*(cond - 0).
+    """
+    build_uncond = ((opts.cfg_scale > 0 and uncond_text_prefix is not None)
+                    or (opts.cfg_img > 0 and uncond_image_prefix is not None))
+    need_ut = build_uncond and uncond_text_prefix is not None
+    need_ui = build_uncond and uncond_image_prefix is not None
+    return {
+        "need_ut": need_ut,
+        "need_ui": need_ui,
+        "missing_is_cond": build_uncond,
+        "ut_prefix": (jnp.asarray(uncond_text_prefix, jnp.int32)
+                      if need_ut else None),
+        "ui_prefix": (jnp.asarray(uncond_image_prefix, jnp.int32)
+                      if need_ui else None),
+    }
+
+
+def _uncond_vq(params, cfg, ids, cond_vq, plan, img_pos, tvs, cb):
+    """Uncond CFG forwards (batched) -> codebook logits at image positions.
+
+    Missing-prefix branches inside the build-uncond gate resolve to
+    ``cond_vq`` (the reference's clone forward); outside the gate both
+    resolve to zeros."""
+    B = ids.shape[0]
+    batch = []
+    if plan["need_ut"]:
+        p = plan["ut_prefix"]
+        batch.append(jax.lax.dynamic_update_slice_in_dim(
+            ids, jnp.broadcast_to(p, (B,) + p.shape), 0, axis=1))
+    if plan["need_ui"]:
+        p = plan["ui_prefix"]
+        batch.append(jax.lax.dynamic_update_slice_in_dim(
+            ids, jnp.broadcast_to(p, (B,) + p.shape), 0, axis=1))
+    if not batch:
+        z = jnp.zeros_like(cond_vq)
+        return z, z
+    stacked = jnp.concatenate(batch, axis=0)
+    hidden = llada_hidden(params, cfg, stacked)
+    img_h = jnp.take_along_axis(
+        hidden, img_pos[None, :, None].astype(jnp.int32), axis=1)
+    vq = llada_head(params, cfg, img_h, vocab_slice=(tvs, cb))
+    if plan["need_ut"] and plan["need_ui"]:
+        return vq[:B], vq[B:]
+    other = cond_vq if plan["missing_is_cond"] else jnp.zeros_like(vq)
+    return (vq, other) if plan["need_ut"] else (other, vq)
 
 
 def _image_update(ids: jax.Array, cond_vq: jax.Array, ut_vq: jax.Array,
@@ -157,23 +217,7 @@ def make_ti2ti_step(
     img_temps = opts.temperature * (1.0 - ratios)     # [steps]
     img_step = S.image_step_mask(steps, opts.timesteps)
 
-    # Reference CFG gating (parallel_generator.py:243-281):
-    # * uncond forwards are built only when (cfg_scale>0 and text prefix) or
-    #   (cfg_img>0 and image prefix);
-    # * inside that branch, a MISSING prefix falls back to a clone of the
-    #   cond ids — whose forward equals cond exactly, so its term vanishes;
-    # * when the branch is not entered, uncond logits are ZEROS and a
-    #   nonzero scale amplifies cond: cond + s*(cond - 0).
-    build_uncond = ((opts.cfg_scale > 0 and uncond_text_prefix is not None)
-                    or (opts.cfg_img > 0 and uncond_image_prefix is not None))
-    need_ut = build_uncond and uncond_text_prefix is not None
-    need_ui = build_uncond and uncond_image_prefix is not None
-    # missing-prefix term inside the branch: equals cond (clone forward)
-    missing_is_cond = build_uncond
-    ut_prefix = (jnp.asarray(uncond_text_prefix, jnp.int32)
-                 if need_ut else None)
-    ui_prefix = (jnp.asarray(uncond_image_prefix, jnp.int32)
-                 if need_ui else None)
+    plan = _cfg_plan(opts, uncond_text_prefix, uncond_image_prefix)
 
     def cond_heads(ids):
         """Conditional forward -> (text full-vocab logits, image codebook logits)."""
@@ -184,32 +228,6 @@ def make_ti2ti_step(
             hidden, img_pos[None, :, None].astype(jnp.int32), axis=1)
         vq_logits = llada_head(params, cfg, img_h, vocab_slice=(tvs, cb))
         return text_logits, vq_logits
-
-    def uncond_vq(ids, cond_vq):
-        """Uncond forwards (batched together) -> codebook logits at image
-        pos.  Missing-prefix branches inside the build-uncond gate resolve
-        to ``cond_vq`` (the reference's clone forward); outside the gate
-        both resolve to zeros."""
-        B = ids.shape[0]
-        batch = []
-        if need_ut:
-            batch.append(jax.lax.dynamic_update_slice_in_dim(
-                ids, jnp.broadcast_to(ut_prefix, (B,) + ut_prefix.shape), 0, axis=1))
-        if need_ui:
-            batch.append(jax.lax.dynamic_update_slice_in_dim(
-                ids, jnp.broadcast_to(ui_prefix, (B,) + ui_prefix.shape), 0, axis=1))
-        if not batch:
-            z = jnp.zeros_like(cond_vq)
-            return z, z
-        stacked = jnp.concatenate(batch, axis=0)
-        hidden = llada_hidden(params, cfg, stacked)
-        img_h = jnp.take_along_axis(
-            hidden, img_pos[None, :, None].astype(jnp.int32), axis=1)
-        vq = llada_head(params, cfg, img_h, vocab_slice=(tvs, cb))
-        if need_ut and need_ui:
-            return vq[:B], vq[B:]
-        other = cond_vq if missing_is_cond else jnp.zeros_like(vq)
-        return (vq, other) if need_ut else (other, vq)
 
     def step_fn(carry, xs):
         ids, key = carry
@@ -223,7 +241,8 @@ def make_ti2ti_step(
                            keys[1] if key is not None else None)
 
         def do_image(ids):
-            ut_vq, ui_vq = uncond_vq(ids, cond_vq)
+            ut_vq, ui_vq = _uncond_vq(params, cfg, ids, cond_vq, plan,
+                                      img_pos, tvs, cb)
             return _image_update(
                 ids, cond_vq, ut_vq, ui_vq, img_pos,
                 mask_ratios[step_idx], img_temps[step_idx], opts,
@@ -379,16 +398,7 @@ def generate_ti2ti_cached(
     n_low = max(int(np.ceil((1.0 - cache_ratio) * text_len)), 1)
     n_sel = min(n_changed_cap + n_low, text_len)
 
-    build_uncond = ((opts.cfg_scale > 0 and uncond_text_prefix is not None)
-                    or (opts.cfg_img > 0 and uncond_image_prefix is not None))
-    need_ut = build_uncond and uncond_text_prefix is not None
-    need_ui = build_uncond and uncond_image_prefix is not None
-    missing_is_cond = build_uncond
-    eff = opts
-    ut_prefix = (jnp.asarray(uncond_text_prefix, jnp.int32)
-                 if need_ut else None)
-    ui_prefix = (jnp.asarray(uncond_image_prefix, jnp.int32)
-                 if need_ui else None)
+    plan = _cfg_plan(opts, uncond_text_prefix, uncond_image_prefix)
 
     def full_compute(ids, state):
         hidden, cache = llada_hidden_with_cache(params, cfg, ids)
@@ -424,28 +434,6 @@ def generate_ti2ti_cached(
         return {"cache": cache, "text_logits": text_logits,
                 "vq": state["vq"], "changed": jnp.zeros((B, text_len), bool)}
 
-    def uncond_vq(ids, cond_vq):
-        rows = []
-        if need_ut:
-            rows.append(jax.lax.dynamic_update_slice_in_dim(
-                ids, jnp.broadcast_to(ut_prefix, (B,) + ut_prefix.shape), 0,
-                axis=1))
-        if need_ui:
-            rows.append(jax.lax.dynamic_update_slice_in_dim(
-                ids, jnp.broadcast_to(ui_prefix, (B,) + ui_prefix.shape), 0,
-                axis=1))
-        if not rows:
-            z = jnp.zeros_like(cond_vq)
-            return z, z
-        stacked = jnp.concatenate(rows, axis=0)
-        hidden = llada_hidden(params, cfg, stacked)
-        img_h = jnp.take_along_axis(hidden, img_pos[None, :, None], axis=1)
-        vq = llada_head(params, cfg, img_h, vocab_slice=(tvs, cb))
-        if need_ut and need_ui:
-            return vq[:B], vq[B:]
-        other = cond_vq if missing_is_cond else jnp.zeros_like(vq)
-        return (vq, other) if need_ut else (other, vq)
-
     def step_fn(carry, xs):
         ids, k, state = carry
         step_idx, budget = xs
@@ -456,28 +444,17 @@ def generate_ti2ti_cached(
                              partial_compute, ids, state)
 
         # text update from (possibly partially stale) cached logits
-        cur = jax.lax.dynamic_slice_in_dim(ids, ts, text_len, axis=1)
-        masked = cur == opts.mask_token
-        kn, kr = ((jax.random.split(keys[1]) if keys[1] is not None
-                   else (None, None)))
-        x0 = S.gumbel_argmax(state["text_logits"], opts.text_temperature,
-                             kn if opts.text_temperature != 0 else None)
-        if opts.remasking == "low_confidence":
-            conf = S.token_confidence(state["text_logits"], x0)
-        else:
-            conf = jax.random.uniform(kr, x0.shape)
-        x0 = jnp.where(masked, x0, cur)
-        conf = jnp.where(masked, conf, S.NEG_INF)
-        transfer = S.topk_transfer_mask(conf, budget)
-        new_text = jnp.where(transfer, x0, cur)
-        ids = jax.lax.dynamic_update_slice_in_dim(ids, new_text, ts, axis=1)
+        ids, transfer = _text_update(ids, state["text_logits"], budget, opts,
+                                     layout, keys[1] if k is not None else None,
+                                     return_transfer=True)
         state = dict(state, changed=state["changed"] | transfer)
 
         def do_image(ids):
-            ut_vq, ui_vq = uncond_vq(ids, state["vq"])
+            ut_vq, ui_vq = _uncond_vq(params, cfg, ids, state["vq"], plan,
+                                      img_pos, tvs, cb)
             return _image_update(ids, state["vq"], ut_vq, ui_vq, img_pos,
                                  mask_ratios[step_idx], img_temps[step_idx],
-                                 eff, keys[2] if k is not None else None)
+                                 opts, keys[2] if k is not None else None)
 
         ids = jax.lax.cond(img_step_dev[step_idx], do_image, lambda x: x, ids)
         return (ids, next_key, state), None
