@@ -43,6 +43,24 @@ def test_sharded_forward_matches_unsharded(setup):
     np.testing.assert_allclose(ref, got, atol=2e-4, rtol=2e-3)
 
 
+def test_parabench_sweep_with_mesh(setup):
+    from mmada_parallel_tpu.evaluation import EvalRequest, run_parabench_sweep
+    from mmada_parallel_tpu.samplers.parallel_ti2ti import TI2TIOptions
+    cfg, params, sharded, mesh = setup
+    reqs = [EvalRequest(prompt_ids=[5, 6, 7], meta={"i": i})
+            for i in range(4)]
+    opts = TI2TIOptions(text_steps=4, timesteps=2, temperature=0.0,
+                        text_temperature=0.0, cfg_scale=0.0, cfg_img=0.0,
+                        text_vocab_size=TVS, codebook_size=CB,
+                        mask_token=MASK)
+    out = run_parabench_sweep(
+        sharded, cfg, reqs, grid_hw=(2, 3), text_gen_length=8,
+        end_token_ids=[9], opts=opts, batch_size=4, mesh=mesh, tokens=TOK)
+    assert out["num_requests"] == 4
+    assert len(out["results"]) == 4
+    assert out["edits_per_min_per_chip"] > 0
+
+
 def test_sharded_ti2ti_matches_unsharded(setup):
     cfg, params, sharded, mesh = setup
     ids, lay = tk.assemble_ti2ti_sequence([5, 6, 7], 8, 2, 3, [9],
