@@ -82,7 +82,7 @@ class LLaDAConfig:
     input_emb_norm: bool = False
     scale_logits: bool = False
     attention_layer_norm: bool = False        # q/k norm (unused by 8B ckpts)
-    init_fn: str = "normal"                   # "normal" | "mitchell" | "fan_in" | "full_megatron"
+    init_fn: str = "normal"                   # "normal" | "mitchell" | "kaiming_normal" | "fan_in" | "full_megatron"
     init_std: float = 0.02
     init_cutoff_factor: Optional[float] = None
     mask_token_id: int = 126336
@@ -164,7 +164,8 @@ def init_llada_params(key: jax.Array, cfg: LLaDAConfig) -> Dict[str, Any]:
     Init schemes mirror ``init_weights`` (``modeling_llada.py:80-155``):
     ``normal`` (std=init_std, optional truncation cutoff, residual outputs
     scaled by ``1/sqrt(2*n_layers)``), ``mitchell`` (``1/sqrt(d_in)`` with
-    per-layer decay), ``fan_in``, and ``full_megatron`` (role-keyed stds).
+    per-layer decay), ``kaiming_normal`` (``sqrt(2/fan_in)``), ``fan_in``,
+    and ``full_megatron`` (role-keyed stds).
     Block parameters are stacked on a leading ``[n_layers, ...]`` axis.
     """
     cfg.validate()
@@ -204,6 +205,14 @@ def init_llada_params(key: jax.Array, cfg: LLaDAConfig) -> Dict[str, Any]:
                 decay = 1.0 / jnp.sqrt(2.0 * (jnp.arange(L) + 1.0))
                 w = (w * decay[:, None, None].astype(w.dtype))
             return w.astype(pd)
+        if cfg.init_fn == "kaiming_normal":
+            # torch kaiming_normal_(nonlinearity="relu"), mode=fan_in
+            # (modeling_llada.py:111-112): std = sqrt(2 / fan_in).  torch
+            # fan_in is weight.size(1): embedding dim for wte, input
+            # features for (d_in, d_out)-layout projections.
+            fan = shape[-1] if role == "emb" else d_in
+            return (math.sqrt(2.0 / fan)
+                    * jax.random.normal(k, shape)).astype(pd)
         if cfg.init_fn == "fan_in":
             return trunc(k, shape, 1.0 / math.sqrt(d_in), None)
         if cfg.init_fn == "full_megatron":

@@ -184,6 +184,25 @@ def test_remat_strategies_same_output_and_grads(tiny):
                                        atol=1e-5, err_msg=strat)
 
 
+def test_kaiming_normal_init_stds():
+    """kaiming_normal (modeling_llada.py:111-112): std = sqrt(2/fan_in),
+    where torch's fan_in is weight.size(1) — embedding dim for wte,
+    input features for projections."""
+    cfg = LLaDAConfig.tiny(init_fn="kaiming_normal", d_model=64,
+                           mlp_hidden_size=128, vocab_size=4096)
+    params = init_llada_params(jax.random.key(7), cfg)
+    d = cfg.d_model
+    for name, fan in [("q_proj", d), ("ff_out", cfg.hidden_size)]:
+        w = np.asarray(params["blocks"][name], np.float32)
+        np.testing.assert_allclose(w.std(), np.sqrt(2.0 / fan), rtol=0.15,
+                                   err_msg=name)
+    wte = np.asarray(params["wte"], np.float32)
+    np.testing.assert_allclose(wte.std(), np.sqrt(2.0 / d), rtol=0.15)
+    # forward still runs
+    logits = llada_forward(params, cfg, jnp.zeros((1, 4), jnp.int32))
+    assert np.isfinite(np.asarray(logits)).all()
+
+
 def test_count_params_8b_scale():
     """Sanity-check the 8B config's parameter count (~8.1e9)."""
     cfg = LLaDAConfig.llada_8b()
