@@ -1,0 +1,452 @@
+"""Parity tests that run the ACTUAL reference code (not re-typed oracles).
+
+Round-1 verdict item #2: every other parity test compares against numpy
+loops the builder wrote.  Here the reference sources themselves are imported
+and executed on CPU torch:
+
+* ``MMaDA-Parallel-A/generators/parallel_generator.py`` ``generate_ti2ti``
+  driven by a stub model that returns the SAME tiny-model logits the JAX
+  sampler sees -> final tokens must match token-exactly at temperature 0.
+* ``MMaDA-Parallel-A/model/modeling_llada.py`` tiny ``LLaDAModelLM``: its
+  real ``state_dict`` goes through ``models/convert.llada_params_from_torch``
+  and the fp32 forwards must agree (tests converter names + block math).
+* ``MMaDA-Parallel-M/models/modeling_mmada.py`` ``interleave_generate``
+  (the unbound method on a stub self) vs ``samplers.interleave``.
+* ``MMaDA-Parallel-M/models/modeling_magvitv2.py`` VQGANEncoder/Decoder +
+  LFQuantizer vs ``models/magvit2.py`` via ``magvit_params_from_torch``.
+
+A systematic misreading of the reference now fails these tests even if the
+hand-written oracles share the misreading.
+"""
+
+import dataclasses
+import importlib
+import importlib.util
+import os
+import sys
+import types
+from types import SimpleNamespace
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+
+REF_A = "/root/reference/MMaDA-Parallel-A"
+REF_M = "/root/reference/MMaDA-Parallel-M"
+
+pytestmark = pytest.mark.skipif(
+    not (os.path.isdir(REF_A) and os.path.isdir(REF_M)),
+    reason="reference checkout not available")
+
+from mmada_parallel_tpu import tokens as tk
+from mmada_parallel_tpu.models.llada import (
+    LLaDAConfig, init_llada_params, llada_forward)
+from mmada_parallel_tpu.models import convert as cv
+
+
+# ---------------------------------------------------------------------------
+# Reference module loaders
+# ---------------------------------------------------------------------------
+
+
+def _load_file_module(name, path):
+    if name in sys.modules:
+        return sys.modules[name]
+    spec = importlib.util.spec_from_file_location(name, path)
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[name] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _synthetic_pkg(name, path):
+    """Register ``name`` as a package rooted at ``path`` WITHOUT running the
+    real ``__init__.py`` (A's imports the full multimodal wrapper; M's
+    imports a nonexistent ``modeling_showo``)."""
+    if name in sys.modules:
+        return sys.modules[name]
+    pkg = types.ModuleType(name)
+    pkg.__path__ = [path]
+    pkg.__package__ = name
+    sys.modules[name] = pkg
+    return pkg
+
+
+@pytest.fixture(scope="module")
+def ref_pg():
+    """A-variant generators/parallel_generator.py (no relative imports)."""
+    return _load_file_module(
+        "ref_parallel_generator",
+        os.path.join(REF_A, "generators", "parallel_generator.py"))
+
+
+@pytest.fixture(scope="module")
+def ref_a_model():
+    """A-variant model package (modeling_llada + configuration_llada)."""
+    _synthetic_pkg("ref_a_model", os.path.join(REF_A, "model"))
+    return importlib.import_module("ref_a_model.modeling_llada")
+
+
+def _stub_m_support_modules():
+    """M's modeling_magvitv2 imports .modeling_utils (needs diffusers, not
+    installed) and .misc (needs omegaconf) for ModelMixin/ConfigMixin only;
+    stub just those two relative modules."""
+    if "ref_m_models.modeling_utils" not in sys.modules:
+        mu = types.ModuleType("ref_m_models.modeling_utils")
+        mu.ConfigMixin = object
+        mu.ModelMixin = torch.nn.Module
+        mu.register_to_config = lambda fn: fn
+        sys.modules["ref_m_models.modeling_utils"] = mu
+    if "ref_m_models.misc" not in sys.modules:
+        misc = types.ModuleType("ref_m_models.misc")
+        # the real misc star-exports typing names the magvit module uses
+        import typing
+        for n in ("Any", "Callable", "Dict", "List", "Optional", "Tuple",
+                  "Union", "Iterator", "NamedTuple", "Type"):
+            setattr(misc, n, getattr(typing, n))
+        sys.modules["ref_m_models.misc"] = misc
+
+
+@pytest.fixture(scope="module")
+def ref_magvit():
+    _synthetic_pkg("ref_m_models", os.path.join(REF_M, "models"))
+    _stub_m_support_modules()
+    return importlib.import_module("ref_m_models.modeling_magvitv2")
+
+
+@pytest.fixture(scope="module")
+def ref_mmada():
+    _synthetic_pkg("ref_m_models", os.path.join(REF_M, "models"))
+    _stub_m_support_modules()
+    return importlib.import_module("ref_m_models.modeling_mmada")
+
+
+# ---------------------------------------------------------------------------
+# (b) LLaDA backbone: reference torch model -> converter -> JAX forward
+# ---------------------------------------------------------------------------
+
+
+def _tiny_hf_config_dict():
+    return dict(d_model=32, n_heads=4, n_kv_heads=2, n_layers=2,
+                mlp_hidden_size=64, vocab_size=256, embedding_size=256,
+                max_sequence_length=64, rope_theta=10000.0,
+                rms_norm_eps=1e-5, layer_norm_type="rms",
+                include_bias=False, include_qkv_bias=False,
+                block_type="llama", activation_type="silu",
+                weight_tying=False, input_emb_norm=False,
+                scale_logits=False)
+
+
+def test_llada_forward_matches_reference_torch(ref_a_model):
+    kw = _tiny_hf_config_dict()
+    ref_cfg = ref_a_model.LLaDAConfig(
+        **kw, rope=True, flash_attention=False, attention_dropout=0.0,
+        residual_dropout=0.0, embedding_dropout=0.0, init_device="cpu")
+    ref_lm = ref_a_model.LLaDAModelLM(ref_cfg, init_params=False)
+    torch.manual_seed(0)
+    with torch.no_grad():
+        for p in ref_lm.parameters():
+            p.normal_(0.0, 0.5)
+    ref_lm.eval()
+
+    sd = {k: v.detach().numpy() for k, v in ref_lm.state_dict().items()}
+    my_cfg = cv.llada_config_from_hf(kw, compute_dtype=jnp.float32)
+    params = cv.llada_params_from_torch(sd, my_cfg)
+
+    rng = np.random.default_rng(0)
+    ids = rng.integers(0, 256, size=(2, 11))
+    with torch.no_grad():
+        want = ref_lm(torch.from_numpy(ids)).logits.numpy()
+    got = np.asarray(llada_forward(params, my_cfg, jnp.asarray(ids)))
+    np.testing.assert_allclose(got, want, atol=3e-4, rtol=2e-3)
+
+
+def test_llada_sequential_block_matches_reference_torch(ref_a_model):
+    """Fused-qkv sequential block + SwiGLU, the other block flavor."""
+    kw = _tiny_hf_config_dict()
+    kw.update(block_type="sequential", activation_type="swiglu",
+              n_kv_heads=4)
+    ref_cfg = ref_a_model.LLaDAConfig(
+        **kw, rope=True, flash_attention=False, attention_dropout=0.0,
+        residual_dropout=0.0, embedding_dropout=0.0, init_device="cpu")
+    ref_lm = ref_a_model.LLaDAModelLM(ref_cfg, init_params=False)
+    torch.manual_seed(1)
+    with torch.no_grad():
+        for p in ref_lm.parameters():
+            p.normal_(0.0, 0.5)
+    ref_lm.eval()
+
+    sd = {k: v.detach().numpy() for k, v in ref_lm.state_dict().items()}
+    my_cfg = cv.llada_config_from_hf(kw, compute_dtype=jnp.float32)
+    params = cv.llada_params_from_torch(sd, my_cfg)
+
+    ids = np.random.default_rng(1).integers(0, 256, size=(1, 9))
+    # LLaDAModel.forward unconditionally passes to_compute_mask, which the
+    # reference's own LLaDASequentialBlock.forward does not accept (a latent
+    # upstream bug — upstream only ships llama blocks); drive the reference
+    # modules directly with the same trivial glue the llama test verified.
+    tr = ref_lm.model.transformer
+    for block in tr.blocks:
+        # second latent upstream bug: the sequential block forwards
+        # use_cache to LLaDABlock.attention, which doesn't take it
+        blk_cls = type(block)
+        block.attention = (
+            lambda q, k, v, bias, layer_past=None, use_cache=False,
+            _b=block, _c=blk_cls: _c.attention(_b, q, k, v, bias,
+                                               layer_past=layer_past))
+    with torch.no_grad():
+        x = tr.wte(torch.from_numpy(ids))
+        for block in tr.blocks:
+            x, _ = block(x)
+        want = tr.ff_out(tr.ln_f(x)).numpy()
+    got = np.asarray(llada_forward(params, my_cfg, jnp.asarray(ids)))
+    np.testing.assert_allclose(got, want, atol=3e-4, rtol=2e-3)
+
+
+# ---------------------------------------------------------------------------
+# (a) A-variant generate_ti2ti: the reference generator code itself
+# ---------------------------------------------------------------------------
+
+# The reference hardcodes MASK=126336 / NEW_LINE=126084
+# (parallel_generator.py:136-137), so the toy space must use the REAL token
+# ids; only the codebook is shrunk.
+CB_A = 32
+TOK_A = dataclasses.replace(tk.TOKENS_A, codebook_size=CB_A)
+VOCAB_A = TOK_A.text_vocab_size + CB_A
+
+
+class _StubTorchModel:
+    """Returns the same logits the JAX sampler computes internally."""
+
+    def __init__(self, params, cfg):
+        self.params, self.cfg = params, cfg
+
+    def __call__(self, ids, **kw):
+        logits = np.asarray(llada_forward(
+            self.params, self.cfg, jnp.asarray(ids.cpu().numpy())))
+        return SimpleNamespace(logits=torch.from_numpy(logits))
+
+
+@pytest.fixture(scope="module")
+def tiny_a():
+    cfg = LLaDAConfig.tiny(d_model=32, n_heads=2, n_kv_heads=2, n_layers=1,
+                           mlp_hidden_size=64, vocab_size=VOCAB_A,
+                           mask_token_id=TOK_A.mask)
+    params = init_llada_params(jax.random.key(11), cfg)
+    return cfg, params
+
+
+@pytest.mark.parametrize("cfg_scale,cfg_img,with_prefixes", [
+    (0.0, 0.0, False),
+    (0.0, 2.0, True),
+    (1.5, 2.0, True),
+    (0.0, 2.0, False),   # zero-prefix amplify edge case
+])
+def test_ti2ti_matches_reference_generator_code(ref_pg, tiny_a, cfg_scale,
+                                                cfg_img, with_prefixes):
+    from mmada_parallel_tpu.samplers.parallel_ti2ti import (
+        TI2TIOptions, generate_ti2ti)
+
+    cfg, params = tiny_a
+    gh, gw = 2, 3
+    prompt = [1000, 1001, TOK_A.vq_offset + 2, TOK_A.vq_offset + 5]
+    ids, lay = tk.assemble_ti2ti_sequence(prompt, text_gen_length=8,
+                                          grid_h=gh, grid_w=gw,
+                                          end_token_ids=[126081],
+                                          tokens=TOK_A)
+    un_text = np.array([2000, 2001, 2002], np.int64) if with_prefixes else None
+    un_img = np.array([3000, 3001], np.int64) if with_prefixes else None
+
+    torch.manual_seed(0)
+    ref_img, ref_text = ref_pg.generate_ti2ti(
+        _StubTorchModel(params, cfg),
+        torch.from_numpy(np.asarray(ids, np.int64))[None],
+        text_start=lay.text_start, text_end=lay.text_end,
+        image_start=lay.image_start, seq_len=gh * gw, newline_every=gw,
+        text_steps=8, timesteps=4, temperature=0.0, text_temperature=0.0,
+        cfg_scale=cfg_scale, cfg_img=cfg_img,
+        uncon_text=(torch.from_numpy(un_text)[None]
+                    if un_text is not None else None),
+        uncon_image=(torch.from_numpy(un_img)[None]
+                     if un_img is not None else None),
+        tokenizer=None, text_vocab_size=TOK_A.text_vocab_size,
+        codebook_size=CB_A)
+
+    opts = TI2TIOptions(text_steps=8, timesteps=4, temperature=0.0,
+                        text_temperature=0.0, cfg_scale=cfg_scale,
+                        cfg_img=cfg_img,
+                        text_vocab_size=TOK_A.text_vocab_size,
+                        codebook_size=CB_A, mask_token=TOK_A.mask)
+    got_ids, got_codes = generate_ti2ti(
+        params, cfg, jnp.asarray(ids)[None], lay, opts,
+        uncond_text_prefix=un_text, uncond_image_prefix=un_img, key=None)
+    got_ids = np.asarray(got_ids)[0]
+    got_codes = np.asarray(got_codes)[0]
+
+    # text: reference returns non-mask text-span tokens
+    my_text = [int(t) for t in got_ids[lay.text_start:lay.text_end]
+               if t != TOK_A.mask]
+    assert my_text == list(ref_text)
+
+    # image: positions still masked at the end are filled RANDOMLY by the
+    # reference (parallel_generator.py:356-360) — compare the committed ones
+    img_pos = np.asarray(lay.image_positions())
+    still_masked = got_ids[img_pos] == TOK_A.mask
+    ref_img = np.asarray(ref_img)
+    assert still_masked.sum() <= 1  # only the re-mask floor survives
+    np.testing.assert_array_equal(got_codes[~still_masked],
+                                  ref_img[~still_masked])
+
+
+# ---------------------------------------------------------------------------
+# (c) M-variant interleave_generate: the reference method itself
+# ---------------------------------------------------------------------------
+
+TVS_M, CB_M = 256, 32
+TOK_M = tk.VariantMTokens(soi=251, eoi=250, bos=249, mask=250 + 5,
+                          text_vocab_size=TVS_M, codebook_size=CB_M)
+
+
+class _StubMMada:
+    """Duck-typed ``self`` for the unbound ``interleave_generate``."""
+
+    def __init__(self, params, cfg, mask_token):
+        self.params, self.cfg = params, cfg
+        self.config = SimpleNamespace(mask_token_id=mask_token)
+
+    def __call__(self, ids, **kw):
+        logits = np.asarray(llada_forward(
+            self.params, self.cfg, jnp.asarray(ids.cpu().numpy())))
+        return SimpleNamespace(logits=torch.from_numpy(logits))
+
+
+class _FakeTokenizer:
+    bos_token_id = TOK_M.bos
+
+    def __len__(self):
+        return TVS_M
+
+
+def test_interleave_matches_reference_method_code(ref_mmada, monkeypatch):
+    from mmada_parallel_tpu.samplers.interleave import (
+        InterleaveOptions, interleave_generate)
+
+    cfg = LLaDAConfig.tiny(d_model=32, n_heads=2, n_kv_heads=2, n_layers=1,
+                           mlp_hidden_size=64, vocab_size=TVS_M + CB_M,
+                           mask_token_id=TOK_M.mask)
+    params = init_llada_params(jax.random.key(13), cfg)
+
+    n_vq, msl = 6, 8
+    prompt = [10, 11, 12, 13, 14]
+    un_prompt = [30, 31, 32, 33, 34]
+    ids, lay = tk.assemble_interleave_sequence(prompt, num_vq_tokens=n_vq,
+                                               max_seq_length=msl,
+                                               tokens=TOK_M)
+    un_ids, _ = tk.assemble_interleave_sequence(un_prompt,
+                                                num_vq_tokens=n_vq,
+                                                max_seq_length=msl,
+                                                tokens=TOK_M)
+
+    # pin the reference's image sampling (ALWAYS multinomial,
+    # modeling_mmada.py:225) to argmax so temp-0 trajectories are comparable;
+    # every other decision runs the reference's real code
+    monkeypatch.setattr(
+        torch, "multinomial",
+        lambda probs, n, generator=None: probs.argmax(-1, keepdim=True))
+
+    stub = _StubMMada(params, cfg, TOK_M.mask)
+    run_cfg = SimpleNamespace(
+        model=SimpleNamespace(mmada=SimpleNamespace(num_vq_tokens=n_vq,
+                                                    codebook_size=CB_M)),
+        dataset=SimpleNamespace(
+            preprocessing=SimpleNamespace(max_seq_length=msl)))
+
+    torch.manual_seed(0)
+    ref_img, ref_text = ref_mmada.MMadaModelLM.interleave_generate(
+        stub,
+        input_ids=torch.from_numpy(np.asarray(prompt, np.int64)),
+        uncond_input_ids=torch.from_numpy(np.asarray(un_prompt, np.int64)),
+        text_cfg=1.5, image_cfg=2.0, text_steps=8, image_steps=4,
+        reserved_token_mapping={"<|soi|>": TOK_M.soi, "<|eoi|>": TOK_M.eoi},
+        config=run_cfg, text_temperature=0.0, image_temperature=0.0,
+        uni_prompting=SimpleNamespace(text_tokenizer=_FakeTokenizer()))
+
+    opts = InterleaveOptions(text_steps=8, image_steps=4, text_cfg=1.5,
+                             image_cfg=2.0, text_temperature=0.0,
+                             image_temperature=0.0, text_vocab_size=TVS_M,
+                             codebook_size=CB_M, mask_token=TOK_M.mask)
+    got_ids, got_codes = interleave_generate(
+        params, cfg, jnp.asarray(ids)[None], jnp.asarray(un_ids)[None],
+        lay, opts, key=None)
+
+    np.testing.assert_array_equal(
+        np.asarray(got_ids)[0, lay.text_start:lay.text_end],
+        ref_text.numpy()[0])
+    np.testing.assert_array_equal(np.asarray(got_codes)[0],
+                                  ref_img.numpy()[0])
+
+
+# ---------------------------------------------------------------------------
+# (c) MagViT-v2: reference VQGANEncoder/Decoder/LFQuantizer
+# ---------------------------------------------------------------------------
+
+
+def _prefixed_sd(module, prefix):
+    return {prefix + k: v.detach().numpy()
+            for k, v in module.state_dict().items()}
+
+
+def test_magvit_matches_reference_torch(ref_magvit):
+    from mmada_parallel_tpu.models.magvit2 import (
+        MagvitConfig, magvit_encode, magvit_decode_code, lfq_losses)
+
+    zc = 4
+    ref_kw = dict(ch=32, ch_mult=[1, 2], num_res_blocks=[1, 1],
+                  attn_resolutions=[], dropout=0.0, resolution=16,
+                  z_channels=zc)
+    torch.manual_seed(3)
+    enc = ref_magvit.VQGANEncoder(**ref_kw).eval()
+    dec = ref_magvit.VQGANDecoder(**ref_kw).eval()
+    lfq = ref_magvit.LFQuantizer(codebook_dim=zc)
+
+    cfg = MagvitConfig(ch=32, enc_ch_mult=(1, 2), enc_blocks=(1, 1),
+                       dec_ch_mult=(1, 2), dec_blocks=(1, 1), z_channels=zc,
+                       groups=32)
+    sd = {**_prefixed_sd(enc, "encoder."), **_prefixed_sd(dec, "decoder.")}
+    params = cv.magvit_params_from_torch(sd, cfg)
+
+    rng = np.random.default_rng(3)
+    x = rng.uniform(-1, 1, size=(1, 16, 16, 3)).astype(np.float32)
+    x_t = torch.from_numpy(x.transpose(0, 3, 1, 2))
+
+    with torch.no_grad():
+        z = enc(x_t)
+        out = lfq(z)
+    ref_zq = out["z"].numpy()                       # [1, C, h, w] (±1)
+    ref_idx = out["indices"].numpy().reshape(1, -1)  # flattened HW
+
+    zq_j, idx_j = magvit_encode(params, cfg, jnp.asarray(x))
+    np.testing.assert_array_equal(np.asarray(idx_j), ref_idx)
+    np.testing.assert_allclose(np.asarray(zq_j).transpose(0, 3, 1, 2),
+                               ref_zq, atol=1e-5)
+
+    # LFQ losses on the raw (pre-quantize) latents
+    # (commit beta=0.25; the reference applies 0.1 multipliers)
+    z_np = z.numpy().transpose(0, 2, 3, 1)
+    my_losses = lfq_losses(jnp.asarray(z_np))
+    np.testing.assert_allclose(float(my_losses["commit_loss"]) * 0.1,
+                               float(out["quantizer_loss"]), rtol=1e-4)
+    np.testing.assert_allclose(float(my_losses["entropy_loss"]) * 0.1,
+                               float(out["entropy_loss"]), rtol=1e-4,
+                               atol=1e-6)
+
+    # decoder from indices
+    with torch.no_grad():
+        ref_pix = dec(out["z"])["output"].numpy()
+    got_pix = np.asarray(magvit_decode_code(params, cfg, idx_j, shape=(8, 8)))
+    np.testing.assert_allclose(got_pix.transpose(0, 3, 1, 2), ref_pix,
+                               atol=2e-4, rtol=2e-3)
