@@ -55,9 +55,13 @@ def run_parabench_sweep(
 ) -> Dict[str, Any]:
     """Run all requests; returns results + throughput metrics.
 
-    Requests are padded to a common prompt length per bucket (right-pad with
-    the pad token + attention handled by the prompt itself being left of the
-    generation region).
+    All requests in one sweep share ``grid_hw`` / ``text_gen_length`` (one
+    static layout per prompt-length bucket — mixed grids need separate
+    sweeps).  Within a bucket, prompts are right-padded to a common length
+    with the pad token, a true-length attention mask hides the pads (the
+    pairwise bias of ``modeling_xllmx_dimoo.py:53-62``), and RoPE positions
+    are re-ranked, so each batched request produces exactly the tokens its
+    unpadded single-row run would (``tests/test_samplers.py``).
     """
     gh, gw = grid_hw
     results: List[Dict] = []
@@ -74,34 +78,46 @@ def run_parabench_sweep(
     for plen, idxs in sorted(buckets.items()):
         for s in range(0, len(idxs), batch_size):
             chunk = idxs[s:s + batch_size]
-            ids_list, layouts = [], None
+            ids_list, mask_list, layouts = [], [], None
             for i in chunk:
                 prompt = list(requests[i].prompt_ids)
-                prompt = prompt + [tokens.pad] * (plen - len(prompt))
+                n_pad = plen - len(prompt)
+                prompt = prompt + [tokens.pad] * n_pad
                 ids, layout = tk.assemble_ti2ti_sequence(
                     prompt, text_gen_length, gh, gw, list(end_token_ids),
                     tokens=tokens)
                 ids_list.append(ids)
+                # true-length attention mask (modeling_xllmx_dimoo.py:53-62):
+                # the pads sit at the prompt tail, [plen - n_pad, plen)
+                mask = np.ones(len(ids), dtype=bool)
+                mask[plen - n_pad:plen] = False
+                mask_list.append(mask)
                 layouts = layout
             batch = np.stack(ids_list)
+            masks = np.stack(mask_list)
             # pad the batch to full size so one compilation serves all chunks
             if batch.shape[0] < batch_size:
                 reps = batch_size - batch.shape[0]
                 batch = np.concatenate([batch, batch[-1:].repeat(reps, 0)])
+                masks = np.concatenate([masks, masks[-1:].repeat(reps, 0)])
 
             bkey = (plen, batch_size)
             if bkey not in compiled:
                 lay = layouts
-                compiled[bkey] = jax.jit(lambda p, i, k, lay=lay: generate_ti2ti(
-                    p, cfg, i, lay, opts,
-                    uncond_image_prefix=uncond_image_prefix, key=k))
+                compiled[bkey] = jax.jit(
+                    lambda p, i, m, k, lay=lay: generate_ti2ti(
+                        p, cfg, i, lay, opts,
+                        uncond_image_prefix=uncond_image_prefix, key=k,
+                        attn_mask=m))
             ids_dev = jnp.asarray(batch)
+            mask_dev = jnp.asarray(masks)
             if mesh is not None:
                 from mmada_parallel_tpu.parallel import batch_sharding
                 ids_dev = jax.device_put(ids_dev, batch_sharding(mesh))
+                mask_dev = jax.device_put(mask_dev, batch_sharding(mesh))
             key_rng, sub = jax.random.split(key_rng)
             t0 = time.time()
-            fin, codes = compiled[bkey](params, ids_dev, sub)
+            fin, codes = compiled[bkey](params, ids_dev, mask_dev, sub)
             fin = np.asarray(fin)
             codes = np.asarray(codes)
             dt = time.time() - t0

@@ -326,12 +326,17 @@ def _rotate_half(x: jax.Array) -> jax.Array:
 def _apply_rope(q: jax.Array, k: jax.Array, sin: jax.Array, cos: jax.Array,
                 full_precision: bool) -> Tuple[jax.Array, jax.Array]:
     """Apply RoPE to ``[B, L, H, hd]`` q/k (fp32 rotation per
-    ``modeling_llada.py:412-435`` when ``rope_full_precision``)."""
+    ``modeling_llada.py:412-435`` when ``rope_full_precision``).
+
+    ``sin``/``cos`` are ``[L, hd]`` (shared positions) or ``[B, L, hd]``
+    (per-row positions, the ragged-batch serving path)."""
     og_q, og_k = q.dtype, k.dtype
     if full_precision:
         q, k = q.astype(jnp.float32), k.astype(jnp.float32)
-    sin = sin[None, :, None, :].astype(q.dtype)
-    cos = cos[None, :, None, :].astype(q.dtype)
+    if sin.ndim == 2:
+        sin, cos = sin[None], cos[None]
+    sin = sin[:, :, None, :].astype(q.dtype)
+    cos = cos[:, :, None, :].astype(q.dtype)
     q = q * cos + _rotate_half(q) * sin
     k = k * cos + _rotate_half(k) * sin
     return q.astype(og_q), k.astype(og_k)
@@ -414,6 +419,7 @@ def llada_hidden(
     cfg: LLaDAConfig,
     input_ids: jax.Array,
     attn_mask: Optional[jax.Array] = None,
+    position_ids: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Backbone only: ``[B, L] ids -> [B, L, d_model]`` final hidden states
     (post ``ln_f``).
@@ -422,6 +428,13 @@ def llada_hidden(
     token); it becomes the pairwise additive bias the reference builds in
     ``modeling_xllmx_dimoo.py:56-62``.  Attention is always bidirectional
     (``is_causal=False`` everywhere, ``modeling_llada.py:658,672-679``).
+
+    ``position_ids`` is an optional ``[B, L]`` int RoPE position per token.
+    Ragged batches padded mid-sequence pass ``cumsum(attn_mask)-1`` (each
+    real token's rank among real tokens) so every request sees exactly the
+    positions of its unpadded single-row run — the reference's batch path
+    (right-padding at the tail, ``modeling_xllmx_dimoo.py:53-62``) gets the
+    same invariance for free, this generalizes it to padding anywhere.
 
     The head is split out (:func:`llada_head`) so samplers can project only
     the positions/vocab-slices they consume — the reference materializes the
@@ -438,6 +451,9 @@ def llada_hidden(
         x = x * jnp.asarray(math.sqrt(cfg.d_model), cdt)
 
     sin, cos = _rope_sin_cos(L, cfg.head_dim, cfg.rope_theta)
+    if position_ids is not None:
+        sin = jnp.take(sin, position_ids, axis=0)  # [B, L, hd]
+        cos = jnp.take(cos, position_ids, axis=0)
 
     attn_bias = None
     if attn_mask is not None:

@@ -21,13 +21,25 @@ import jax
 import jax.numpy as jnp
 
 __all__ = ["causal_mask", "t2i_mask", "mmu_mask", "mixed_mask",
-           "pairwise_padding_mask", "to_bias"]
+           "pairwise_padding_mask", "ragged_positions", "to_bias"]
 
 
 def pairwise_padding_mask(attn_mask: jax.Array) -> jax.Array:
     """``[B, L] bool -> [B, 1, L, L]`` (``modeling_xllmx_dimoo.py:56-62``)."""
     pair = attn_mask[:, :, None] & attn_mask[:, None, :]
     return pair[:, None, :, :]
+
+
+def ragged_positions(attn_mask: jax.Array) -> jax.Array:
+    """``[B, L] bool -> [B, L]`` RoPE position ids for ragged batches.
+
+    Each real token gets its rank among the row's real tokens
+    (``cumsum(mask)-1``), i.e. exactly the position it would have in its
+    unpadded single-row sequence, wherever the pads sit.  Pad positions get
+    a clamped position; their rows/cols are killed by the pairwise bias.
+    """
+    pos = jnp.cumsum(attn_mask.astype(jnp.int32), axis=-1) - 1
+    return jnp.maximum(pos, 0)
 
 
 def to_bias(mask: jax.Array, dtype=jnp.float32) -> jax.Array:

@@ -57,6 +57,7 @@ def interleave_generate(
     layout: SequenceLayout,
     opts: InterleaveOptions = InterleaveOptions(),
     key: Optional[jax.Array] = None,
+    attn_mask: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Returns ``(final_ids [B, L], image_codes [B, N_vq])``.
 
@@ -64,6 +65,11 @@ def interleave_generate(
     length (:func:`mmada_parallel_tpu.tokens.assemble_interleave_sequence`);
     the uncond prompt region is the only part of ``uncond_input_ids`` read —
     the output region is refreshed from the cond row each step.
+
+    ``attn_mask``: optional ``[B, L]`` bool (True = real token) for ragged
+    batches padded inside the prompt region; pads are hidden from attention
+    and RoPE positions are re-ranked (applies to cond and uncond rows, which
+    share structure).
     """
     if opts.remasking == "random" and key is None:
         raise ValueError("remasking='random' requires a PRNG key")
@@ -89,10 +95,18 @@ def interleave_generate(
 
     uncond_prompt = uncond_input_ids[:, :prompt_len]
 
+    if attn_mask is not None:
+        from mmada_parallel_tpu.ops.masks import ragged_positions
+        pos_ids = ragged_positions(attn_mask)
+        mask2b = jnp.concatenate([attn_mask, attn_mask], axis=0)
+        pos2b = jnp.concatenate([pos_ids, pos_ids], axis=0)
+    else:
+        mask2b = pos2b = None
+
     def heads(ids2b):
         """Batched cond+uncond forward -> full-vocab text logits and
         codebook-slice image logits (positions the step consumes only)."""
-        hidden = llada_hidden(params, cfg, ids2b)
+        hidden = llada_hidden(params, cfg, ids2b, mask2b, pos2b)
         text_h = jax.lax.dynamic_slice_in_dim(hidden, ts, max_seq, axis=1)
         text_logits = llada_head(params, cfg, text_h)       # [2B, max_seq, V]
         img_h = jax.lax.dynamic_slice_in_dim(hidden, ist, n_vq, axis=1)

@@ -121,12 +121,14 @@ def _cfg_plan(opts: TI2TIOptions, uncond_text_prefix, uncond_image_prefix):
     }
 
 
-def _uncond_vq(params, cfg, ids, cond_vq, plan, img_pos, tvs, cb):
+def _uncond_vq(params, cfg, ids, cond_vq, plan, img_pos, tvs, cb,
+               attn_mask=None, position_ids=None):
     """Uncond CFG forwards (batched) -> codebook logits at image positions.
 
     Missing-prefix branches inside the build-uncond gate resolve to
     ``cond_vq`` (the reference's clone forward); outside the gate both
-    resolve to zeros."""
+    resolve to zeros.  The prefix overwrite keeps sequence structure, so the
+    cond row's padding mask / positions apply to the uncond rows as-is."""
     B = ids.shape[0]
     batch = []
     if plan["need_ut"]:
@@ -141,7 +143,12 @@ def _uncond_vq(params, cfg, ids, cond_vq, plan, img_pos, tvs, cb):
         z = jnp.zeros_like(cond_vq)
         return z, z
     stacked = jnp.concatenate(batch, axis=0)
-    hidden = llada_hidden(params, cfg, stacked)
+    n_rep = len(batch)
+    mask2 = (jnp.concatenate([attn_mask] * n_rep, axis=0)
+             if attn_mask is not None else None)
+    pos2 = (jnp.concatenate([position_ids] * n_rep, axis=0)
+            if position_ids is not None else None)
+    hidden = llada_hidden(params, cfg, stacked, mask2, pos2)
     img_h = jnp.take_along_axis(
         hidden, img_pos[None, :, None].astype(jnp.int32), axis=1)
     vq = llada_head(params, cfg, img_h, vocab_slice=(tvs, cb))
@@ -202,10 +209,19 @@ def make_ti2ti_step(
     opts: TI2TIOptions,
     uncond_text_prefix: Optional[np.ndarray],
     uncond_image_prefix: Optional[np.ndarray],
+    attn_mask: Optional[jax.Array] = None,
 ) -> Callable:
     """Build the scan body.  Static data (layout, schedules, prefixes) is
-    closed over; carry is ``(ids, key)``."""
+    closed over; carry is ``(ids, key)``.
 
+    ``attn_mask`` (``[B, L]`` bool, True = real) enables ragged batched
+    serving: pad positions are hidden from attention (the pairwise bias the
+    reference builds in ``modeling_xllmx_dimoo.py:53-62``) and RoPE
+    positions are re-ranked so each row reproduces its unpadded run."""
+
+    from mmada_parallel_tpu.ops.masks import ragged_positions
+
+    pos_ids = (ragged_positions(attn_mask) if attn_mask is not None else None)
     img_pos = jnp.asarray(layout.image_positions(), dtype=jnp.int32)
     ts, te = layout.text_start, layout.text_end
     tvs, cb = opts.text_vocab_size, opts.codebook_size
@@ -221,7 +237,7 @@ def make_ti2ti_step(
 
     def cond_heads(ids):
         """Conditional forward -> (text full-vocab logits, image codebook logits)."""
-        hidden = llada_hidden(params, cfg, ids)
+        hidden = llada_hidden(params, cfg, ids, attn_mask, pos_ids)
         text_h = jax.lax.dynamic_slice_in_dim(hidden, ts, te - ts, axis=1)
         text_logits = llada_head(params, cfg, text_h)
         img_h = jnp.take_along_axis(
@@ -242,7 +258,7 @@ def make_ti2ti_step(
 
         def do_image(ids):
             ut_vq, ui_vq = _uncond_vq(params, cfg, ids, cond_vq, plan,
-                                      img_pos, tvs, cb)
+                                      img_pos, tvs, cb, attn_mask, pos_ids)
             return _image_update(
                 ids, cond_vq, ut_vq, ui_vq, img_pos,
                 mask_ratios[step_idx], img_temps[step_idx], opts,
@@ -263,6 +279,7 @@ def generate_ti2ti(
     uncond_text_prefix: Optional[np.ndarray] = None,
     uncond_image_prefix: Optional[np.ndarray] = None,
     key: Optional[jax.Array] = None,
+    attn_mask: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Run the full denoising trajectory.
 
@@ -274,6 +291,9 @@ def generate_ti2ti(
             ``parallel_generator.py:243-258``).
         key: PRNG key; ``None`` -> fully deterministic (argmax everywhere),
             the parity configuration.
+        attn_mask: optional ``[B, L]`` bool (True = real token) for ragged
+            batches padded to a common layout; each row then generates
+            exactly what its unpadded single run would.
 
     Returns:
         ``(final_ids [B, L], image_codes [B, N_vq])`` — text extraction and
@@ -282,7 +302,8 @@ def generate_ti2ti(
     if opts.remasking == "random" and key is None:
         raise ValueError("remasking='random' requires a PRNG key")
     step_fn = make_ti2ti_step(params, cfg, layout, opts,
-                              uncond_text_prefix, uncond_image_prefix)
+                              uncond_text_prefix, uncond_image_prefix,
+                              attn_mask)
     ts, te = layout.text_start, layout.text_end
     masked0 = (input_ids[:, ts:te] == opts.mask_token).sum(axis=1)
     budgets = S.get_num_transfer_tokens(masked0, opts.text_steps)  # [B, steps]

@@ -211,6 +211,99 @@ def test_ti2ti_fills_text_and_image(model):
     assert np.asarray(codes).shape == (1, lay.num_vq_tokens)
 
 
+def test_ti2ti_padded_batch_matches_unpadded_single(model):
+    """Ragged batched serving: a request right-padded inside its prompt (with
+    attn_mask + re-ranked RoPE positions) must generate exactly the tokens of
+    its unpadded single-row run (VERDICT r1 item 4; reference batch semantics
+    modeling_xllmx_dimoo.py:53-62)."""
+    cfg, params, fwd = model
+    gh, gw = 2, 3
+    opts = TI2TIOptions(text_steps=8, timesteps=4, temperature=0.0,
+                        text_temperature=0.0, cfg_scale=0.0, cfg_img=2.0,
+                        text_vocab_size=TVS, codebook_size=CB, mask_token=MASK)
+    un_img = np.array([50, 51], dtype=np.int32)
+    prompts = [[5, 6, 7, 8], [21, 22, 23, 24, 25, 26, 27]]
+    plen = max(len(p) for p in prompts)
+
+    # single unpadded runs
+    singles = []
+    for p in prompts:
+        ids, lay = tk.assemble_ti2ti_sequence(p, 8, gh, gw, [9], tokens=TOK_A)
+        fin, codes = generate_ti2ti(params, cfg, jnp.asarray(ids)[None], lay,
+                                    opts, uncond_image_prefix=un_img, key=None)
+        fin = np.asarray(fin)[0]
+        text = [t for t in fin[lay.text_start:lay.text_end] if t != MASK]
+        singles.append((text, np.asarray(codes)[0]))
+
+    # padded batch
+    rows, masks = [], []
+    for p in prompts:
+        padded = p + [TOK_A.pad] * (plen - len(p))
+        ids, lay = tk.assemble_ti2ti_sequence(padded, 8, gh, gw, [9],
+                                              tokens=TOK_A)
+        m = np.ones(len(ids), bool)
+        m[len(p):plen] = False
+        rows.append(ids)
+        masks.append(m)
+    fin, codes = generate_ti2ti(
+        params, cfg, jnp.asarray(np.stack(rows)), lay, opts,
+        uncond_image_prefix=un_img, key=None,
+        attn_mask=jnp.asarray(np.stack(masks)))
+    fin = np.asarray(fin)
+    codes = np.asarray(codes)
+    for b, (want_text, want_codes) in enumerate(singles):
+        got_text = [t for t in fin[b, lay.text_start:lay.text_end]
+                    if t != MASK]
+        assert got_text == want_text, f"row {b} text diverged"
+        np.testing.assert_array_equal(codes[b], want_codes,
+                                      err_msg=f"row {b} codes diverged")
+
+
+def test_interleave_padded_batch_matches_unpadded_single(model):
+    cfg, params, fwd = model
+    opts = InterleaveOptions(text_steps=8, image_steps=4, text_cfg=1.5,
+                             image_cfg=2.0, text_temperature=0.0,
+                             image_temperature=0.0, text_vocab_size=TVS,
+                             codebook_size=CB, mask_token=MASK)
+    prompts = [[10, 11, 12], [30, 31, 32, 33, 34]]
+    un_prompts = [[40, 41, 42], [60, 61, 62, 63, 64]]
+    plen = max(len(p) for p in prompts)
+
+    singles = []
+    for p, u in zip(prompts, un_prompts):
+        ids, lay = tk.assemble_interleave_sequence(p, 6, 8, tokens=TOK_M)
+        un_ids, _ = tk.assemble_interleave_sequence(u, 6, 8, tokens=TOK_M)
+        fin, codes = interleave_generate(
+            params, cfg, jnp.asarray(ids)[None], jnp.asarray(un_ids)[None],
+            lay, opts, key=None)
+        fin = np.asarray(fin)[0]
+        singles.append((fin[lay.text_start:lay.text_end].copy(),
+                        np.asarray(codes)[0]))
+
+    rows, un_rows, masks = [], [], []
+    for p, u in zip(prompts, un_prompts):
+        pad_n = plen - len(p)
+        ids, lay = tk.assemble_interleave_sequence(
+            p + [0] * pad_n, 6, 8, tokens=TOK_M)
+        un_ids, _ = tk.assemble_interleave_sequence(
+            u + [0] * pad_n, 6, 8, tokens=TOK_M)
+        m = np.ones(len(ids), bool)
+        m[len(p):plen] = False
+        rows.append(ids); un_rows.append(un_ids); masks.append(m)
+    fin, codes = interleave_generate(
+        params, cfg, jnp.asarray(np.stack(rows)),
+        jnp.asarray(np.stack(un_rows)), lay, opts, key=None,
+        attn_mask=jnp.asarray(np.stack(masks)))
+    fin = np.asarray(fin)
+    codes = np.asarray(codes)
+    for b, (want_text, want_codes) in enumerate(singles):
+        np.testing.assert_array_equal(
+            fin[b, lay.text_start:lay.text_end], want_text,
+            err_msg=f"row {b} text diverged")
+        np.testing.assert_array_equal(codes[b], want_codes,
+                                      err_msg=f"row {b} codes diverged")
+
+
 # ---------------------------------------------------------------------------
 # M-variant interleave
 # ---------------------------------------------------------------------------
