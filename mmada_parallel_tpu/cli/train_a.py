@@ -37,6 +37,11 @@ def build_parser():
     p.add_argument("--precision", type=str, default="bf16",
                    choices=["bf16", "fp32"])
     p.add_argument("--mesh_fsdp", type=int, default=1)
+    p.add_argument("--shard_strategy", type=str, default="full",
+                   choices=["full", "zero2", "ddp"],
+                   help="fsdp-axis policy: full=FULL_SHARD/ZeRO-3, "
+                        "zero2=SHARD_GRAD_OP/SDP, ddp=NO_SHARD "
+                        "(ref finetune.py:387-390)")
     p.add_argument("--mesh_tensor", type=int, default=1)
     p.add_argument("--tokenizer", type=str, default=None)
     p.add_argument("--tiny_model", action="store_true",
@@ -63,7 +68,8 @@ def main(argv=None):
     from mmada_parallel_tpu.training.trainer import (OptimizerConfig,
                                                      make_optimizer,
                                                      make_train_step,
-                                                     TrainState)
+                                                     TrainState,
+                                                     create_sharded_state)
     from mmada_parallel_tpu.training.lr_schedules import half_cosine_with_warmup
     from mmada_parallel_tpu.training.checkpoint import CheckpointManager
     from mmada_parallel_tpu.utils.logging import MetricLogger, ScalarWriter
@@ -86,7 +92,7 @@ def main(argv=None):
     cfg = dataclasses.replace(
         cfg, compute_dtype=dtype,
         remat="whole_layer" if args.checkpointing else "none")
-    params = shard_params(params, param_shardings(cfg), mesh)
+    # params are placed by create_sharded_state below (per --shard_strategy)
 
     # --- data ---
     tok_src = args.tokenizer or args.init_from
@@ -115,7 +121,8 @@ def main(argv=None):
     opt = make_optimizer(OptimizerConfig(lr=args.lr, weight_decay=args.wd,
                                          grad_clip=args.clip_grad,
                                          schedule=sched), params)
-    state = TrainState.create(params, opt)
+    state, _, _ = create_sharded_state(params, opt, param_shardings(cfg),
+                                       mesh, args.shard_strategy)
 
     def loss_fn(p, batch, key):
         ids, labels, lengths = batch

@@ -81,7 +81,8 @@ def main(argv=None):
     from mmada_parallel_tpu.training.trainer import (OptimizerConfig,
                                                      make_optimizer,
                                                      make_train_step,
-                                                     TrainState)
+                                                     TrainState,
+                                                     create_sharded_state)
     from mmada_parallel_tpu.training.lr_schedules import get_scheduler
     from mmada_parallel_tpu.training.checkpoint import CheckpointManager
     from mmada_parallel_tpu.utils.logging import MetricLogger, ScalarWriter
@@ -122,7 +123,7 @@ def main(argv=None):
         params = jax.tree_util.tree_map(jnp.asarray, params)
     mcfg = dataclasses.replace(mcfg, compute_dtype=jnp.bfloat16,
                                remat="whole_layer")
-    params = shard_params(params, param_shardings(mcfg), mesh)
+    # params are placed by create_sharded_state below (per shard_strategy)
 
     vq_cfg = (MVQ.MagvitConfig.tiny() if cfg.tiny_debug
               else MVQ.MagvitConfig())
@@ -139,7 +140,9 @@ def main(argv=None):
     opt = make_optimizer(OptimizerConfig(
         lr=tr.lr, weight_decay=tr.weight_decay, b1=0.9, b2=0.999,
         grad_clip=tr.max_grad_norm, schedule=sched), params)
-    state = TrainState.create(params, opt)
+    state, _, _ = create_sharded_state(
+        params, opt, param_shardings(mcfg), mesh,
+        getattr(tr, "shard_strategy", "full"))
 
     def loss_fn(p, batch, key):
         ids, labels, mask, t = batch

@@ -27,7 +27,8 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 __all__ = ["MeshConfig", "make_mesh", "shard_params", "batch_sharding",
-           "replicated", "init_distributed"]
+           "replicated", "init_distributed", "drop_axis", "opt_state_specs",
+           "shard_opt_state"]
 
 AXES = ("data", "fsdp", "tensor")
 
@@ -72,6 +73,50 @@ def shard_params(params: Any, specs: Any, mesh: Mesh) -> Any:
     """``device_put`` a param pytree onto the mesh per its PartitionSpecs."""
     return jax.tree_util.tree_map(
         lambda p, s: jax.device_put(p, NamedSharding(mesh, s)), params, specs)
+
+
+def drop_axis(specs: Any, axis: str) -> Any:
+    """Replace ``axis`` with ``None`` in every PartitionSpec.
+
+    ZeRO-2 / SDP (reference ``finetune.py:387-390``, SHARD_GRAD_OP): params
+    replicated over the ``fsdp`` axis while the optimizer state keeps the
+    original fsdp-sharded specs.  The tensor axis is untouched."""
+    def f(s):
+        return P(*(None if a == axis else a for a in s))
+    return jax.tree_util.tree_map(f, specs,
+                                  is_leaf=lambda x: isinstance(x, P))
+
+
+def opt_state_specs(opt_state: Any, params: Any, param_specs: Any) -> Any:
+    """PartitionSpec pytree for an optax state.
+
+    Param-shaped subtrees (adam/lion ``mu``/``nu``) get ``param_specs``;
+    every other leaf (step counts, empty states) is replicated.  This is the
+    GSPMD expression of ZeRO's optimizer-state partitioning: placement
+    attaches to the state arrays, XLA inserts the reduce-scatter/all-gather
+    pair the reference gets from FSDP's SHARD_GRAD_OP wrapper."""
+    pdef = jax.tree_util.tree_structure(params)
+
+    def is_param_tree(x):
+        if isinstance(x, (jax.Array, np.ndarray)):
+            return False
+        try:
+            return jax.tree_util.tree_structure(x) == pdef
+        except Exception:
+            return False
+
+    return jax.tree_util.tree_map(
+        lambda node: param_specs if is_param_tree(node) else P(),
+        opt_state, is_leaf=is_param_tree)
+
+
+def shard_opt_state(opt_state: Any, params: Any, param_specs: Any,
+                    mesh: Mesh) -> Any:
+    """``device_put`` an optax state onto the mesh per :func:`opt_state_specs`."""
+    specs = opt_state_specs(opt_state, params, param_specs)
+    return jax.tree_util.tree_map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+        opt_state, specs)
 
 
 def init_distributed(coordinator: Optional[str] = None,

@@ -23,7 +23,7 @@ import jax.numpy as jnp
 import optax
 
 __all__ = ["OptimizerConfig", "make_optimizer", "make_train_step",
-           "TrainState"]
+           "TrainState", "create_sharded_state", "state_shardings"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -39,6 +39,14 @@ class OptimizerConfig:
     eps: float = 1e-8
     grad_clip: Optional[float] = 4.0
     schedule: Optional[Callable] = None   # step -> lr; None = constant
+    # Sharding strategy over the mesh's fsdp axis (consumed by
+    # create_sharded_state / the train CLIs; tensor parallelism always
+    # applies).  Mirrors the reference's FSDP policy choice
+    # (finetune.py:387-390):
+    #   "full"  = FULL_SHARD (ZeRO-3): params + optimizer state sharded
+    #   "zero2" = SHARD_GRAD_OP (SDP): params replicated, opt state sharded
+    #   "ddp"   = NO_SHARD: both replicated
+    shard_strategy: str = "full"
 
 
 def _decay_mask(params) -> Any:
@@ -76,6 +84,41 @@ class TrainState:
     def create(cls, params, optimizer):
         return cls(params=params, opt_state=optimizer.init(params),
                    step=jnp.zeros((), jnp.int32))
+
+
+def create_sharded_state(params, optimizer, specs, mesh,
+                         strategy: str = "full"):
+    """Place a fresh TrainState on the mesh per the sharding strategy.
+
+    Returns ``(state, param_specs, opt_specs)`` — the resolved spec trees,
+    to pin jit ``out_shardings`` with :func:`state_shardings` so the
+    placement is preserved across steps.
+    """
+    from mmada_parallel_tpu.parallel.mesh import (drop_axis, shard_params,
+                                                  shard_opt_state)
+    if strategy not in ("full", "zero2", "ddp"):
+        raise ValueError(f"unknown shard_strategy: {strategy}")
+    p_specs = specs if strategy == "full" else drop_axis(specs, "fsdp")
+    o_specs = specs if strategy in ("full", "zero2") else p_specs
+    params = shard_params(params, p_specs, mesh)
+    opt_state = shard_opt_state(optimizer.init(params), params, o_specs, mesh)
+    state = TrainState(params=params, opt_state=opt_state,
+                       step=jnp.zeros((), jnp.int32))
+    return state, p_specs, o_specs
+
+
+def state_shardings(params, opt_state, p_specs, o_specs, mesh) -> "TrainState":
+    """TrainState-shaped pytree of NamedShardings (for jit out_shardings)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from mmada_parallel_tpu.parallel.mesh import opt_state_specs
+    ns = lambda s: NamedSharding(mesh, s)
+    return TrainState(
+        params=jax.tree_util.tree_map(ns, p_specs,
+                                      is_leaf=lambda x: isinstance(x, P)),
+        opt_state=jax.tree_util.tree_map(
+            ns, opt_state_specs(opt_state, params, o_specs),
+            is_leaf=lambda x: isinstance(x, P)),
+        step=ns(P()))
 
 
 def make_train_step(

@@ -61,6 +61,69 @@ def test_parabench_sweep_with_mesh(setup):
     assert out["edits_per_min_per_chip"] > 0
 
 
+def test_shard_strategies_train_identically(setup):
+    """full (ZeRO-3) / zero2 (SDP) / ddp must produce the same numbers; the
+    strategies differ only in WHERE params/optimizer state live
+    (ref finetune.py:387-390)."""
+    from mmada_parallel_tpu.training.trainer import (
+        OptimizerConfig, make_optimizer, make_train_step, TrainState,
+        create_sharded_state, state_shardings)
+
+    cfg, params, _, mesh = setup
+
+    def loss_fn(p, batch, key):
+        ids, tgt = batch
+        logits = llada_forward(p, cfg, ids)
+        lp = jax.nn.log_softmax(logits, axis=-1)
+        loss = -jnp.take_along_axis(lp, tgt[..., None], -1).mean()
+        return loss, {"l": loss}
+
+    opt = make_optimizer(OptimizerConfig(lr=1e-3), params)
+    step = make_train_step(loss_fn, opt)
+
+    rng = np.random.default_rng(5)
+    batches = [(jnp.asarray(rng.integers(0, 200, (4, 8))),
+                jnp.asarray(rng.integers(0, 200, (4, 8))))
+               for _ in range(2)]
+
+    # unsharded baseline
+    st = TrainState.create(params, opt)
+    base_losses = []
+    for b in batches:
+        st, m = step(st, b, None)
+        base_losses.append(float(m["loss"]))
+
+    specs = param_shardings(cfg)
+    for strategy in ["full", "zero2", "ddp"]:
+        state, p_specs, o_specs = create_sharded_state(
+            params, opt, specs, mesh, strategy)
+
+        # placement: zero2 = params replicated over fsdp, opt state sharded
+        q_spec = str(state.params["blocks"]["q_proj"].sharding.spec)
+        mu_q = state.opt_state[1][0].mu["blocks"]["q_proj"]
+        mu_spec = str(mu_q.sharding.spec)
+        if strategy == "full":
+            assert "fsdp" in q_spec and "fsdp" in mu_spec
+        elif strategy == "zero2":
+            assert "fsdp" not in q_spec and "fsdp" in mu_spec
+        else:
+            assert "fsdp" not in q_spec and "fsdp" not in mu_spec
+
+        out_sh = state_shardings(state.params, state.opt_state,
+                                 p_specs, o_specs, mesh)
+        jit_step = jax.jit(step, out_shardings=(out_sh, None))
+        bsh = batch_sharding(mesh)
+        for i, b in enumerate(batches):
+            state, m = jit_step(
+                state, jax.tree_util.tree_map(
+                    lambda x: jax.device_put(x, bsh), b), None)
+            np.testing.assert_allclose(float(m["loss"]), base_losses[i],
+                                       rtol=2e-5, err_msg=strategy)
+        # placement preserved across steps
+        mu_q2 = state.opt_state[1][0].mu["blocks"]["q_proj"]
+        assert str(mu_q2.sharding.spec) == mu_spec, strategy
+
+
 def test_sharded_ti2ti_matches_unsharded(setup):
     cfg, params, sharded, mesh = setup
     ids, lay = tk.assemble_ti2ti_sequence([5, 6, 7], 8, 2, 3, [9],
