@@ -18,14 +18,10 @@ import time
 
 
 def default_reward(final_ids, codes, meta):
-    """Placeholder: unique-code fraction (encourages non-collapsed images)."""
-    import jax.numpy as jnp
-
-    def uniq_frac(row):
-        # count distinct codes via sorted adjacent-difference
-        s = jnp.sort(row)
-        return 1.0 + (jnp.diff(s) != 0).sum() / row.shape[0]
-    return jnp.stack([uniq_frac(codes[i]) for i in range(codes.shape[0])])
+    """Default: code-diversity proxy (see training/pararl.py for the
+    concrete reward library — target-match, keyword adherence)."""
+    from mmada_parallel_tpu.training.pararl import code_diversity_reward
+    return code_diversity_reward(final_ids, codes, meta)
 
 
 def main(argv=None):

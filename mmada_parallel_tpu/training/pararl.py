@@ -39,7 +39,8 @@ from mmada_parallel_tpu.samplers.parallel_ti2ti import (TI2TIOptions,
 from mmada_parallel_tpu.tokens import SequenceLayout
 
 __all__ = ["rollout_ti2ti", "trajectory_log_prob", "pararl_loss",
-           "RewardSpec"]
+           "RewardSpec", "code_diversity_reward", "make_target_match_reward",
+           "make_keyword_reward"]
 
 
 @dataclasses.dataclass
@@ -54,6 +55,50 @@ class RewardSpec:
         for w, fn in zip(self.weights, self.fns):
             total = total + w * fn(final_ids, codes, meta)
         return total
+
+
+# ---------------------------------------------------------------------------
+# Concrete rewards
+#
+# The paper's semantic scorers are external VLM/CLIP services; these are
+# self-contained proxies usable for smoke-training, unit tests, and as
+# templates for wiring real scorers (any (final_ids, codes, meta) -> [B]
+# float callable plugs into RewardSpec).
+# ---------------------------------------------------------------------------
+
+
+def code_diversity_reward(final_ids, codes, meta=None) -> jax.Array:
+    """Fraction of distinct codebook entries per image — penalizes the
+    collapsed-image failure mode."""
+    s = jnp.sort(codes, axis=-1)
+    distinct = 1 + (jnp.diff(s, axis=-1) != 0).sum(axis=-1)
+    return distinct / codes.shape[-1]
+
+
+def make_target_match_reward(target_codes) -> Callable:
+    """Token-level alignment proxy: fraction of image codes matching a
+    reference image's codes.  ``target_codes``: ``[N_vq]`` or ``[B, N_vq]``."""
+    target = jnp.asarray(target_codes)
+
+    def reward(final_ids, codes, meta=None) -> jax.Array:
+        t = target if target.ndim == 2 else target[None, :]
+        return (codes == t).mean(axis=-1)
+
+    return reward
+
+
+def make_keyword_reward(keyword_ids: Sequence[int],
+                        text_start: int, text_end: int) -> Callable:
+    """Text-instruction adherence proxy: fraction of required token ids
+    present anywhere in the generated text span."""
+    kw = jnp.asarray(list(keyword_ids), jnp.int32)
+
+    def reward(final_ids, codes, meta=None) -> jax.Array:
+        span = final_ids[:, text_start:text_end]            # [B, T]
+        hit = (span[:, :, None] == kw[None, None, :]).any(axis=1)  # [B, K]
+        return hit.mean(axis=-1)
+
+    return reward
 
 
 def rollout_ti2ti(
