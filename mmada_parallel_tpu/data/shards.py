@@ -16,7 +16,9 @@ import re
 import tarfile
 from typing import Any, Callable, Dict, Iterator, List, Optional, Sequence
 
-__all__ = ["braceexpand", "ShardReader", "Text2ImageShardDataset"]
+__all__ = ["braceexpand", "ShardReader", "Text2ImageShardDataset",
+           "SidecarCaptions", "JsonCaptions", "CsvCaptions", "CaptionRouter",
+           "CaptionProcessor", "remove_caption_prefix"]
 
 
 def braceexpand(pattern: str) -> List[str]:
@@ -68,6 +70,7 @@ class ShardReader:
                             current_key = None
                             continue
                         sample.setdefault("__key__", key)
+                        sample.setdefault("__url__", shard)
                         sample[ext.lower()] = data
                     if sample:
                         yield sample
@@ -75,6 +78,138 @@ class ShardReader:
                 if self.handler == "raise":
                     raise
                 print(f"[shards] skipping corrupt shard {shard}: {e}")
+
+
+# ---------------------------------------------------------------------------
+# Caption sources — the reference's external-caption zoo
+# (``training/data.py:206-228`` loaders + ``:338-530`` per-dataset branches)
+# expressed as composable lookup objects routed by shard URL.
+# ---------------------------------------------------------------------------
+
+# ``remove_prefix`` (``training/data.py:142-151``)
+_CAPTION_PREFIXES = (
+    "The image features ", "The image presents ",
+    "The image you've sent is, ", "In the center of the image, ",
+    "The image showcases ", "The image is ", "The image captures ",
+    "In the given image ", "The image portrays ", "In the image, ",
+    "In this image, we see ", "The image depicts ", "This is ",
+    "In this image, ", "This image captures ",
+)
+
+
+def remove_caption_prefix(caption: str) -> str:
+    for p in _CAPTION_PREFIXES:
+        caption = caption.replace(p, "")
+    return caption
+
+
+class SidecarCaptions:
+    """Per-key caption files on disk.
+
+    ``nested=False``: ``<root>/<key><ext>`` (the SA1B layout,
+    ``data.py:339-345``); ``nested=True``: ``<root>/<shard-stem>/<key><ext>``
+    (the LAION-12M / CC12M layout, ``data.py:367-372,397-402``)."""
+
+    def __init__(self, root: str, ext: str = ".txt", nested: bool = False):
+        self.root, self.ext, self.nested = root, ext, nested
+
+    def lookup(self, url: str, key: str) -> Optional[str]:
+        base = key.split("/")[-1]
+        if self.nested:
+            stem = os.path.basename(url).split(".")[0]
+            path = os.path.join(self.root, stem, base + self.ext)
+        else:
+            path = os.path.join(self.root, base + self.ext)
+        if not os.path.exists(path):
+            return None
+        with open(path) as f:
+            return f.read().strip()
+
+
+class JsonCaptions:
+    """One json dict ``key -> caption`` or ``key -> [captions]`` (the
+    JourneyDB layout, ``data.py:206-210,522-528``); list values pick the
+    first entry (pass ``pick`` for another policy, e.g. seeded random)."""
+
+    def __init__(self, path: str, pick: Optional[Callable] = None):
+        with open(path) as f:
+            self.table = json.load(f)
+        self.pick = pick or (lambda lst: lst[0])
+
+    def lookup(self, url: str, key: str) -> Optional[str]:
+        v = self.table.get(key)
+        if isinstance(v, list):
+            return self.pick(v) if v else None
+        return v
+
+
+class CsvCaptions:
+    """CSV keyed on an image-filename column (the ai2d/clevr/docvqa/geo
+    layout, ``data.py:212-219,437-508``: key matched as
+    ``<key><key_suffix>``)."""
+
+    def __init__(self, path: str, key_col: str = "image",
+                 caption_col: str = "caption", key_suffix: str = ""):
+        import csv
+        self.table: Dict[str, str] = {}
+        with open(path) as f:
+            for row in csv.DictReader(f):
+                k, c = row.get(key_col), row.get(caption_col)
+                if k and c is not None:
+                    self.table[str(k)] = c
+        self.key_suffix = key_suffix
+
+    def lookup(self, url: str, key: str) -> Optional[str]:
+        return self.table.get(key.split("/")[-1] + self.key_suffix)
+
+
+class CaptionRouter:
+    """URL-substring -> source: the reference's if/elif chain over
+    ``sample['__url__']`` (``data.py:338-530``) as data.
+
+    ``routes``: ordered ``(substring, source)`` pairs; first match wins;
+    ``default`` handles everything else (``None`` -> fall through to the
+    sample's own txt/json members)."""
+
+    def __init__(self, routes: Sequence = (), default=None):
+        self.routes = list(routes)
+        self.default = default
+
+    def lookup(self, url: str, key: str) -> Optional[str]:
+        for substr, source in self.routes:
+            if substr in url or substr in key:
+                return source.lookup(url, key)
+        if self.default is not None:
+            return self.default.lookup(url, key)
+        return None
+
+
+class CaptionProcessor:
+    """Caption post-processing (``data.py:311-334,345-365``): captioning
+    mode prepends a sampled instruction prompt; generation mode optionally
+    truncates to the first sentence (prob 0.5) and strips boilerplate
+    prefixes.  ``rng``: ``random.Random``-like; None = deterministic
+    (no prompt, full caption)."""
+
+    def __init__(self, is_captioning: bool = False,
+                 prompts: Optional[Sequence[str]] = None, rng=None,
+                 short_caption_prob: float = 0.5):
+        self.is_captioning = is_captioning
+        self.prompts = list(prompts) if prompts else None
+        self.rng = rng
+        self.short_caption_prob = short_caption_prob
+
+    def __call__(self, caption: str) -> str:
+        if self.is_captioning:
+            if self.prompts:
+                p = (self.rng.choice(self.prompts) if self.rng is not None
+                     else self.prompts[0])
+                return p + caption
+            return caption
+        if (self.rng is not None
+                and self.rng.random() < self.short_caption_prob):
+            caption = caption.split(".")[0]
+        return remove_caption_prefix(caption)
 
 
 class Text2ImageShardDataset:
@@ -86,12 +221,18 @@ class Text2ImageShardDataset:
                  image_exts: Sequence[str] = ("jpg", "jpeg", "png", "webp"),
                  transform: Optional[Callable] = None,
                  tokenize: Optional[Callable] = None,
-                 samples_per_epoch: Optional[int] = None):
+                 samples_per_epoch: Optional[int] = None,
+                 caption_source=None,
+                 caption_processor: Optional[Callable] = None):
         self.shards = braceexpand(shard_pattern)
         self.image_exts = image_exts
         self.transform = transform
         self.tokenize = tokenize
         self.samples_per_epoch = samples_per_epoch
+        # external sources take precedence over in-sample txt/json, matching
+        # the reference's pipeline split (data.py:236-265)
+        self.caption_source = caption_source
+        self.caption_processor = caption_processor
         self.captions: Dict[str, str] = {}
         for cf in caption_files or []:
             if cf.endswith(".json"):
@@ -117,15 +258,20 @@ class Text2ImageShardDataset:
         except Exception:
             return None
         caption = None
-        if "txt" in sample:
+        if self.caption_source is not None:
+            caption = self.caption_source.lookup(
+                sample.get("__url__", ""), sample["__key__"])
+        if caption is None and "txt" in sample:
             caption = sample["txt"].decode("utf-8", errors="replace")
-        elif "json" in sample:
+        elif caption is None and "json" in sample:
             try:
                 caption = json.loads(sample["json"]).get("caption")
             except Exception:
                 caption = None
         if caption is None:
             caption = self.captions.get(sample["__key__"], "")
+        if self.caption_processor is not None:
+            caption = self.caption_processor(caption)
         out: Dict[str, Any] = {"__key__": sample["__key__"],
                                "image": img, "caption": caption}
         if self.transform is not None:

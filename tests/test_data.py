@@ -210,3 +210,87 @@ def test_shard_reader_and_dataset(tmp_path):
     ds2 = Text2ImageShardDataset(str(tmp_path / "shard-{000..000}.tar"),
                                  samples_per_epoch=5)
     assert len(list(ds2)) == 5
+
+
+def _mk_shard(path, keys, with_txt=None):
+    from PIL import Image
+    import io as _io
+    with tarfile.open(path, "w") as tf:
+        for key in keys:
+            img = Image.new("RGB", (16, 16), (5, 5, 5))
+            buf = _io.BytesIO(); img.save(buf, format="PNG")
+            data = buf.getvalue()
+            info = tarfile.TarInfo(f"{key}.png"); info.size = len(data)
+            tf.addfile(info, _io.BytesIO(data))
+            if with_txt:
+                cb = with_txt[key].encode()
+                info = tarfile.TarInfo(f"{key}.txt"); info.size = len(cb)
+                tf.addfile(info, _io.BytesIO(cb))
+
+
+def test_caption_source_zoo(tmp_path):
+    """The reference's external caption layouts (training/data.py:206-228,
+    338-530): SA1B sidecars, LAION/CC12M nested sidecars, JourneyDB json,
+    ai2d/clevr-style csv — routed by shard URL."""
+    from mmada_parallel_tpu.data.shards import (
+        SidecarCaptions, JsonCaptions, CsvCaptions, CaptionRouter,
+        CaptionProcessor, remove_caption_prefix)
+
+    # SA1B flat sidecars
+    sa_dir = tmp_path / "sa_caps"; sa_dir.mkdir()
+    (sa_dir / "sa01.txt").write_text("a beach. with waves\n")
+    _mk_shard(tmp_path / "SA1B-000.tar", ["sa01"])
+
+    # LAION nested sidecars: <root>/<shard-stem>/<key>.caption
+    la_dir = tmp_path / "laion_caps" / "laion-000"
+    la_dir.mkdir(parents=True)
+    (la_dir / "la01.caption").write_text("The image depicts a city")
+    _mk_shard(tmp_path / "laion-000.tar", ["la01"])
+
+    # JourneyDB json (list-valued)
+    jdb = tmp_path / "jdb.json"
+    jdb.write_text('{"jd01": ["a painting", "alt caption"]}')
+    _mk_shard(tmp_path / "JourneyDB-000.tar", ["jd01"])
+
+    # ai2d-style csv keyed on image filename
+    csvf = tmp_path / "ai2d.csv"
+    csvf.write_text("image,caption\nai01.png,a diagram\n")
+    _mk_shard(tmp_path / "ai2d-000.tar", ["ai01"])
+
+    router = CaptionRouter(routes=[
+        ("SA1B", SidecarCaptions(str(sa_dir))),
+        ("laion", SidecarCaptions(str(tmp_path / "laion_caps"),
+                                  ext=".caption", nested=True)),
+        ("JourneyDB", JsonCaptions(str(jdb))),
+        ("ai2d", CsvCaptions(str(csvf), key_suffix=".png")),
+    ])
+    proc = CaptionProcessor(is_captioning=False, rng=None)
+
+    ds = Text2ImageShardDataset(
+        str(tmp_path / "{SA1B,laion,JourneyDB,ai2d}-000.tar"),
+        caption_source=router, caption_processor=proc)
+    got = {d["__key__"]: d["caption"] for d in ds}
+    assert got == {"sa01": "a beach. with waves",
+                   "la01": "a city",        # prefix stripped
+                   "jd01": "a painting",
+                   "ai01": "a diagram"}
+
+    # captioning mode prepends an instruction prompt
+    proc_c = CaptionProcessor(is_captioning=True, prompts=["Describe: "])
+    ds_c = Text2ImageShardDataset(str(tmp_path / "SA1B-000.tar"),
+                                  caption_source=router,
+                                  caption_processor=proc_c)
+    assert next(iter(ds_c))["caption"] == "Describe: a beach. with waves"
+
+    # generation mode with rng: short-caption coin flip
+    import random
+    proc_s = CaptionProcessor(is_captioning=False,
+                              rng=random.Random(0), short_caption_prob=1.0)
+    assert proc_s("a beach. with waves") == "a beach"
+    assert remove_caption_prefix("The image features a cat") == "a cat"
+
+    # unrouted shard falls back to in-sample txt
+    _mk_shard(tmp_path / "other-000.tar", ["ot01"], {"ot01": "inline cap"})
+    ds_o = Text2ImageShardDataset(str(tmp_path / "other-000.tar"),
+                                  caption_source=router)
+    assert next(iter(ds_o))["caption"] == "inline cap"
