@@ -36,20 +36,34 @@ __all__ = ["generate_ti2ti_stepwise", "decode_text_with_masks",
 
 def decode_text_with_masks(ids: np.ndarray, layout: SequenceLayout,
                            tokenizer, mask_token: int,
-                           mask_char: str = "░") -> str:
-    """Render the text span with mask placeholders (``app.py:110-140``)."""
+                           mask_char: str = "▓") -> str:
+    """Render the text span with mask placeholders (``app.py:110-140``):
+    runs of masked tokens become ``▓``-blocks, runs longer than 10 compress
+    to ``▓▓▓▓▓[...n-5 more]`` exactly as the reference app renders them."""
     span = ids[layout.text_start:layout.text_end]
+
+    def render_run(n: int) -> str:
+        if n <= 10:
+            return mask_char * n
+        return mask_char * 5 + f"[...{n - 5} more]"
+
     parts = []
     buf = []
+    run = 0
     for t in span:
         if int(t) == mask_token:
             if buf:
                 parts.append(tokenizer.decode(buf, skip_special_tokens=True)
                              if hasattr(tokenizer, "decode") else str(buf))
                 buf = []
-            parts.append(mask_char)
+            run += 1
         else:
+            if run:
+                parts.append(render_run(run))
+                run = 0
             buf.append(int(t))
+    if run:
+        parts.append(render_run(run))
     if buf:
         parts.append(tokenizer.decode(buf, skip_special_tokens=True)
                      if hasattr(tokenizer, "decode") else str(buf))

@@ -68,7 +68,72 @@ def test_decode_text_with_masks():
             return "".join(chr(65 + i % 26) for i in ids)
     ids, lay = _req()
     s = decode_text_with_masks(ids, lay, Tok(), MASK)
-    assert s == "░" * 8  # all masked initially
+    assert s == "▓" * 8  # all masked initially (run <= 10: app.py:121-122)
+
+
+def test_decode_text_with_masks_reference_format():
+    """Reference app rendering (app.py:110-140): short runs = one block per
+    mask, runs > 10 compress to '▓▓▓▓▓[...n-5 more]'."""
+    import dataclasses as _dc
+
+    class Tok:
+        def decode(self, ids, **kw):
+            return "".join(chr(65 + i % 26) for i in ids)
+
+    gh, gw = 2, 3
+    prompt = [5, 6]
+    ids, lay = tk.assemble_ti2ti_sequence(prompt, 16, gh, gw, [9], tokens=TOK)
+    span = ids[lay.text_start:lay.text_end].copy()
+    assert (span == MASK).all() and len(span) == 16
+    # long all-masked run compresses
+    s = decode_text_with_masks(ids, lay, Tok(), MASK)
+    assert s == "▓" * 5 + "[...11 more]"
+    # mixed: 2 real tokens, 3 masks, 1 real, rest masked (10 -> no compress)
+    ids2 = ids.copy()
+    ids2[lay.text_start + 0] = 0   # 'A'
+    ids2[lay.text_start + 1] = 1   # 'B'
+    ids2[lay.text_start + 5] = 2   # 'C'
+    s2 = decode_text_with_masks(ids2, lay, Tok(), MASK)
+    assert s2 == "AB" + "▓" * 3 + "C" + "▓" * 10
+
+
+def test_stepwise_image_frames_mask_overlay_contract(model):
+    """The demo contract the reference app renders (app.py:310-341): a
+    mid-trajectory frame has still-masked latent cells (gray overlay
+    targets), the final frame has at most the re-mask floor, and the masked
+    set shrinks."""
+    cfg, params = model
+    ids, lay = _req()
+    frames = list(generate_ti2ti_stepwise(params, cfg, ids, lay, _opts(),
+                                          yield_every=2))
+    img_masked = [f[3].sum() for f in frames]
+    assert img_masked[0] > 0, "first frame must show masked cells"
+    assert img_masked[-1] <= 1  # per-step re-mask keeps >= 1 until the end
+    assert all(a >= b for a, b in zip(img_masked, img_masked[1:]))
+    # still_masked marks exactly the MASK-token positions of the frame state
+    step, ids_np, codes, still = frames[0]
+    np.testing.assert_array_equal(
+        still, ids_np[lay.image_positions()] == MASK)
+
+
+def test_overlay_masked_patches_pixels():
+    """Gray patches land exactly on the still-masked latent cells
+    (app.py:315-341 semantics: RGBA fill (128,128,128,120))."""
+    from PIL import Image
+    from mmada_parallel_tpu.cli.demo import overlay_masked_patches
+
+    gh, gw = 2, 3
+    img = Image.new("RGB", (gw * 4, gh * 4), (255, 0, 0))
+    still = np.zeros(gh * gw, bool)
+    still[4] = True  # row 1, col 1
+    out = np.asarray(overlay_masked_patches(img, still, (gh, gw)))
+    ref = np.asarray(img)
+    cell = out[4:8, 4:8]       # overlaid cell
+    other = out[0:4, 0:4]      # untouched cell
+    assert not np.array_equal(cell, ref[4:8, 4:8])
+    # alpha-120 gray over red: red channel drops, green/blue rise
+    assert (cell[..., 1] > 40).all() and (cell[..., 0] < 255).all()
+    np.testing.assert_array_equal(other, ref[0:4, 0:4])
 
 
 def test_mmu_fast_matches_slow_without_eot(model):
