@@ -127,13 +127,24 @@ def init_distributed(coordinator: Optional[str] = None,
     On TPU pods the arguments come from the environment automatically; the
     explicit form supports CPU-fleet testing.  Safe to call when already
     initialized or single-process.
+
+    NOTE: must run before the first device/backend use — probing
+    ``jax.process_count()`` here would itself initialize a single-process
+    backend and turn the rendezvous into a silent no-op (caught by
+    ``tests/test_multiprocess.py``).
     """
-    if jax.process_count() > 1:
-        return
+    try:
+        from jax._src import distributed as _dist
+        if getattr(_dist.global_state, "client", None) is not None:
+            return  # already initialized
+    except ImportError:
+        pass
     try:
         if coordinator is None:
             jax.distributed.initialize()
         else:
             jax.distributed.initialize(coordinator, num_processes, process_id)
     except (ValueError, RuntimeError):
-        pass  # single-process / already initialized
+        if coordinator is not None:
+            raise  # an explicit rendezvous must not fail silently
+        # env auto-detection unavailable -> single-process
