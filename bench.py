@@ -50,6 +50,10 @@ def main():
     # m: per-layer marginal cost).  BENCH_DEPTHS=4 falls back to the r1-style
     # single-depth FLOPs-ratio extrapolation.
     depths = [int(x) for x in os.environ.get("BENCH_DEPTHS", "4,8").split(",")]
+    # BENCH_QUANT=int8 switches to the W8A8 path (ops/quant.py) — an opt-in
+    # approximation (the dense bf16 path is the parity default), run on the
+    # int8 MXU (394 TOPS vs 197 bf16 TFLOP/s)
+    quant = os.environ.get("BENCH_QUANT", "")
 
     _, _, gh, gw = tk.calculate_vq_params(512, 512, 16)
     prompt = list(range(1000, 1050))
@@ -70,6 +74,9 @@ def main():
         cfg = LLaDAConfig.llada_8b(n_layers=L, param_dtype=jnp.bfloat16,
                                    compute_dtype=jnp.bfloat16)
         params = init_llada_params(jax.random.key(0), cfg)
+        if quant == "int8":
+            from mmada_parallel_tpu.ops.quant import quantize_llada_params
+            params = jax.jit(quantize_llada_params)(params)
         run = jax.jit(lambda p, i, k, cfg=cfg: generate_ti2ti(
             p, cfg, i, lay, opts, uncond_image_prefix=un_img, key=k))
         ids_dev = jnp.asarray(ids)[None, :]
@@ -118,8 +125,10 @@ def main():
     err(f"sustained at {L0} layers: {sustained / 1e12:.0f} TFLOP/s == "
         f"{100 * sustained / V5E_BF16_PEAK:.0f}% of v5e bf16 peak (197)")
 
+    tag = " W8A8-int8" if quant == "int8" else ""
+    peak = 394e12 if quant == "int8" else V5E_BF16_PEAK
     print(json.dumps({
-        "metric": "sec per 512x512 edit, 64 img + 128 text steps "
+        "metric": f"sec per 512x512 edit, 64 img + 128 text steps{tag} "
                   "(8B depth from measured depth-curve fit; ASSUMES linear "
                   "v5e-8 scaling, multichip compile-validated only)",
         "value": round(t_8b_8chip, 3),
@@ -131,8 +140,8 @@ def main():
             "sustained_tflops_min_depth": round(sustained / 1e12, 1),
             "marginal_backbone_tflops": (round(marginal_tflops, 1)
                                          if marginal_tflops else None),
-            "v5e_bf16_peak_tflops": 197,
-            "mfu_pct": round(100 * sustained / V5E_BF16_PEAK, 1),
+            "v5e_peak_tflops": round(peak / 1e12),
+            "mfu_pct": round(100 * sustained / peak, 1),
         },
     }))
 

@@ -356,6 +356,17 @@ def _activation(x: jax.Array, kind: str) -> jax.Array:
     raise ValueError(f"unknown activation: {kind}")
 
 
+def _pmm(x: jax.Array, w: Any) -> jax.Array:
+    """Param matmul: dense (bf16/f32) or W8A8 int8 when ``w`` is a
+    quantized-weight dict (:mod:`mmada_parallel_tpu.ops.quant`) — the
+    dispatch keeps scan-over-stacked-layers, cached forwards, and the head
+    on one code path."""
+    if isinstance(w, dict):
+        from mmada_parallel_tpu.ops.quant import int8_matmul
+        return int8_matmul(x, w["w_q"], w["scale"])
+    return x @ w.astype(x.dtype)
+
+
 def _block(x: jax.Array, lp: Dict[str, jax.Array], cfg: LLaDAConfig,
            sin: jax.Array, cos: jax.Array,
            attn_bias: Optional[jax.Array]) -> jax.Array:
@@ -372,7 +383,7 @@ def _block(x: jax.Array, lp: Dict[str, jax.Array], cfg: LLaDAConfig,
 
     h = _norm(x, lp["attn_norm"], cfg)
     if cfg.block_type == "sequential":
-        qkv = h @ lp["att_proj"].astype(cdt)
+        qkv = _pmm(h, lp["att_proj"])
         if "att_proj_bias" in lp:
             qkv = qkv + lp["att_proj_bias"].astype(cdt)
         kvd = nkv * hd
@@ -380,9 +391,9 @@ def _block(x: jax.Array, lp: Dict[str, jax.Array], cfg: LLaDAConfig,
         k = qkv[..., D:D + kvd]
         v = qkv[..., D + kvd:]
     else:
-        q = h @ lp["q_proj"].astype(cdt)
-        k = h @ lp["k_proj"].astype(cdt)
-        v = h @ lp["v_proj"].astype(cdt)
+        q = _pmm(h, lp["q_proj"])
+        k = _pmm(h, lp["k_proj"])
+        v = _pmm(h, lp["v_proj"])
         if "q_bias" in lp:
             q = q + lp["q_bias"].astype(cdt)
             k = k + lp["k_bias"].astype(cdt)
@@ -396,16 +407,16 @@ def _block(x: jax.Array, lp: Dict[str, jax.Array], cfg: LLaDAConfig,
     att = dot_product_attention(q, k, v, bias=attn_bias,
                                 impl=cfg.attention_impl)
     att = att.reshape(B, L, D)
-    x = x + att @ lp["attn_out"].astype(cdt)
+    x = x + _pmm(att, lp["attn_out"])
 
     h = _norm(x, lp["ff_norm"], cfg)
     if cfg.block_type == "sequential":
-        act = _activation(h @ lp["ff_proj"].astype(cdt), cfg.activation_type)
-        x = x + act @ lp["ff_out"].astype(cdt)
+        act = _activation(_pmm(h, lp["ff_proj"]), cfg.activation_type)
+        x = x + _pmm(act, lp["ff_out"])
     else:
-        gate = jax.nn.silu(h @ lp["ff_proj"].astype(cdt))
-        up = h @ lp["up_proj"].astype(cdt)
-        x = x + (gate * up) @ lp["ff_out"].astype(cdt)
+        gate = jax.nn.silu(_pmm(h, lp["ff_proj"]))
+        up = _pmm(h, lp["up_proj"])
+        x = x + _pmm(gate * up, lp["ff_out"])
     return x
 
 
@@ -518,11 +529,21 @@ def llada_head(
     here the [d_model, 8192] sub-matmul is all that runs).
     """
     head = params["head"] if not cfg.weight_tying else params["wte"].T
-    if vocab_slice is not None:
-        start, size = vocab_slice
-        head = jax.lax.slice_in_dim(head, start, start + size, axis=1)
-    logits = jnp.einsum("...d,dv->...v", hidden, head.astype(hidden.dtype),
-                        preferred_element_type=logits_dtype)
+    if isinstance(head, dict):  # W8A8 quantized head (ops/quant.py)
+        from mmada_parallel_tpu.ops.quant import int8_matmul
+        w_q, scale = head["w_q"], head["scale"]
+        if vocab_slice is not None:
+            start, size = vocab_slice
+            w_q = jax.lax.slice_in_dim(w_q, start, start + size, axis=1)
+            scale = jax.lax.slice_in_dim(scale, start, start + size, axis=1)
+        logits = int8_matmul(hidden, w_q, scale, out_dtype=logits_dtype)
+    else:
+        if vocab_slice is not None:
+            start, size = vocab_slice
+            head = jax.lax.slice_in_dim(head, start, start + size, axis=1)
+        logits = jnp.einsum("...d,dv->...v", hidden,
+                            head.astype(hidden.dtype),
+                            preferred_element_type=logits_dtype)
     if cfg.scale_logits:
         logits = logits * (1.0 / math.sqrt(cfg.d_model))
     return logits.astype(logits_dtype)
@@ -566,9 +587,9 @@ def llada_hidden_with_cache(
     def body(carry, lp):
         x = carry
         h = _norm(x, lp["attn_norm"], cfg)
-        q = h @ lp["q_proj"].astype(cdt)
-        k = h @ lp["k_proj"].astype(cdt)
-        v = h @ lp["v_proj"].astype(cdt)
+        q = _pmm(h, lp["q_proj"])
+        k = _pmm(h, lp["k_proj"])
+        v = _pmm(h, lp["v_proj"])
         q = q.reshape(B, L, nh, hd)
         k = k.reshape(B, L, nkv, hd)
         v = v.reshape(B, L, nkv, hd)
@@ -579,11 +600,11 @@ def llada_hidden_with_cache(
         # re-applies rope per use, modeling_llada.py:716-722 — pure cost)
         k_cache, v_cache = kr, v
         att = dot_product_attention(qr, kr, v, impl=cfg.attention_impl)
-        x = x + att.reshape(B, L, nh * hd) @ lp["attn_out"].astype(cdt)
+        x = x + _pmm(att.reshape(B, L, nh * hd), lp["attn_out"])
         h = _norm(x, lp["ff_norm"], cfg)
-        gate = jax.nn.silu(h @ lp["ff_proj"].astype(cdt))
-        up = h @ lp["up_proj"].astype(cdt)
-        x = x + (gate * up) @ lp["ff_out"].astype(cdt)
+        gate = jax.nn.silu(_pmm(h, lp["ff_proj"]))
+        up = _pmm(h, lp["up_proj"])
+        x = x + _pmm(gate * up, lp["ff_out"])
         return x, {"k": k_cache, "v": v_cache}
 
     x, cache = jax.lax.scan(body, x, params["blocks"])
@@ -639,9 +660,9 @@ def llada_hidden_partial(
         x = carry
         lp, layer_cache = xs
         h = _norm(x, lp["attn_norm"], cfg)
-        q = (h @ lp["q_proj"].astype(cdt)).reshape(B, n, nh, hd)
-        k_new = (h @ lp["k_proj"].astype(cdt)).reshape(B, n, nkv, hd)
-        v_new = (h @ lp["v_proj"].astype(cdt)).reshape(B, n, nkv, hd)
+        q = _pmm(h, lp["q_proj"]).reshape(B, n, nh, hd)
+        k_new = _pmm(h, lp["k_proj"]).reshape(B, n, nkv, hd)
+        v_new = _pmm(h, lp["v_proj"]).reshape(B, n, nkv, hd)
         qr = rope_sel(q)
         kr_new = rope_sel(k_new)
         k_full = merge(kr_new, layer_cache["k"])
@@ -649,11 +670,11 @@ def llada_hidden_partial(
 
         att = dot_product_attention(qr, k_full, v_full,
                                     impl=cfg.attention_impl)
-        x = x + att.reshape(B, n, nh * hd) @ lp["attn_out"].astype(cdt)
+        x = x + _pmm(att.reshape(B, n, nh * hd), lp["attn_out"])
         h = _norm(x, lp["ff_norm"], cfg)
-        gate = jax.nn.silu(h @ lp["ff_proj"].astype(cdt))
-        up = h @ lp["up_proj"].astype(cdt)
-        x = x + (gate * up) @ lp["ff_out"].astype(cdt)
+        gate = jax.nn.silu(_pmm(h, lp["ff_proj"]))
+        up = _pmm(h, lp["up_proj"])
+        x = x + _pmm(gate * up, lp["ff_out"])
         return x, {"k": k_full, "v": v_full}
 
     x, new_cache = jax.lax.scan(body, x, (params["blocks"], cache))
