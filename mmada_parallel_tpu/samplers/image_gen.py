@@ -40,7 +40,8 @@ from mmada_parallel_tpu.models.llada import (LLaDAConfig, llada_head,
 from mmada_parallel_tpu.ops import sampling as S
 from mmada_parallel_tpu.tokens import SequenceLayout
 
-__all__ = ["ImageGenOptions", "generate_image", "generate_image_cached"]
+__all__ = ["ImageGenOptions", "generate_image", "generate_image_cached",
+           "dump_trajectory"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -70,12 +71,21 @@ def generate_image(
     opts: ImageGenOptions = ImageGenOptions(),
     uncond_ids: Optional[np.ndarray] = None,
     key: Optional[jax.Array] = None,
-) -> Tuple[jax.Array, jax.Array]:
+    record_trajectory: bool = False,
+    record_logits: bool = False,
+):
     """Returns ``(final_ids [B, L], image_codes [B, N_vq])``.
 
     ``layout.code_start`` marks ``<answer_start>`` as in the TI2TI layout;
     the image span (with newlines) sits at ``[image_start, image_end)``.
     ``opts.use_cache`` dispatches to :func:`generate_image_cached`.
+
+    ``record_trajectory=True`` additionally returns a per-step trajectory
+    dict (``x`` post-step ids, ``vq_mask`` pre-step mask, ``sampled_full``;
+    plus ``logits`` when ``record_logits``) — the TPU-native equivalent of
+    the reference sampler's ``debug=True`` npy dumps
+    (``image_generation_generator.py:36-48,214-223``); the scan records
+    on-device and :func:`dump_trajectory` writes reference-named files.
     """
     if opts.use_cache:
         return generate_image_cached(params, cfg, input_ids, layout, opts,
@@ -162,14 +172,35 @@ def generate_image(
         idx = jnp.broadcast_to(img_pos[None, :], new_vals.shape)
         ids = jnp.put_along_axis(ids, idx, new_vals.astype(ids.dtype), axis=1,
                                  inplace=False)
-        return (ids, next_key), None
+        ys = None
+        if record_trajectory:
+            ys = {"x": ids, "vq_mask": masked, "sampled_full": sampled}
+            if record_logits:
+                ys["logits"] = logits.astype(jnp.float32)
+        return (ids, next_key), ys
 
-    (final_ids, _), _ = jax.lax.scan(
+    (final_ids, _), traj = jax.lax.scan(
         step_fn, (input_ids, key), (jnp.arange(T), fracs))
 
     img_tokens = jnp.take_along_axis(final_ids, img_pos[None, :], axis=1)
     codes = jnp.clip(img_tokens - tvs, 0, cb - 1)
+    if record_trajectory:
+        return final_ids, codes, traj
     return final_ids, codes
+
+
+def dump_trajectory(traj, out_dir: str) -> None:
+    """Write a recorded trajectory as the reference's per-step npy files
+    (``step_{i}_{x,vq_mask,sampled_full[,logits]}.npy``,
+    ``image_generation_generator.py:214-223``) — the golden-file mechanism
+    for offline inspection / cross-checking against reference dumps."""
+    import os
+    os.makedirs(out_dir, exist_ok=True)
+    host = {k: np.asarray(v) for k, v in traj.items()}
+    T = next(iter(host.values())).shape[0]
+    for i in range(T):
+        for name, arr in host.items():
+            np.save(os.path.join(out_dir, f"step_{i}_{name}.npy"), arr[i])
 
 
 def generate_image_cached(

@@ -64,11 +64,14 @@ def a_variant_losses(
     image_start_token: int = 126349,
     image_end_token: int = 126350,
     newline_token: int = 126084,
+    debug_stats: bool = False,
 ) -> Dict[str, jax.Array]:
     """``{loss, interleave_loss, text_loss, image_loss}``.
 
     ``lengths``: true (unpadded) lengths, the reference's
     ``original_lengths`` fallback for a missing ``<answer_end>``.
+    ``debug_stats`` adds per-population token counts and CE min/max
+    (the reference's first-3-steps loss debug prints).
     """
     B, L = input_ids.shape
     ce = token_cross_entropy(logits, labels)
@@ -117,8 +120,19 @@ def a_variant_losses(
             text_region.sum() > 0,
             text_loss / jnp.clip(t.mean(), 0.01, None), text_loss)
 
-    return {"loss": interleave, "interleave_loss": interleave,
-            "text_loss": text_loss, "image_loss": image_loss}
+    out = {"loss": interleave, "interleave_loss": interleave,
+           "text_loss": text_loss, "image_loss": image_loss}
+    if debug_stats:
+        # population stats the reference prints on its first 3 steps
+        # (modeling_xllmx_dimoo.py:100-160), as jit-friendly metrics
+        big = jnp.asarray(jnp.finfo(ce.dtype).max, ce.dtype)
+        for name, region in (("text", text_region), ("image", img_region)):
+            n = region.sum()
+            out[f"{name}_n_tokens"] = n
+            out[f"{name}_loss_min"] = jnp.where(
+                n > 0, jnp.min(jnp.where(region, ce, big)), 0.0)
+            out[f"{name}_loss_max"] = jnp.max(jnp.where(region, ce, 0.0))
+    return out
 
 
 def m_interleave_loss(

@@ -294,3 +294,54 @@ def test_parabench_sweep(model):
     assert out["edits_per_min"] > 0
     for r in out["results"]:
         assert r["codes"].shape == (6,)
+
+
+def test_image_gen_trajectory_recording(model, tmp_path):
+    """record_trajectory: the TPU-native equivalent of the reference's
+    debug npy dumps (image_generation_generator.py:214-223)."""
+    from mmada_parallel_tpu.samplers.image_gen import (
+        ImageGenOptions, generate_image, dump_trajectory)
+    cfg, params = model
+    prompt = [5, 6, 7]
+    ids, lay = tk.assemble_ti2ti_sequence(prompt, 0, 2, 3, [], tokens=TOK)
+    opts = ImageGenOptions(timesteps=4, temperature=0.0, cfg_scale=0.0,
+                           text_vocab_size=TVS, codebook_size=CB,
+                           mask_token=MASK)
+    fin, codes, traj = generate_image(params, cfg, jnp.asarray(ids)[None],
+                                      lay, opts, key=None,
+                                      record_trajectory=True,
+                                      record_logits=True)
+    assert traj["x"].shape[0] == 4               # one record per step
+    assert traj["logits"].shape[-1] == CB
+    # last recorded state equals the final ids
+    np.testing.assert_array_equal(np.asarray(traj["x"])[-1],
+                                  np.asarray(fin))
+    # masks monotonically shrink across steps
+    m = np.asarray(traj["vq_mask"]).sum(axis=(1, 2))
+    assert all(a >= b for a, b in zip(m, m[1:]))
+    dump_trajectory(traj, str(tmp_path / "dbg"))
+    import os
+    files = sorted(os.listdir(tmp_path / "dbg"))
+    assert "step_0_x.npy" in files and "step_3_sampled_full.npy" in files
+    assert np.load(tmp_path / "dbg" / "step_1_vq_mask.npy").dtype == bool
+
+
+def test_a_losses_debug_stats(model):
+    from mmada_parallel_tpu.training.losses import a_variant_losses
+    cfg, params = model
+    rng = np.random.default_rng(0)
+    B, L, V = 2, 24, TVS + CB
+    logits = jnp.asarray(rng.normal(size=(B, L, V)).astype(np.float32))
+    ids = np.full((B, L), 7, np.int64)
+    ids[:, 4] = 252   # answer_start
+    ids[:, 20] = 253  # answer_end
+    labels = np.where(rng.uniform(size=(B, L)) < 0.5,
+                      rng.integers(0, V, (B, L)), -100)
+    out = a_variant_losses(jnp.asarray(logits), jnp.asarray(ids),
+                           jnp.asarray(labels),
+                           answer_start_token=252, answer_end_token=253,
+                           image_start_token=254, image_end_token=255,
+                           newline_token=251, debug_stats=True)
+    assert int(out["text_n_tokens"]) > 0
+    assert float(out["text_loss_min"]) <= float(out["text_loss_max"])
+    assert np.isfinite(float(out["loss"]))
