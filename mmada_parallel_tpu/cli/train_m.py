@@ -17,7 +17,10 @@ DEFAULTS = {
     "vq_checkpoint": None,        # MagViT-v2 weights (None -> random)
     "output_dir": "out_interleave",
     "shards": None,               # tar pattern with in/out image + texts
-    "dataset": {"preprocessing": {"max_seq_length": 256, "resolution": 512}},
+    "dataset": {"preprocessing": {"max_seq_length": 256, "resolution": 512},
+                "params": {"mmu_validation_prompts_file": "",
+                           "mmu_image_root": "",
+                           "lm_chat_validation_jsonl": ""}},
     "model": {"mmada": {"num_vq_tokens": 1024, "codebook_size": 8192}},
     "training": {
         "lr": 1e-4, "weight_decay": 0.01, "max_grad_norm": 1.0,
@@ -27,6 +30,8 @@ DEFAULTS = {
         "warmup_steps": 100, "scheduler": "cosine",
         "save_every": 500, "log_every": 10, "seed": 0,
         "generate_every": 0,   # >0: periodic validation generation
+        "validate_mmu_every": 0,   # >0: MMU understanding validation
+        "validate_chat_every": 0,  # >0: chat text validation
     },
     "mesh": {"fsdp": 1, "tensor": 1},
     "tiny_debug": False,
@@ -61,6 +66,111 @@ def _validate(params, mcfg, vq_params, vq_cfg, tokenizer, sample, cfg,
     with open(_os.path.join(out, f"step{step:07d}.txt"), "w") as f:
         f.write(text if isinstance(text, str) else str(text))
     print(f"[validate] step {step}: saved validation sample")
+
+
+def _chat_prompt_ids(tokenizer, question):
+    """The reference's chat template wrap (train_interleave.py:1327-1330)."""
+    chat = ("<|start_header_id|>user<|end_header_id|>\n" + question
+            + "<eot_id><|start_header_id|>assistant<|end_header_id|>\n")
+    ids = tokenizer(chat)["input_ids"]
+    bos = getattr(tokenizer, "bos_token_id", None)
+    return ([bos] if bos is not None else []) + list(ids)
+
+
+def _validate_mmu(params, mcfg, get_code, tokenizer, cfg, step):
+    """MMU understanding validation (``understanding_images``,
+    ``train_interleave.py:1176-1290``): encode each validation image, build
+    the MMU prompt (image span + chat-template question), run the MMU
+    sampler; the wandb table becomes ``validation/mmu_step{N}.jsonl``."""
+    import json as _json
+    import os as _os
+    import numpy as _np
+    import jax as _jax
+    import jax.numpy as _jnp
+    from PIL import Image
+    from mmada_parallel_tpu import tokens as _tk
+    from mmada_parallel_tpu.utils.image import (image_transform,
+                                                image_transform_squash)
+    from mmada_parallel_tpu.samplers.mmu import MMUOptions, mmu_generate
+
+    pf = cfg.dataset.params.mmu_validation_prompts_file
+    root = cfg.dataset.params.mmu_image_root
+    if not pf or not _os.path.exists(pf):
+        print(f"[validate_mmu] prompts file missing: {pf!r}; skipping")
+        return
+    with open(pf) as f:
+        items = _json.load(f)
+    T = _tk.TOKENS_M
+    opts = MMUOptions(max_new_tokens=128, steps=64, block_length=64,
+                      temperature=0.0, mask_token=T.mask)
+    out_dir = _os.path.join(cfg.output_dir, "validation")
+    _os.makedirs(out_dir, exist_ok=True)
+    rows = []
+    for item in items:
+        name, msgs = item.get("file_name"), item.get("messages")
+        if not name or not msgs:
+            continue
+        path = _os.path.join(root, name)
+        if not _os.path.exists(path):
+            continue
+        img = Image.open(path).convert("RGB")
+        # squash transform for document/diagram sets (ref :1224-1228)
+        tf = (image_transform_squash if any(
+            t in name for t in ("ai2d", "clevr", "docvqa", "geo", "llava"))
+            else image_transform)
+        px = _jnp.asarray(tf(img, cfg.dataset.preprocessing.resolution))
+        codes = _np.asarray(get_code(px))[0] + T.vq_offset
+        question = msgs[-1].get("content", "") if isinstance(msgs, list) else str(msgs)
+        qids = _chat_prompt_ids(tokenizer, question)
+        prompt = _np.asarray([[T.mmu, T.soi] + [int(c) for c in codes]
+                              + [T.eoi] + qids], _np.int32)
+        fin = _np.asarray(mmu_generate(params, mcfg, _jnp.asarray(prompt),
+                                       opts, key=None))
+        ans = [int(t) for t in fin[0, prompt.shape[1]:] if int(t) != T.mask]
+        text = (tokenizer.decode(ans, skip_special_tokens=True)
+                if hasattr(tokenizer, "decode") else ans)
+        rows.append({"file_name": name, "question": question,
+                     "response": text})
+    with open(_os.path.join(out_dir, f"mmu_step{step:07d}.jsonl"), "w") as f:
+        for r in rows:
+            f.write(_json.dumps(r) + "\n")
+    print(f"[validate_mmu] step {step}: {len(rows)} items")
+
+
+def _validate_chat(params, mcfg, tokenizer, cfg, step):
+    """Chat text validation (``generate_chat_text``,
+    ``train_interleave.py:1292-1359``): lm-chat questions through the text
+    sampler; the HTML/wandb sink becomes ``validation/chat_step{N}.jsonl``."""
+    import json as _json
+    import os as _os
+    import numpy as _np
+    import jax.numpy as _jnp
+    from mmada_parallel_tpu import tokens as _tk
+    from mmada_parallel_tpu.samplers.mmu import MMUOptions, mmu_generate
+
+    jl = cfg.dataset.params.lm_chat_validation_jsonl
+    if not jl or not _os.path.exists(jl):
+        print(f"[validate_chat] jsonl missing: {jl!r}; skipping")
+        return
+    questions = [_json.loads(l)["question"] for l in open(jl) if l.strip()]
+    T = _tk.TOKENS_M
+    opts = MMUOptions(max_new_tokens=128, steps=64, block_length=64,
+                      temperature=0.0, mask_token=T.mask)
+    out_dir = _os.path.join(cfg.output_dir, "validation")
+    _os.makedirs(out_dir, exist_ok=True)
+    rows = []
+    for q in questions:
+        prompt = _np.asarray([_chat_prompt_ids(tokenizer, q)], _np.int32)
+        fin = _np.asarray(mmu_generate(params, mcfg, _jnp.asarray(prompt),
+                                       opts, key=None))
+        ans = [int(t) for t in fin[0, prompt.shape[1]:] if int(t) != T.mask]
+        text = (tokenizer.decode(ans, skip_special_tokens=True)
+                if hasattr(tokenizer, "decode") else ans)
+        rows.append({"question": q, "response": text})
+    with open(_os.path.join(out_dir, f"chat_step{step:07d}.jsonl"), "w") as f:
+        for r in rows:
+            f.write(_json.dumps(r) + "\n")
+    print(f"[validate_chat] step {step}: {len(rows)} prompts")
 
 
 def main(argv=None):
@@ -235,6 +345,15 @@ def main(argv=None):
                 # periodic validation generation (train_interleave.py:950-964)
                 _validate(state.params, mcfg, vq_params, vq_cfg, tokenizer,
                           group[0], cfg, global_step)
+            if (getattr(tr, "validate_mmu_every", 0) and tokenizer is not None
+                    and global_step % tr.validate_mmu_every == 0):
+                _validate_mmu(state.params, mcfg, get_code, tokenizer, cfg,
+                              global_step)
+            if (getattr(tr, "validate_chat_every", 0)
+                    and tokenizer is not None
+                    and global_step % tr.validate_chat_every == 0):
+                _validate_chat(state.params, mcfg, tokenizer, cfg,
+                               global_step)
             if global_step >= tr.max_train_steps:
                 break
         if epoch_steps == 0:

@@ -241,3 +241,60 @@ def test_checkpoint_roundtrip(tmp_path):
     np.testing.assert_array_equal(np.asarray(restored.params["w"]),
                                   np.asarray(params["w"]))
     mngr.close()
+
+
+def test_train_m_validators(tmp_path):
+    """MMU + chat validators (train_interleave.py:1176-1359 equivalents)
+    write jsonl artifacts from tiny inputs."""
+    import json
+    from types import SimpleNamespace as NS
+    from PIL import Image
+    import jax
+    import jax.numpy as jnp
+    from mmada_parallel_tpu.models.llada import LLaDAConfig, init_llada_params
+    from mmada_parallel_tpu.models import magvit2 as MVQ
+    from mmada_parallel_tpu.cli.train_m import _validate_mmu, _validate_chat
+
+    mcfg = LLaDAConfig.tiny(d_model=32, n_heads=2, n_kv_heads=2, n_layers=1,
+                            mlp_hidden_size=64, vocab_size=512)
+    params = init_llada_params(jax.random.key(0), mcfg)
+    vq_cfg = MVQ.MagvitConfig.tiny()
+    vq_params = MVQ.init_magvit_params(jax.random.key(1), vq_cfg)
+    get_code = jax.jit(lambda px: MVQ.magvit_get_code(vq_params, vq_cfg, px))
+
+    class Tok:
+        bos_token_id = 1
+
+        def __call__(self, t, **kw):
+            return {"input_ids": [10 + ord(c) % 50 for c in t[:12]]}
+
+        def decode(self, ids, **kw):
+            return " ".join(str(i) for i in ids)
+
+    img_root = tmp_path / "imgs"; img_root.mkdir()
+    Image.new("RGB", (16, 16), (90, 10, 10)).save(img_root / "a.png")
+    pf = tmp_path / "mmu.json"
+    pf.write_text(json.dumps([
+        {"file_name": "a.png",
+         "messages": [{"role": "user", "content": "what is shown"}]},
+        {"file_name": "missing.png", "messages": []},
+    ]))
+    jl = tmp_path / "chat.jsonl"
+    jl.write_text('{"question": "hello there"}\n')
+
+    cfg = NS(output_dir=str(tmp_path / "out"),
+             dataset=NS(params=NS(mmu_validation_prompts_file=str(pf),
+                                  mmu_image_root=str(img_root),
+                                  lm_chat_validation_jsonl=str(jl)),
+                        preprocessing=NS(max_seq_length=16, resolution=16)))
+
+    _validate_mmu(params, mcfg, get_code, Tok(), cfg, 7)
+    _validate_chat(params, mcfg, Tok(), cfg, 7)
+
+    mmu_rows = [json.loads(l) for l in
+                open(tmp_path / "out" / "validation" / "mmu_step0000007.jsonl")]
+    assert len(mmu_rows) == 1 and mmu_rows[0]["file_name"] == "a.png"
+    assert isinstance(mmu_rows[0]["response"], str)
+    chat_rows = [json.loads(l) for l in
+                 open(tmp_path / "out" / "validation" / "chat_step0000007.jsonl")]
+    assert chat_rows[0]["question"] == "hello there"
