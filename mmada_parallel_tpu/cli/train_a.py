@@ -60,7 +60,7 @@ def main(argv=None):
                                            llada_forward, param_shardings)
     from mmada_parallel_tpu.models import convert as CV
     from mmada_parallel_tpu.parallel import (MeshConfig, make_mesh,
-                                             shard_params, batch_sharding)
+                                             batch_sharding)
     from mmada_parallel_tpu.data.dataset import (MetaDataset,
                                                  LengthClusteredSampler)
     from mmada_parallel_tpu.data.item_processor import AItemProcessor
@@ -69,7 +69,8 @@ def main(argv=None):
                                                      make_optimizer,
                                                      make_train_step,
                                                      TrainState,
-                                                     create_sharded_state)
+                                                     create_sharded_state,
+                                                     state_shardings)
     from mmada_parallel_tpu.training.lr_schedules import half_cosine_with_warmup
     from mmada_parallel_tpu.training.checkpoint import CheckpointManager
     from mmada_parallel_tpu.utils.logging import MetricLogger, ScalarWriter
@@ -121,8 +122,8 @@ def main(argv=None):
     opt = make_optimizer(OptimizerConfig(lr=args.lr, weight_decay=args.wd,
                                          grad_clip=args.clip_grad,
                                          schedule=sched), params)
-    state, _, _ = create_sharded_state(params, opt, param_shardings(cfg),
-                                       mesh, args.shard_strategy)
+    state, p_specs, o_specs = create_sharded_state(
+        params, opt, param_shardings(cfg), mesh, args.shard_strategy)
 
     def loss_fn(p, batch, key):
         ids, labels, lengths = batch
@@ -131,8 +132,15 @@ def main(argv=None):
         return out["loss"], {"text_loss": out["text_loss"],
                              "image_loss": out["image_loss"]}
 
+    # pin the output state placement so the strategy (in particular
+    # zero2's replicated-params/sharded-opt-state split) survives every
+    # step — without out_shardings XLA may re-place the donated state
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    out_sh = (state_shardings(state.params, state.opt_state, p_specs,
+                              o_specs, mesh),
+              NamedSharding(mesh, P()))  # scalar metrics: replicated
     step = jax.jit(make_train_step(loss_fn, opt, accum_steps=args.accum_iter),
-                   donate_argnums=0)
+                   donate_argnums=0, out_shardings=out_sh)
 
     mngr = CheckpointManager(os.path.join(args.output_dir, "ckpt"),
                              max_to_keep=args.ckpt_max_keep)

@@ -77,6 +77,61 @@ def _chat_prompt_ids(tokenizer, question):
     return ([bos] if bos is not None else []) + list(ids)
 
 
+def _conversation_prompt_ids(tokenizer, messages):
+    """Full multi-turn history through the tokenizer's chat template with
+    the assistant generation header appended — the reference's
+    ``apply_chat_template(messages, add_generation_prompt=True)``
+    (``train_interleave.py:1236-1241``).  Falls back to the header-tag
+    format of ``:1327-1330`` for tokenizers without a chat template."""
+    tmpl = getattr(tokenizer, "apply_chat_template", None)
+    if tmpl is not None and getattr(tokenizer, "chat_template", None):
+        return list(tmpl(messages, tokenize=True,
+                         add_generation_prompt=True))
+    chat = "".join(
+        f"<|start_header_id|>{m.get('role', 'user')}<|end_header_id|>\n"
+        f"{m.get('content', '')}<eot_id>" for m in messages)
+    chat += "<|start_header_id|>assistant<|end_header_id|>\n"
+    ids = tokenizer(chat)["input_ids"]
+    bos = getattr(tokenizer, "bos_token_id", None)
+    return ([bos] if bos is not None else []) + list(ids)
+
+
+def _batched_mmu(params, mcfg, prompt_lists, opts, pad_id):
+    """One compiled ``mmu_generate`` call for a batch of ragged prompts.
+
+    Prompts are right-padded to a 32-multiple bucket with a true-length
+    ``attn_mask`` (positions re-ranked by the sampler), so each row decodes
+    exactly as its unpadded single run and ONE jit trace serves every
+    validation invocation — the reference re-runs the full model per item
+    (``train_interleave.py:1245-1258``), which on TPU would pay a fresh
+    XLA compile per distinct prompt length.
+
+    Returns ``(final_ids [B, P + max_new_tokens], prompt_len P)``.
+    """
+    import numpy as _np
+    import jax as _jax
+    import jax.numpy as _jnp
+    from mmada_parallel_tpu.samplers.mmu import mmu_generate
+
+    B = len(prompt_lists)
+    P = max(32, -(-max(len(p) for p in prompt_lists) // 32) * 32)
+    ids = _np.full((B, P), pad_id, _np.int32)
+    mask = _np.zeros((B, P), bool)
+    for i, p in enumerate(prompt_lists):
+        ids[i, :len(p)] = p
+        mask[i, :len(p)] = True
+    cache = getattr(_batched_mmu, "_cache", None)
+    if cache is None:
+        cache = _batched_mmu._cache = {}
+    ck = (B, P, opts, id(mcfg))
+    if ck not in cache:
+        cache[ck] = _jax.jit(lambda pr, x, m: mmu_generate(
+            pr, mcfg, x, opts, attn_mask=m, key=None))
+    fin = _np.asarray(cache[ck](params, _jnp.asarray(ids),
+                                _jnp.asarray(mask)))
+    return fin, P
+
+
 def _validate_mmu(params, mcfg, get_code, tokenizer, cfg, step):
     """MMU understanding validation (``understanding_images``,
     ``train_interleave.py:1176-1290``): encode each validation image, build
@@ -85,13 +140,12 @@ def _validate_mmu(params, mcfg, get_code, tokenizer, cfg, step):
     import json as _json
     import os as _os
     import numpy as _np
-    import jax as _jax
     import jax.numpy as _jnp
     from PIL import Image
     from mmada_parallel_tpu import tokens as _tk
     from mmada_parallel_tpu.utils.image import (image_transform,
                                                 image_transform_squash)
-    from mmada_parallel_tpu.samplers.mmu import MMUOptions, mmu_generate
+    from mmada_parallel_tpu.samplers.mmu import MMUOptions
 
     pf = cfg.dataset.params.mmu_validation_prompts_file
     root = cfg.dataset.params.mmu_image_root
@@ -101,11 +155,14 @@ def _validate_mmu(params, mcfg, get_code, tokenizer, cfg, step):
     with open(pf) as f:
         items = _json.load(f)
     T = _tk.TOKENS_M
-    opts = MMUOptions(max_new_tokens=128, steps=64, block_length=64,
-                      temperature=0.0, mask_token=T.mask)
+    msl = cfg.dataset.preprocessing.max_seq_length
+    # reference generation params (train_interleave.py:1255-1258)
+    opts = MMUOptions(max_new_tokens=msl, steps=msl // 2,
+                      block_length=msl // 4, temperature=0.0,
+                      mask_token=T.mask)
     out_dir = _os.path.join(cfg.output_dir, "validation")
     _os.makedirs(out_dir, exist_ok=True)
-    rows = []
+    prompts, kept = [], []
     for item in items:
         name, msgs = item.get("file_name"), item.get("messages")
         if not name or not msgs:
@@ -120,17 +177,22 @@ def _validate_mmu(params, mcfg, get_code, tokenizer, cfg, step):
             else image_transform)
         px = _jnp.asarray(tf(img, cfg.dataset.preprocessing.resolution))
         codes = _np.asarray(get_code(px))[0] + T.vq_offset
-        question = msgs[-1].get("content", "") if isinstance(msgs, list) else str(msgs)
-        qids = _chat_prompt_ids(tokenizer, question)
-        prompt = _np.asarray([[T.mmu, T.soi] + [int(c) for c in codes]
-                              + [T.eoi] + qids], _np.int32)
-        fin = _np.asarray(mmu_generate(params, mcfg, _jnp.asarray(prompt),
-                                       opts, key=None))
-        ans = [int(t) for t in fin[0, prompt.shape[1]:] if int(t) != T.mask]
-        text = (tokenizer.decode(ans, skip_special_tokens=True)
-                if hasattr(tokenizer, "decode") else ans)
-        rows.append({"file_name": name, "question": question,
-                     "response": text})
+        # full multi-turn history through the chat template (ref :1236-1241)
+        msgs = msgs if isinstance(msgs, list) else [
+            {"role": "user", "content": str(msgs)}]
+        qids = _conversation_prompt_ids(tokenizer, msgs)
+        prompts.append([T.mmu, T.soi] + [int(c) for c in codes]
+                       + [T.eoi] + [int(q) for q in qids])
+        kept.append((name, msgs))
+    rows = []
+    if prompts:
+        fin, P = _batched_mmu(params, mcfg, prompts, opts, T.eos)
+        for i, (name, msgs) in enumerate(kept):
+            ans = [int(t) for t in fin[i, P:] if int(t) != T.mask]
+            text = (tokenizer.decode(ans, skip_special_tokens=True)
+                    if hasattr(tokenizer, "decode") else ans)
+            rows.append({"file_name": name, "messages": msgs,
+                         "response": text})
     with open(_os.path.join(out_dir, f"mmu_step{step:07d}.jsonl"), "w") as f:
         for r in rows:
             f.write(_json.dumps(r) + "\n")
@@ -143,10 +205,8 @@ def _validate_chat(params, mcfg, tokenizer, cfg, step):
     sampler; the HTML/wandb sink becomes ``validation/chat_step{N}.jsonl``."""
     import json as _json
     import os as _os
-    import numpy as _np
-    import jax.numpy as _jnp
     from mmada_parallel_tpu import tokens as _tk
-    from mmada_parallel_tpu.samplers.mmu import MMUOptions, mmu_generate
+    from mmada_parallel_tpu.samplers.mmu import MMUOptions
 
     jl = cfg.dataset.params.lm_chat_validation_jsonl
     if not jl or not _os.path.exists(jl):
@@ -154,19 +214,22 @@ def _validate_chat(params, mcfg, tokenizer, cfg, step):
         return
     questions = [_json.loads(l)["question"] for l in open(jl) if l.strip()]
     T = _tk.TOKENS_M
-    opts = MMUOptions(max_new_tokens=128, steps=64, block_length=64,
-                      temperature=0.0, mask_token=T.mask)
+    msl = cfg.dataset.preprocessing.max_seq_length
+    # reference generation params (train_interleave.py:1332-1337)
+    opts = MMUOptions(max_new_tokens=msl, steps=msl // 2,
+                      block_length=msl // 4, temperature=0.0,
+                      mask_token=T.mask)
     out_dir = _os.path.join(cfg.output_dir, "validation")
     _os.makedirs(out_dir, exist_ok=True)
     rows = []
-    for q in questions:
-        prompt = _np.asarray([_chat_prompt_ids(tokenizer, q)], _np.int32)
-        fin = _np.asarray(mmu_generate(params, mcfg, _jnp.asarray(prompt),
-                                       opts, key=None))
-        ans = [int(t) for t in fin[0, prompt.shape[1]:] if int(t) != T.mask]
-        text = (tokenizer.decode(ans, skip_special_tokens=True)
-                if hasattr(tokenizer, "decode") else ans)
-        rows.append({"question": q, "response": text})
+    if questions:
+        prompts = [_chat_prompt_ids(tokenizer, q) for q in questions]
+        fin, P = _batched_mmu(params, mcfg, prompts, opts, T.eos)
+        for i, q in enumerate(questions):
+            ans = [int(t) for t in fin[i, P:] if int(t) != T.mask]
+            text = (tokenizer.decode(ans, skip_special_tokens=True)
+                    if hasattr(tokenizer, "decode") else ans)
+            rows.append({"question": q, "response": text})
     with open(_os.path.join(out_dir, f"chat_step{step:07d}.jsonl"), "w") as f:
         for r in rows:
             f.write(_json.dumps(r) + "\n")
@@ -185,14 +248,15 @@ def main(argv=None):
     from mmada_parallel_tpu.models import convert as CV
     from mmada_parallel_tpu.models import magvit2 as MVQ
     from mmada_parallel_tpu.parallel import (MeshConfig, make_mesh,
-                                             shard_params, batch_sharding)
+                                             batch_sharding)
     from mmada_parallel_tpu.training.masking import interleave_noising
     from mmada_parallel_tpu.training.losses import m_interleave_loss
     from mmada_parallel_tpu.training.trainer import (OptimizerConfig,
                                                      make_optimizer,
                                                      make_train_step,
                                                      TrainState,
-                                                     create_sharded_state)
+                                                     create_sharded_state,
+                                                     state_shardings)
     from mmada_parallel_tpu.training.lr_schedules import get_scheduler
     from mmada_parallel_tpu.training.checkpoint import CheckpointManager
     from mmada_parallel_tpu.utils.logging import MetricLogger, ScalarWriter
@@ -250,7 +314,7 @@ def main(argv=None):
     opt = make_optimizer(OptimizerConfig(
         lr=tr.lr, weight_decay=tr.weight_decay, b1=0.9, b2=0.999,
         grad_clip=tr.max_grad_norm, schedule=sched), params)
-    state, _, _ = create_sharded_state(
+    state, p_specs, o_specs = create_sharded_state(
         params, opt, param_shardings(mcfg), mesh,
         getattr(tr, "shard_strategy", "full"))
 
@@ -262,9 +326,15 @@ def main(argv=None):
         return out["loss"], {"text_loss": out["text_loss"],
                              "image_loss": out["image_loss"]}
 
+    # pin output state placement (zero2's replicated-params/sharded-opt
+    # split in particular) — see cli/train_a.py
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    out_sh = (state_shardings(state.params, state.opt_state, p_specs,
+                              o_specs, mesh),
+              NamedSharding(mesh, P()))
     step = jax.jit(make_train_step(
         loss_fn, opt, accum_steps=tr.gradient_accumulation_steps),
-        donate_argnums=0)
+        donate_argnums=0, out_shardings=out_sh)
 
     mngr = CheckpointManager(os.path.join(cfg.output_dir, "ckpt"))
     restored, meta, last = mngr.restore(state)

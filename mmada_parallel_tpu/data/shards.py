@@ -176,8 +176,12 @@ class CaptionRouter:
         self.default = default
 
     def lookup(self, url: str, key: str) -> Optional[str]:
+        # match the shard URL only — the reference's chain tests
+        # sample['__url__'] exclusively (data.py:338-530); matching the
+        # per-sample key would misroute e.g. key 'geometry3k_0012' inside a
+        # cc12m shard to a ('geo', ...) route
         for substr, source in self.routes:
-            if substr in url or substr in key:
+            if substr in url:
                 return source.lookup(url, key)
         if self.default is not None:
             return self.default.lookup(url, key)

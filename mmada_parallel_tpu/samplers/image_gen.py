@@ -81,13 +81,22 @@ def generate_image(
     ``opts.use_cache`` dispatches to :func:`generate_image_cached`.
 
     ``record_trajectory=True`` additionally returns a per-step trajectory
-    dict (``x`` post-step ids, ``vq_mask`` pre-step mask, ``sampled_full``;
-    plus ``logits`` when ``record_logits``) — the TPU-native equivalent of
-    the reference sampler's ``debug=True`` npy dumps
-    (``image_generation_generator.py:36-48,214-223``); the scan records
-    on-device and :func:`dump_trajectory` writes reference-named files.
+    dict matching the reference sampler's ``debug=True`` npy dumps
+    (``image_generation_generator.py:214-223``): ``x`` = full sequence after
+    write-back + re-mask, ``vq_mask`` = post-re-mask ``x == mask_token``
+    over the full sequence, ``sampled_full`` = sampled codes in full token
+    space (``sampled + vocab_offset``, ``:172``; static ``[B, n_vq]`` — the
+    reference dumps only the masked subset, here unmasked slots carry the
+    would-be sample); plus ``logits`` when ``record_logits``.  The scan
+    records on-device and :func:`dump_trajectory` writes reference-named
+    files.
     """
     if opts.use_cache:
+        if record_trajectory or record_logits:
+            raise ValueError(
+                "record_trajectory/record_logits require the exact sampler; "
+                "the cached path (use_cache=True) does not record — run "
+                "with use_cache=False to dump a trajectory")
         return generate_image_cached(params, cfg, input_ids, layout, opts,
                                      uncond_ids=uncond_ids, key=key)
     B, L = input_ids.shape
@@ -174,7 +183,11 @@ def generate_image(
                                  inplace=False)
         ys = None
         if record_trajectory:
-            ys = {"x": ids, "vq_mask": masked, "sampled_full": sampled}
+            # reference dump semantics (image_generation_generator.py:214-223):
+            # x/vq_mask are post-write-back + post-re-mask; sampled_full is
+            # offset into full token space (:172)
+            ys = {"x": ids, "vq_mask": ids == opts.mask_token,
+                  "sampled_full": sampled + tvs}
             if record_logits:
                 ys["logits"] = logits.astype(jnp.float32)
         return (ids, next_key), ys

@@ -29,6 +29,23 @@ from mmada_parallel_tpu.ops import sampling as S
 __all__ = ["MMUOptions", "mmu_generate", "mmu_generate_fast"]
 
 
+def _extend_prompt_mask(attn_mask, B: int, P: int, L: int):
+    """Normalize a ``[B, P]`` prompt mask (or ``[B, L]`` full mask) to a
+    full-sequence bool mask + re-ranked RoPE position ids; the answer span
+    is always real."""
+    if attn_mask is None:
+        return None, None
+    from mmada_parallel_tpu.ops.masks import ragged_positions
+    m = attn_mask.astype(bool)
+    if m.shape[1] == P and P != L:
+        m = jnp.concatenate([m, jnp.ones((B, L - P), bool)], axis=1)
+    elif m.shape[1] != L:
+        raise ValueError(
+            f"attn_mask length {m.shape[1]} matches neither the prompt "
+            f"({P}) nor the full sequence ({L})")
+    return m, ragged_positions(m)
+
+
 @dataclasses.dataclass(frozen=True)
 class MMUOptions:
     max_new_tokens: int = 128
@@ -50,6 +67,12 @@ def mmu_generate(
 ) -> jax.Array:
     """Returns the full ``[B, prompt_len + max_new_tokens]`` sequence.
 
+    ``attn_mask`` (``[B, prompt_len]`` bool, True = real; a full-sequence
+    ``[B, prompt_len + max_new_tokens]`` mask is also accepted) enables
+    ragged batched prompts: pads are hidden from attention and RoPE
+    positions are re-ranked (``ops.masks.ragged_positions``) so each row
+    generates exactly what its unpadded single run would.
+
     Note: with ``cfg_scale > 0`` the batched cond/uncond forward runs
     without ``attn_mask`` — the reference has the same quirk
     (``modeling_mmada.py:661``), preserved for parity."""
@@ -69,6 +92,7 @@ def mmu_generate(
          jnp.full((B, opts.max_new_tokens), opts.mask_token, prompt_ids.dtype)],
         axis=1)
     prompt_index = x0_init != opts.mask_token
+    attn_mask, pos_ids = _extend_prompt_mask(attn_mask, B, P, L)
 
     # per-block budget: block starts fully masked -> static schedule
     # (M's front-loaded remainder form, modeling_mmada.py:63-81)
@@ -98,7 +122,7 @@ def mmu_generate(
             logits2 = llada_head(params, cfg, h)
             cond, uncond = logits2[:B], logits2[B:]
             return uncond + (opts.cfg_scale + 1) * (cond - uncond)
-        hidden = llada_hidden(params, cfg, x, attn_mask)
+        hidden = llada_hidden(params, cfg, x, attn_mask, pos_ids)
         h = jax.lax.dynamic_slice_in_dim(hidden, P, N, axis=1)
         return llada_head(params, cfg, h)
 
@@ -170,6 +194,7 @@ def mmu_generate_fast(
          jnp.full((B, opts.max_new_tokens), opts.mask_token, prompt_ids.dtype)],
         axis=1)
     prompt_index = x0_init != opts.mask_token
+    attn_mask, pos_ids = _extend_prompt_mask(attn_mask, B, P, L)
     budgets = S.get_num_transfer_tokens_frontloaded(
         jnp.full((1,), opts.block_length), spb)[0]
 
@@ -189,7 +214,7 @@ def mmu_generate_fast(
             cond, uncond = logits2[:B], logits2[B:]
             logits = uncond + (opts.cfg_scale + 1) * (cond - uncond)
         else:
-            hidden = llada_hidden(params, cfg, x, attn_mask)
+            hidden = llada_hidden(params, cfg, x, attn_mask, pos_ids)
             h = jax.lax.dynamic_slice_in_dim(hidden, P, N, axis=1)
             logits = llada_head(params, cfg, h)
         if k is not None:

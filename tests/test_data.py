@@ -295,6 +295,15 @@ def test_caption_source_zoo(tmp_path):
                                   caption_source=router)
     assert next(iter(ds_o))["caption"] == "inline cap"
 
+    # routing matches the shard URL ONLY (data.py:338-530 tests __url__):
+    # a sample key that merely contains a route substring must not be
+    # misrouted away from its shard's fallback caption
+    _mk_shard(tmp_path / "misc-000.tar", ["ai2d_look_alike"],
+              {"ai2d_look_alike": "not a diagram"})
+    ds_m = Text2ImageShardDataset(str(tmp_path / "misc-000.tar"),
+                                  caption_source=router)
+    assert next(iter(ds_m))["caption"] == "not a diagram"
+
 
 class WordTokenizer:
     """Deterministic word-level tokenizer honoring the Tokenizer protocol

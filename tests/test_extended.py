@@ -161,6 +161,29 @@ def test_mmu_fast_early_exit(model):
     assert np.array_equal(fast[0, :12], slow[0, :12])
 
 
+def test_mmu_ragged_padded_batch_matches_single(model):
+    """A right-padded prompt with attn_mask ([B, P] prompt form) decodes
+    exactly what its unpadded single run does — the batched-validation
+    contract of cli/train_m._batched_mmu."""
+    cfg, params = model
+    opts = MMUOptions(max_new_tokens=8, steps=8, block_length=4,
+                      temperature=0.0, mask_token=MASK)
+    p1 = jnp.arange(20, 28, dtype=jnp.int32)[None]        # len 8
+    p2 = jnp.arange(40, 45, dtype=jnp.int32)[None]        # len 5
+    solo1 = np.asarray(mmu_generate(params, cfg, p1, opts, key=None))
+    solo2 = np.asarray(mmu_generate(params, cfg, p2, opts, key=None))
+
+    P = 8
+    ids = np.full((2, P), 7, np.int32)
+    mask = np.zeros((2, P), bool)
+    ids[0], mask[0] = np.asarray(p1[0]), True
+    ids[1, :5], mask[1, :5] = np.asarray(p2[0]), True
+    both = np.asarray(mmu_generate(params, cfg, jnp.asarray(ids), opts,
+                                   attn_mask=jnp.asarray(mask), key=None))
+    np.testing.assert_array_equal(both[0, P:], solo1[0, 8:])
+    np.testing.assert_array_equal(both[1, P:], solo2[0, 5:])
+
+
 def test_top_k_top_p_filtering():
     logits = jnp.asarray([[1.0, 2.0, 3.0, 4.0, 0.0]])
     k2 = np.asarray(S.top_k_top_p_filtering(logits, top_k=2))
@@ -316,9 +339,24 @@ def test_image_gen_trajectory_recording(model, tmp_path):
     # last recorded state equals the final ids
     np.testing.assert_array_equal(np.asarray(traj["x"])[-1],
                                   np.asarray(fin))
+    # reference dump semantics (image_generation_generator.py:214-223):
+    # vq_mask is the post-re-mask full-sequence x == mask_token
+    np.testing.assert_array_equal(np.asarray(traj["vq_mask"]),
+                                  np.asarray(traj["x"]) == MASK)
+    # sampled_full sits in full token space (sampled + vocab_offset, :172)
+    sf = np.asarray(traj["sampled_full"])
+    assert sf.min() >= TVS and sf.max() < TVS + CB
     # masks monotonically shrink across steps
     m = np.asarray(traj["vq_mask"]).sum(axis=(1, 2))
     assert all(a >= b for a, b in zip(m, m[1:]))
+    # cached path cannot record — explicit error instead of silent drop
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="use_cache"):
+        generate_image(params, cfg, jnp.asarray(ids)[None], lay,
+                       ImageGenOptions(timesteps=4, temperature=0.0,
+                                       text_vocab_size=TVS, codebook_size=CB,
+                                       mask_token=MASK, use_cache=True),
+                       key=None, record_trajectory=True)
     dump_trajectory(traj, str(tmp_path / "dbg"))
     import os
     files = sorted(os.listdir(tmp_path / "dbg"))
