@@ -52,7 +52,8 @@ def main():
     depths = [int(x) for x in os.environ.get("BENCH_DEPTHS", "4,8").split(",")]
     # BENCH_QUANT=int8 switches to the W8A8 path (ops/quant.py) — an opt-in
     # approximation (the dense bf16 path is the parity default), run on the
-    # int8 MXU (394 TOPS vs 197 bf16 TFLOP/s)
+    # int8 MXU (394 TOPS vs 197 bf16 TFLOP/s); int8_bf16head keeps the
+    # vocab head dense (better trajectory fidelity, see ops/quant.py)
     quant = os.environ.get("BENCH_QUANT", "")
 
     _, _, gh, gw = tk.calculate_vq_params(512, 512, 16)
@@ -74,9 +75,11 @@ def main():
         cfg = LLaDAConfig.llada_8b(n_layers=L, param_dtype=jnp.bfloat16,
                                    compute_dtype=jnp.bfloat16)
         params = init_llada_params(jax.random.key(0), cfg)
-        if quant == "int8":
+        if quant.startswith("int8"):
             from mmada_parallel_tpu.ops.quant import quantize_llada_params
-            params = jax.jit(quantize_llada_params)(params)
+            qh = "bf16head" not in quant
+            params = jax.jit(lambda p: quantize_llada_params(
+                p, quantize_head=qh))(params)
         run = jax.jit(lambda p, i, k, cfg=cfg: generate_ti2ti(
             p, cfg, i, lay, opts, uncond_image_prefix=un_img, key=k))
         ids_dev = jnp.asarray(ids)[None, :]
@@ -125,8 +128,8 @@ def main():
     err(f"sustained at {L0} layers: {sustained / 1e12:.0f} TFLOP/s == "
         f"{100 * sustained / V5E_BF16_PEAK:.0f}% of v5e bf16 peak (197)")
 
-    tag = " W8A8-int8" if quant == "int8" else ""
-    peak = 394e12 if quant == "int8" else V5E_BF16_PEAK
+    tag = f" W8A8-{quant}" if quant.startswith("int8") else ""
+    peak = 394e12 if quant.startswith("int8") else V5E_BF16_PEAK
     print(json.dumps({
         "metric": f"sec per 512x512 edit, 64 img + 128 text steps{tag} "
                   "(8B depth from measured depth-curve fit; ASSUMES linear "

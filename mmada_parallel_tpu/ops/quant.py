@@ -69,19 +69,30 @@ def int8_matmul(x: jax.Array, w_q: jax.Array, w_scale: jax.Array,
         (1,) * (acc.ndim - 1) + (-1,))).astype(out_dtype)
 
 
-def quantize_llada_params(params: Dict[str, Any]) -> Dict[str, Any]:
-    """Quantize the block GEMMs and the united head; embeddings, norms and
-    biases stay in the original dtype (gathers/elementwise gain nothing
-    from int8 and the embedding feeds fp32-stat norms)."""
+def quantize_llada_params(params: Dict[str, Any],
+                          quantize_head: bool = True) -> Dict[str, Any]:
+    """Quantize the block GEMMs and (optionally) the united head;
+    embeddings, norms and biases stay in the original dtype
+    (gathers/elementwise gain nothing from int8 and the embedding feeds
+    fp32-stat norms).
+
+    ``quantize_head=False`` keeps the vocab head dense — the samplers'
+    argmax/top-k/confidence decisions consume head logits directly.
+    Measured on the random-weight worst-case toy (6 seeds, temp-0 TI2TI,
+    32 text / 8 image steps): image-code trajectory agreement vs dense
+    rises from 0.58 to 0.72 mean (0.33 -> 0.50 min); text agreement is
+    backbone-noise-dominated and unchanged (~0.56).  Cost: one dense GEMM
+    back out of the ~7-per-layer int8 stack."""
     blocks = {k: (quantize_weight(v) if k in _GEMM_KEYS else v)
               for k, v in params["blocks"].items()}
     out = dict(params, blocks=blocks)
-    if "head" in params:
+    if "head" in params and quantize_head:
         out["head"] = quantize_weight(params["head"])
     return out
 
 
-def quantize_param_shardings(specs: Dict[str, Any]) -> Dict[str, Any]:
+def quantize_param_shardings(specs: Dict[str, Any],
+                             quantize_head: bool = True) -> Dict[str, Any]:
     """Transform a dense PartitionSpec pytree to match quantized params:
     ``w_q`` keeps the dense spec; ``scale [..., 1, N]`` drops the K axis."""
     from jax.sharding import PartitionSpec as P
@@ -98,6 +109,6 @@ def quantize_param_shardings(specs: Dict[str, Any]) -> Dict[str, Any]:
     blocks = {k: (conv(k, v) if k in _GEMM_KEYS else v)
               for k, v in specs["blocks"].items()}
     out = dict(specs, blocks=blocks)
-    if "head" in specs:
+    if "head" in specs and quantize_head:
         out["head"] = conv("head", specs["head"])
     return out

@@ -52,6 +52,23 @@ def test_quantized_forward_close_to_dense():
     assert cos > 0.995, cos
 
 
+def test_quantize_head_false_keeps_dense_head():
+    cfg = LLaDAConfig.tiny(n_layers=1, vocab_size=TVS + CB)
+    params = init_llada_params(jax.random.key(7), cfg)
+    qp = quantize_llada_params(params, quantize_head=False)
+    assert not isinstance(qp["head"], dict)          # head left dense
+    assert isinstance(qp["blocks"]["q_proj"], dict)  # blocks quantized
+    h = jnp.asarray(np.random.default_rng(7).normal(
+        size=(1, 5, cfg.d_model)).astype(np.float32))
+    np.testing.assert_allclose(np.asarray(llada_head(qp, cfg, h)),
+                               np.asarray(llada_head(params, cfg, h)),
+                               atol=1e-5)
+    specs = quantize_param_shardings(param_shardings(cfg),
+                                     quantize_head=False)
+    assert (jax.tree_util.tree_structure(qp)
+            == jax.tree_util.tree_structure(specs))
+
+
 def test_quantized_head_vocab_slice():
     cfg = LLaDAConfig.tiny(n_layers=1, vocab_size=TVS + CB)
     params = quantize_llada_params(init_llada_params(jax.random.key(2), cfg))
