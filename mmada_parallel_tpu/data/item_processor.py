@@ -55,8 +55,11 @@ def load_image_tokens(path: str, tokens: VariantATokens = TOKENS_A) -> List[int]
     (``train/train.py:56-64``; note the reference swaps height/width when
     deriving the grid — ``height, width = width//16, height//16`` — which is
     only correct for square images; here the grid uses (height, width) in
-    row-major order as the layout code expects)."""
-    with open(path, "rb") as f:
+    row-major order as the layout code expects).  Paths go through the
+    pluggable reader (``data/reader.py``), so pre-tokenized records may
+    live on any registered remote scheme."""
+    from mmada_parallel_tpu.data.reader import open_general
+    with open_general(path, "rb") as f:
         rec = pickle.load(f)
     assert rec["height"] % 16 == 0 and rec["width"] % 16 == 0
     gh, gw = rec["height"] // 16, rec["width"] // 16
@@ -86,7 +89,8 @@ class AItemProcessor:
         return self.tokenizer("</answer>", add_special_tokens=False)["input_ids"]
 
     def _load_grid(self, path: str) -> Tuple[List[int], int, int]:
-        with open(path, "rb") as f:
+        from mmada_parallel_tpu.data.reader import open_general
+        with open_general(path, "rb") as f:
             rec = pickle.load(f)
         assert rec["height"] % 16 == 0 and rec["width"] % 16 == 0
         return rec["input_ids"], rec["height"] // 16, rec["width"] // 16

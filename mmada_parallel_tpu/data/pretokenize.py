@@ -118,7 +118,8 @@ def parquet_items(dataset_path: str, task_type: str,
         if isinstance(field, dict) and "bytes" in field:
             return Image.open(_io.BytesIO(field["bytes"])).convert("RGB")
         if isinstance(field, str):
-            return Image.open(field).convert("RGB")
+            from mmada_parallel_tpu.data.reader import read_general
+            return Image.open(read_general(field)).convert("RGB")
         raise ValueError(f"unsupported image field type: {type(field)}")
 
     def first_image(item, keys):

@@ -228,6 +228,40 @@ def _mk_shard(path, keys, with_txt=None):
                 tf.addfile(info, _io.BytesIO(cb))
 
 
+def test_reader_scheme_registry(tmp_path, monkeypatch):
+    """data/reader.py: the reference's read_general (data_reader.py:31-57)
+    as a pluggable scheme registry, wired into the pickle grid loads."""
+    import pickle
+    from mmada_parallel_tpu.data import reader
+    from mmada_parallel_tpu.data.item_processor import load_image_tokens
+
+    rec = {"input_ids": list(range(4)), "height": 32, "width": 32}
+    p = tmp_path / "img.pkl"
+    p.write_bytes(pickle.dumps(rec))
+
+    # local + file:// pass through
+    assert reader.read_general(str(p)) == str(p)
+    assert reader.read_general("file://" + str(p)) == str(p)
+    toks = load_image_tokens(str(p))
+    assert len(toks) == 2 * (2 + 1)  # 2x2 grid + newlines
+
+    # unregistered remote scheme is an explicit error
+    with pytest.raises(ValueError, match="no reader registered"):
+        reader.read_general("s3://bucket/img.pkl")
+
+    # registered scheme fetches into BytesIO; proxies stripped during fetch
+    seen = {}
+    def fetch(path):
+        seen["proxy"] = os.environ.get("http_proxy")
+        return p.read_bytes()
+    monkeypatch.setenv("http_proxy", "http://proxy:1")
+    monkeypatch.setitem(reader._SCHEMES, "s3://", fetch)
+    toks2 = load_image_tokens("s3://bucket/img.pkl")
+    assert toks2 == toks
+    assert seen["proxy"] is None            # no_proxy active in fetch
+    assert os.environ["http_proxy"] == "http://proxy:1"  # restored
+
+
 def test_caption_source_zoo(tmp_path):
     """The reference's external caption layouts (training/data.py:206-228,
     338-530): SA1B sidecars, LAION/CC12M nested sidecars, JourneyDB json,
