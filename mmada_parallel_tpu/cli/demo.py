@@ -77,6 +77,9 @@ def run_stream(pipe, prompt: str, image, height: int, width: int, opts,
 
 
 def main(argv=None):
+    from mmada_parallel_tpu.utils.compile_cache import \
+        enable_compilation_cache
+    enable_compilation_cache()  # persistent XLA cache (opt-out via env)
     from mmada_parallel_tpu.cli.infer_a import load_pipeline
     from mmada_parallel_tpu.samplers.parallel_ti2ti import TI2TIOptions
     from mmada_parallel_tpu.utils.image import preprocess_image

@@ -71,6 +71,9 @@ def load_pipeline(checkpoint: str, vae_ckpt: str, dtype="bfloat16"):
 
 
 def main(argv=None):
+    from mmada_parallel_tpu.utils.compile_cache import \
+        enable_compilation_cache
+    enable_compilation_cache()  # persistent XLA cache (opt-out via env)
     from mmada_parallel_tpu.samplers.parallel_ti2ti import TI2TIOptions
     from mmada_parallel_tpu.utils.image import preprocess_image
     from PIL import Image

@@ -53,6 +53,9 @@ def load_pipeline(checkpoint: str, vq_checkpoint: str):
 
 
 def main(argv=None):
+    from mmada_parallel_tpu.utils.compile_cache import \
+        enable_compilation_cache
+    enable_compilation_cache()  # persistent XLA cache (opt-out via env)
     from mmada_parallel_tpu.config import load_config
     from mmada_parallel_tpu.samplers.interleave import InterleaveOptions
     from PIL import Image

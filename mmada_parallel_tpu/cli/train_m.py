@@ -237,6 +237,9 @@ def _validate_chat(params, mcfg, tokenizer, cfg, step):
 
 
 def main(argv=None):
+    from mmada_parallel_tpu.utils.compile_cache import \
+        enable_compilation_cache
+    enable_compilation_cache()  # persistent XLA cache (opt-out via env)
     import numpy as np
     import jax
     import jax.numpy as jnp

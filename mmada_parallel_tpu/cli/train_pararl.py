@@ -25,6 +25,9 @@ def default_reward(final_ids, codes, meta):
 
 
 def main(argv=None):
+    from mmada_parallel_tpu.utils.compile_cache import \
+        enable_compilation_cache
+    enable_compilation_cache()  # persistent XLA cache (opt-out via env)
     import numpy as np
     import jax
     import jax.numpy as jnp

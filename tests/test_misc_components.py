@@ -131,3 +131,18 @@ def test_conversation_template():
     assert c.messages == [["user", "hello"], ["assistant", "hi"]]
     c.clear()
     assert c.messages == []
+
+
+def test_compile_cache_enable(tmp_path, monkeypatch):
+    """utils/compile_cache: persistent XLA cache dir is created and picked
+    up by jax; opt-out env wins."""
+    import jax
+    from mmada_parallel_tpu.utils.compile_cache import enable_compilation_cache
+
+    d = str(tmp_path / "xla")
+    got = enable_compilation_cache(d, min_compile_secs=0.0)
+    assert got == d and os.path.isdir(d)
+    assert jax.config.jax_compilation_cache_dir == d
+
+    monkeypatch.setenv("MMADA_TPU_NO_COMPILE_CACHE", "1")
+    assert enable_compilation_cache(str(tmp_path / "other")) is None
