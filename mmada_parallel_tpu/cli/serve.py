@@ -1,0 +1,155 @@
+"""TI2TI serving CLI: HTTP front-end over the continuous batcher.
+
+The reference ships a single-request Gradio demo (``app.py``); this is the
+production path — stdlib HTTP (no extra deps), requests batched across
+connections by :class:`mmada_parallel_tpu.serving.TI2TIServer`.
+
+    python -m mmada_parallel_tpu.cli.serve --checkpoint /ckpts/... \
+        --port 8000 --batch_size 4 --warmup 128,256
+
+    POST /edit {"prompt": "make the sky purple", "image_tokens": [...]}
+        -> {"text": ..., "codes": [...]}       (image_tokens optional)
+    POST /edit {"prompt_ids": [...]}           (pre-tokenized)
+    GET  /stats -> {"requests": N, "batches": M, "batched_rows": K}
+"""
+
+import argparse
+import json
+import os
+
+
+def build_parser():
+    p = argparse.ArgumentParser()
+    p.add_argument("--checkpoint", type=str, default=None)
+    p.add_argument("--port", type=int, default=8000)
+    p.add_argument("--host", type=str, default="127.0.0.1")
+    p.add_argument("--batch_size", type=int, default=4)
+    p.add_argument("--max_wait_ms", type=float, default=50.0)
+    p.add_argument("--height", type=int, default=512)
+    p.add_argument("--width", type=int, default=512)
+    p.add_argument("--text_gen_length", type=int, default=256)
+    p.add_argument("--timesteps", type=int, default=64)
+    p.add_argument("--text_steps", type=int, default=128)
+    p.add_argument("--cfg_scale", type=float, default=0.0)
+    p.add_argument("--cfg_img", type=float, default=4.0)
+    p.add_argument("--warmup", type=str, default="",
+                   help="comma-separated prompt lengths to pre-compile")
+    p.add_argument("--quant", type=str, default="",
+                   choices=["", "int8", "int8_bf16head"])
+    p.add_argument("--tiny_model", action="store_true",
+                   help="debug: random tiny model instead of a checkpoint")
+    return p
+
+
+def main(argv=None):
+    from mmada_parallel_tpu.utils.compile_cache import \
+        enable_compilation_cache
+    enable_compilation_cache()
+    import numpy as np
+    import jax
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    from mmada_parallel_tpu import tokens as tk
+    from mmada_parallel_tpu.models import LLaDAConfig, init_llada_params
+    from mmada_parallel_tpu.models import convert as CV
+    from mmada_parallel_tpu.samplers import TI2TIOptions
+    from mmada_parallel_tpu.serving import ServeConfig, TI2TIServer
+
+    args = build_parser().parse_args(argv)
+    T = tk.TOKENS_A
+    if args.tiny_model or args.checkpoint is None:
+        cfg = LLaDAConfig.tiny(vocab_size=T.full_vocab_size,
+                               mask_token_id=T.mask)
+        params = init_llada_params(jax.random.key(0), cfg)
+        tokenizer = None
+    else:
+        from transformers import AutoTokenizer
+        tokenizer = AutoTokenizer.from_pretrained(args.checkpoint,
+                                                  trust_remote_code=True)
+        cfg, params = CV.load_llada_checkpoint(args.checkpoint)
+        import jax.numpy as jnp
+        import dataclasses
+        cfg = dataclasses.replace(cfg, compute_dtype=jnp.bfloat16)
+        params = jax.tree_util.tree_map(jnp.asarray, params)
+    if args.quant:
+        from mmada_parallel_tpu.ops.quant import quantize_llada_params
+        params = jax.jit(lambda p: quantize_llada_params(
+            p, quantize_head="bf16head" not in args.quant))(params)
+
+    _, _, gh, gw = tk.calculate_vq_params(args.height, args.width, 16)
+    opts = TI2TIOptions(timesteps=args.timesteps, text_steps=args.text_steps,
+                        cfg_scale=args.cfg_scale, cfg_img=args.cfg_img,
+                        text_vocab_size=T.text_vocab_size,
+                        codebook_size=T.codebook_size, mask_token=T.mask)
+    end_ids = (list(tokenizer("</answer>",
+                              add_special_tokens=False)["input_ids"])
+               if tokenizer is not None else [T.answer_end])
+    server = TI2TIServer(
+        params, cfg, opts,
+        ServeConfig(grid_hw=(gh, gw), text_gen_length=args.text_gen_length,
+                    end_token_ids=tuple(end_ids),
+                    batch_size=args.batch_size,
+                    max_wait_ms=args.max_wait_ms),
+        tokenizer=tokenizer, tokens=T)
+    if args.warmup:
+        lens = [int(x) for x in args.warmup.split(",") if x]
+        print(f"[serve] warming up buckets for prompt lens {lens} ...")
+        server.warmup(lens)
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # quiet
+            pass
+
+        def _json(self, code, obj):
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/stats":
+                return self._json(200, server.stats())
+            return self._json(404, {"error": "unknown path"})
+
+        def do_POST(self):
+            if self.path != "/edit":
+                return self._json(404, {"error": "unknown path"})
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                req = json.loads(self.rfile.read(n) or b"{}")
+                if "prompt_ids" in req:
+                    pids = [int(t) for t in req["prompt_ids"]]
+                else:
+                    if tokenizer is None:
+                        return self._json(400, {
+                            "error": "no tokenizer loaded; send prompt_ids"})
+                    pids = list(tokenizer(req["prompt"])["input_ids"])
+                    if req.get("image_tokens"):
+                        T = tk.TOKENS_A
+                        pids = (pids[:-1] + [T.boi]
+                                + [int(t) for t in req["image_tokens"]]
+                                + [T.eoi] + pids[-1:])
+                out = server.submit(pids)
+                self._json(200, {
+                    "text": out["text"] if isinstance(out["text"], str)
+                    else [int(t) for t in out["text_ids"]],
+                    "codes": [int(c) for c in out["codes"]],
+                })
+            except Exception as e:
+                self._json(500, {"error": f"{type(e).__name__}: {e}"})
+
+    httpd = ThreadingHTTPServer((args.host, args.port), Handler)
+    print(f"[serve] listening on {args.host}:{httpd.server_address[1]} "
+          f"(batch_size={args.batch_size}, max_wait_ms={args.max_wait_ms})")
+    try:
+        httpd.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        server.close()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,148 @@
+"""Continuous-batching server (serving.py + cli/serve.py): batched rows
+must equal solo runs (the ragged-batch contract), buckets group correctly,
+and the HTTP surface round-trips."""
+
+import json
+import threading
+import time
+import urllib.request
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from mmada_parallel_tpu import tokens as tk
+from mmada_parallel_tpu.models.llada import LLaDAConfig, init_llada_params
+from mmada_parallel_tpu.samplers.parallel_ti2ti import (TI2TIOptions,
+                                                        generate_ti2ti)
+from mmada_parallel_tpu.serving import ServeConfig, TI2TIServer
+
+TVS, CB, MASK, NEWLINE = 256, 32, 250, 251
+TOK = tk.VariantATokens(mask=MASK, newline=NEWLINE, answer_start=252,
+                        answer_end=253, boi=254, eoi=255, uncondition=249,
+                        pad=248, text_vocab_size=TVS, codebook_size=CB)
+OPTS = TI2TIOptions(text_steps=8, timesteps=4, temperature=0.0,
+                    text_temperature=0.0, cfg_scale=0.0, cfg_img=2.0,
+                    text_vocab_size=TVS, codebook_size=CB, mask_token=MASK)
+SERVE = ServeConfig(grid_hw=(2, 3), text_gen_length=8, end_token_ids=(9,),
+                    batch_size=3, max_wait_ms=200.0, bucket_quantum=8,
+                    max_prompt_len=64)
+
+
+@pytest.fixture(scope="module")
+def model():
+    cfg = LLaDAConfig.tiny(d_model=32, n_heads=2, n_kv_heads=2, n_layers=1,
+                           mlp_hidden_size=64, vocab_size=TVS + CB,
+                           mask_token_id=MASK)
+    return cfg, init_llada_params(jax.random.key(7), cfg)
+
+
+def _solo(cfg, params, prompt):
+    ids, lay = tk.assemble_ti2ti_sequence(list(prompt), SERVE.text_gen_length,
+                                          *SERVE.grid_hw,
+                                          list(SERVE.end_token_ids),
+                                          tokens=TOK)
+    fin, codes = generate_ti2ti(params, cfg, jnp.asarray(ids)[None], lay,
+                                OPTS, key=None)
+    return (np.asarray(fin)[0, lay.text_start:lay.text_end],
+            np.asarray(codes)[0])
+
+
+def test_batched_serving_matches_solo(model):
+    cfg, params = model
+    server = TI2TIServer(params, cfg, OPTS, SERVE, tokens=TOK)
+    try:
+        # three concurrent ragged requests inside one bucket (len 5..8)
+        prompts = [list(range(10, 15)), list(range(30, 38)),
+                   list(range(60, 66))]
+        results = [None] * 3
+
+        def call(i):
+            results[i] = server.submit(prompts[i], timeout=300)
+
+        threads = [threading.Thread(target=call, args=(i,)) for i in range(3)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+
+        for i, prompt in enumerate(prompts):
+            text, codes = _solo(cfg, params, prompt)
+            np.testing.assert_array_equal(results[i]["text_ids"], text)
+            np.testing.assert_array_equal(results[i]["codes"], codes)
+        st = server.stats()
+        assert st["requests"] == 3
+        # all three fit one bucket -> ideally one batch (allow a race to 2)
+        assert st["batches"] <= 2
+    finally:
+        server.close()
+
+
+def test_bucketing_and_guards(model):
+    cfg, params = model
+    server = TI2TIServer(params, cfg, OPTS, SERVE, tokens=TOK)
+    try:
+        with pytest.raises(ValueError, match="max_prompt_len"):
+            server.submit(list(range(100)))
+        # different buckets still serve correctly (len 3 -> 8, len 12 -> 16)
+        r1 = server.submit(list(range(10, 13)), timeout=300)
+        r2 = server.submit(list(range(10, 22)), timeout=300)
+        t1, c1 = _solo(cfg, params, list(range(10, 13)))
+        t2, c2 = _solo(cfg, params, list(range(10, 22)))
+        np.testing.assert_array_equal(r1["text_ids"], t1)
+        np.testing.assert_array_equal(r1["codes"], c1)
+        np.testing.assert_array_equal(r2["text_ids"], t2)
+        np.testing.assert_array_equal(r2["codes"], c2)
+    finally:
+        server.close()
+
+
+def test_http_serve_cli(model, monkeypatch):
+    """Drive cli/serve.py end-to-end over localhost HTTP on the tiny model."""
+    import mmada_parallel_tpu.cli.serve as sv
+
+    # patch the tiny-model factory onto the test token space for speed
+    monkeypatch.setattr(
+        tk, "TOKENS_A", TOK, raising=True)
+    argv = ["--tiny_model", "--port", "0", "--batch_size", "2",
+            "--height", str(2 * 16), "--width", str(3 * 16),
+            "--text_gen_length", "8", "--timesteps", "4",
+            "--text_steps", "8", "--cfg_scale", "0", "--cfg_img", "2.0",
+            "--max_wait_ms", "50"]
+
+    # run main() with a hook to grab the ephemeral port then shut down
+    from http.server import ThreadingHTTPServer
+    started = {}
+    real_serve = ThreadingHTTPServer.serve_forever
+
+    def hook(self, *a, **kw):
+        started["httpd"] = self
+        real_serve(self)
+
+    monkeypatch.setattr(ThreadingHTTPServer, "serve_forever", hook)
+    th = threading.Thread(target=sv.main, args=(argv,), daemon=True)
+    th.start()
+    for _ in range(600):
+        if "httpd" in started:
+            break
+        time.sleep(0.1)
+    assert "httpd" in started, "server did not start"
+    port = started["httpd"].server_address[1]
+
+    def post(path, obj):
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}{path}",
+            data=json.dumps(obj).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=300) as r:
+            return json.loads(r.read())
+
+    out = post("/edit", {"prompt_ids": list(range(10, 15))})
+    assert len(out["codes"]) == 2 * 3
+    assert isinstance(out["text"], list) and len(out["text"]) == 8
+    with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/stats", timeout=30) as r:
+        st = json.loads(r.read())
+    assert st["requests"] >= 1
+    started["httpd"].shutdown()
