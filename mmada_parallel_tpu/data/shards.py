@@ -39,41 +39,65 @@ def braceexpand(pattern: str) -> List[str]:
 
 class ShardReader:
     """Iterate ``(key, {ext: bytes})`` samples from tar shards, tolerating
-    corrupt members (``data.py:73-108`` group_by_keys_nothrow)."""
+    corrupt members (``data.py:73-108`` group_by_keys_nothrow).
 
-    def __init__(self, shards: Sequence[str], handler: str = "warn"):
+    Entries stream through the native prefetching tar parser
+    (``native/tarstream.cc``: header parsing + read() on a C++ thread with
+    the GIL released — the core-poor-host replacement for the reference's
+    DataLoader worker processes, ``data.py:279-286``) and fall back to
+    Python ``tarfile`` when the native library cannot build
+    (``use_native=False`` forces the fallback)."""
+
+    def __init__(self, shards: Sequence[str], handler: str = "warn",
+                 use_native: bool = True):
         self.shards = list(shards)
         self.handler = handler
+        self.use_native = use_native
+
+    def _entries(self, shard: str) -> Iterator[tuple]:
+        """Yield ``(member_name, payload | None)`` — None marks a member
+        the fallback reader could not extract (corrupt sample sentinel)."""
+        if self.use_native:
+            from mmada_parallel_tpu.data import tarstream
+            if tarstream.native_available():
+                with tarstream.NativeTarStream(shard) as ts:
+                    yield from ts
+                return
+        with tarfile.open(shard) as tf:
+            for member in tf:
+                if not member.isfile():
+                    continue
+                try:
+                    data = tf.extractfile(member).read()
+                except Exception:
+                    yield member.name, None
+                    continue
+                yield member.name, data
 
     def __iter__(self) -> Iterator[Dict[str, Any]]:
         for shard in self.shards:
             try:
-                with tarfile.open(shard) as tf:
-                    current_key: Optional[str] = None
-                    sample: Dict[str, Any] = {}
-                    for member in tf:
-                        if not member.isfile():
-                            continue
-                        base = os.path.basename(member.name)
-                        if "." not in base:
-                            continue
-                        key, ext = base.split(".", 1)
-                        if current_key is not None and key != current_key:
-                            if sample:
-                                yield sample
-                            sample = {}
-                        current_key = key
-                        try:
-                            data = tf.extractfile(member).read()
-                        except Exception:
-                            sample = {}
-                            current_key = None
-                            continue
-                        sample.setdefault("__key__", key)
-                        sample.setdefault("__url__", shard)
-                        sample[ext.lower()] = data
-                    if sample:
-                        yield sample
+                current_key: Optional[str] = None
+                sample: Dict[str, Any] = {}
+                for name, data in self._entries(shard):
+                    base = os.path.basename(name)
+                    if "." not in base:
+                        continue
+                    key, ext = base.split(".", 1)
+                    if current_key is not None and key != current_key:
+                        if sample:
+                            yield sample
+                        sample = {}
+                    current_key = key
+                    if data is None:  # corrupt member -> drop the sample
+                        sample = {}
+                        current_key = None
+                        continue
+                    sample.setdefault("__key__", key)
+                    sample.setdefault("__url__", shard)
+                    sample[ext.lower()] = data
+                if sample:
+                    yield sample
             except (tarfile.TarError, OSError) as e:
                 if self.handler == "raise":
                     raise

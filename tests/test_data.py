@@ -5,6 +5,7 @@ import json
 import os
 import pickle
 import random
+import io
 import tarfile
 
 import numpy as np
@@ -226,6 +227,54 @@ def _mk_shard(path, keys, with_txt=None):
                 cb = with_txt[key].encode()
                 info = tarfile.TarInfo(f"{key}.txt"); info.size = len(cb)
                 tf.addfile(info, _io.BytesIO(cb))
+
+
+def test_native_tarstream_matches_tarfile(tmp_path):
+    """native/tarstream.cc: entry-exact parity with Python tarfile,
+    including >100-char names (pax/GNU longname path) and nested dirs."""
+    from mmada_parallel_tpu.data.tarstream import (NativeTarStream,
+                                                   native_available)
+    from mmada_parallel_tpu.data.shards import ShardReader
+
+    if not native_available():
+        pytest.skip("native toolchain unavailable")
+
+    long_key = "k" * 120  # forces a pax 'path' / GNU 'L' extended header
+    path = tmp_path / "shard-000.tar"
+    with tarfile.open(path, "w") as tf:
+        for name, payload in [
+            ("a.txt", b"hello"),
+            ("a.jpg", b"\xff\xd8jpegbytes"),
+            ("dir/b.txt", b"nested"),
+            (long_key + ".txt", b"longname payload"),
+            ("empty.bin", b""),
+        ]:
+            ti = tarfile.TarInfo(name)
+            ti.size = len(payload)
+            tf.addfile(ti, io.BytesIO(payload))
+        tf.addfile(tarfile.TarInfo("somedir/"))  # dir entry: skipped
+
+    want = []
+    with tarfile.open(path) as tf:
+        for m in tf:
+            if m.isfile():
+                want.append((m.name, tf.extractfile(m).read()))
+    got = list(NativeTarStream(str(path)))
+    assert got == want
+
+    # ShardReader native path groups samples identically to the fallback
+    native = list(ShardReader([str(path)]))
+    fallback = list(ShardReader([str(path)], use_native=False))
+    assert native == fallback
+    assert native[0]["__key__"] == "a" and native[0]["txt"] == b"hello"
+
+    # truncated shard: native raises OSError -> ShardReader skips it,
+    # matching the tarfile corrupt-shard handling
+    trunc = tmp_path / "trunc-000.tar"
+    trunc.write_bytes(path.read_bytes()[:700])
+    with pytest.raises(OSError):
+        list(NativeTarStream(str(trunc)))
+    assert list(ShardReader([str(trunc)])) == []
 
 
 def test_reader_scheme_registry(tmp_path, monkeypatch):
