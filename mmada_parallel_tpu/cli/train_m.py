@@ -59,7 +59,8 @@ def _validate(params, mcfg, vq_params, vq_cfg, tokenizer, sample, cfg,
         _validate._pipe = pipe
     pipe.llada_params = params
     opts = InterleaveOptions(text_steps=32, image_steps=8)
-    img, text, _ = pipe(sample["caption"], sample["image"], opts, seed=step)
+    img, text, _ = pipe(sample["instruction"], sample["input_image"], opts,
+                        seed=step)
     out = _os.path.join(cfg.output_dir, "validation")
     _os.makedirs(out, exist_ok=True)
     img.save(_os.path.join(out, f"step{step:07d}.png"))
@@ -351,12 +352,17 @@ def main(argv=None):
     up = UniversalPrompting(tokenizer, max_text_len=msl) if tokenizer else None
 
     # --- data stream ---
+    # edit-pair samples (input image, instruction, output image, output
+    # text) via the normalize_example field zoo (train_interleave.py:
+    # 340-476); a shard whose samples carry only one image trains
+    # t2i-style with input == target (the reference's placeholder path)
     def batches():
-        from mmada_parallel_tpu.data.shards import Text2ImageShardDataset
+        from mmada_parallel_tpu.data.shards import InterleavePairShardDataset
         from mmada_parallel_tpu.utils.image import image_transform_squash
         res = cfg.dataset.preprocessing.resolution
-        ds = Text2ImageShardDataset(
-            cfg.shards, transform=lambda im: image_transform_squash(im, res))
+        ds = InterleavePairShardDataset(
+            cfg.shards, transform=lambda im: image_transform_squash(im, res),
+            resolution=res)
         buf = []
         B = tr.batch_size * tr.gradient_accumulation_steps
         for s in ds:
@@ -365,6 +371,17 @@ def main(argv=None):
                 yield buf
                 buf = []
 
+    def encode_out_text(texts):
+        """Output-text rows: tokens + eos fill, truncated to msl."""
+        out = np.full((len(texts), msl), TOKENS_M.eos, np.int64)
+        if tokenizer is None:
+            return out
+        for i, t in enumerate(texts):
+            ids = tokenizer(t, truncation=True,
+                            max_length=msl)["input_ids"] if t else []
+            out[i, :len(ids)] = np.asarray(ids, np.int64)[:msl]
+        return out
+
     key = jax.random.key(tr.seed)
     global_step = int(state.step)
     t_end = time.time()
@@ -372,13 +389,14 @@ def main(argv=None):
         epoch_steps = 0
         for group in batches():
             epoch_steps += 1
-            px_in = jnp.concatenate([jnp.asarray(g["pixels"]) for g in group])
-            # samples carry in/out pairs; single-image shards use the same
-            # image as input and target (t2i-style interleave warmup)
+            px_in = jnp.concatenate(
+                [jnp.asarray(g["pixels_in"]) for g in group])
+            px_out = jnp.concatenate(
+                [jnp.asarray(g["pixels_out"]) for g in group])
             codes_in = np.asarray(get_code(px_in)) + TOKENS_M.vq_offset
-            codes_out = codes_in
-            texts_in = [g["caption"] for g in group]
-            out_text_ids = np.full((len(group), msl), TOKENS_M.eos, np.int64)
+            codes_out = np.asarray(get_code(px_out)) + TOKENS_M.vq_offset
+            texts_in = [g["instruction"] for g in group]
+            out_text_ids = encode_out_text([g["output_text"] for g in group])
             key, k1 = jax.random.split(key)
             noisy_img, img_lab, noisy_txt, txt_lab, t = interleave_noising(
                 k1, jnp.asarray(codes_out), jnp.asarray(out_text_ids),

@@ -17,6 +17,7 @@ import tarfile
 from typing import Any, Callable, Dict, Iterator, List, Optional, Sequence
 
 __all__ = ["braceexpand", "ShardReader", "Text2ImageShardDataset",
+           "InterleavePairShardDataset",
            "SidecarCaptions", "JsonCaptions", "CsvCaptions", "CaptionRouter",
            "CaptionProcessor", "remove_caption_prefix"]
 
@@ -306,6 +307,111 @@ class Text2ImageShardDataset:
             out["pixels"] = self.transform(img)
         if self.tokenize is not None:
             out["input_ids"] = self.tokenize(caption)
+        return out
+
+    def _stream_once(self):
+        for s in ShardReader(self.shards):
+            d = self._decode(s)
+            if d is not None:
+                yield d
+
+    def __iter__(self):
+        if self.samples_per_epoch is None:
+            yield from self._stream_once()
+            return
+
+        def forever():
+            while True:
+                n = 0
+                for d in self._stream_once():
+                    yield d
+                    n += 1
+                if n == 0:
+                    return
+        yield from itertools.islice(forever(), self.samples_per_epoch)
+
+
+class InterleavePairShardDataset:
+    """(input image, instruction, output image, output text) edit-pair
+    stream for the interleave SFT trainer.
+
+    Mirrors the reference's ``normalize_example`` field zoo
+    (``train_interleave.py:340-476``): each candidate key list is scanned
+    in order, missing images become black placeholders and mark the sample
+    ``is_text_only`` (input) — exactly the reference's fallbacks — while a
+    sample with neither text field is dropped.
+    """
+
+    IN_TEXT_KEYS = ("input_text.txt", "input_text", "instruction", "prompt",
+                    "text", "txt")
+    OUT_TEXT_KEYS = ("output_text.txt", "output_text", "reasoning_text",
+                     "caption", "answer")
+    IN_IMG_KEYS = ("input.jpg", "input_image", "image.jpg", "image", "img",
+                   "jpg", "png")
+    OUT_IMG_KEYS = ("output.jpg", "output_image", "output_image.jpg",
+                    "out_img")
+
+    def __init__(self, shard_pattern: str,
+                 transform: Optional[Callable] = None,
+                 resolution: int = 512,
+                 samples_per_epoch: Optional[int] = None):
+        self.shards = braceexpand(shard_pattern)
+        self.transform = transform
+        self.resolution = resolution
+        self.samples_per_epoch = samples_per_epoch
+
+    def _text(self, sample: Dict, keys) -> Optional[str]:
+        for k in keys:
+            v = sample.get(k)
+            if not v:
+                continue
+            if isinstance(v, bytes):
+                try:
+                    return v.decode("utf-8").strip()
+                except UnicodeDecodeError:
+                    continue
+            return str(v).strip()
+        return None
+
+    def _image(self, sample: Dict, keys):
+        from PIL import Image
+        for k in keys:
+            v = sample.get(k)
+            if not v:
+                continue
+            try:
+                return Image.open(io.BytesIO(v)).convert("RGB")
+            except Exception:
+                continue
+        return None
+
+    def _decode(self, sample: Dict) -> Optional[Dict]:
+        from PIL import Image
+        instruction = self._text(sample, self.IN_TEXT_KEYS) or ""
+        output_text = self._text(sample, self.OUT_TEXT_KEYS) or ""
+        if not instruction and not output_text:
+            return None
+        img_in = self._image(sample, self.IN_IMG_KEYS)
+        img_out = self._image(sample, self.OUT_IMG_KEYS)
+        is_text_only = img_in is None
+        placeholder = None
+        if img_out is None or img_in is None:
+            placeholder = Image.new("RGB",
+                                    (self.resolution, self.resolution),
+                                    (0, 0, 0))
+        img_in = img_in if img_in is not None else placeholder
+        img_out = img_out if img_out is not None else placeholder
+        out: Dict[str, Any] = {
+            "__key__": sample["__key__"],
+            "instruction": instruction,
+            "output_text": output_text,
+            "input_image": img_in,
+            "output_image": img_out,
+            "is_text_only": is_text_only,
+        }
+        if self.transform is not None:
+            out["pixels_in"] = self.transform(img_in)
+            out["pixels_out"] = self.transform(img_out)
         return out
 
     def _stream_once(self):
