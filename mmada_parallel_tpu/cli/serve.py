@@ -56,6 +56,10 @@ def main(argv=None):
     from mmada_parallel_tpu.serving import ServeConfig, TI2TIServer
 
     args = build_parser().parse_args(argv)
+    if args.checkpoint is None and not args.tiny_model:
+        raise SystemExit(
+            "--checkpoint is required (or pass --tiny_model explicitly for "
+            "a random-weight debug server)")
     T = tk.TOKENS_A
     if args.tiny_model or args.checkpoint is None:
         cfg = LLaDAConfig.tiny(vocab_size=T.full_vocab_size,

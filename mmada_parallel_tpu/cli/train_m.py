@@ -406,7 +406,8 @@ def main(argv=None):
                     codes_in, texts_in, np.asarray(noisy_img),
                     np.asarray(noisy_txt), np.asarray(txt_lab),
                     cond_dropout_prob=tr.cond_dropout_prob,
-                    output_image_labels=np.asarray(img_lab))
+                    output_image_labels=np.asarray(img_lab),
+                    is_text_only=[g["is_text_only"] for g in group])
             else:  # tiny debug path without a tokenizer
                 seq = np.concatenate([codes_in, np.asarray(noisy_img),
                                       np.asarray(noisy_txt)], 1)

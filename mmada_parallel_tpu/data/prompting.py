@@ -195,14 +195,21 @@ class UniversalPrompting:
                    task_token: Optional[int] = None,
                    cond_dropout_prob: float = 0.0,
                    output_image_labels: Optional[np.ndarray] = None,
-                   output_text_lengths: Optional[Sequence[int]] = None):
+                   output_text_lengths: Optional[Sequence[int]] = None,
+                   is_text_only: Optional[Sequence[bool]] = None):
         """Builds the interleave SFT sequence.  ``output_text_ids`` /
         ``output_text_labels`` are the already-noised text and its labels
         (from :func:`mmada_parallel_tpu.training.masking.interleave_noising`),
-        fixed-length ``max_seq_length``."""
+        fixed-length ``max_seq_length``.
+
+        ``is_text_only`` rows get the ``<|t2it|>`` task token and zeroed
+        input-image tokens (``train_interleave.py:640-643,684``; the
+        reference's ``'<t2it>'`` lookup at :684 is a KeyError-on-touch typo
+        for ``'<|t2it|>'`` — the intended id is used here)."""
         tk = self.tokens
         bos, eos = self.tokenizer.bos_token_id, self.tokenizer.eos_token_id
-        task = task_token if task_token is not None else tk.lvg  # <|interleave|>
+        # <|interleave|> = 126095 (train_interleave.py:13, inference.py:13)
+        task_default = task_token if task_token is not None else tk.interleave
         in_text = self.tokenizer(list(input_texts))["input_ids"]
         B, N_in = input_image_ids.shape
         msl = output_text_ids.shape[1]
@@ -210,13 +217,16 @@ class UniversalPrompting:
             output_image_labels = np.full_like(output_image_ids, IGNORE)
         seqs, labels, masks = [], [], []
         for i in range(B):
+            text_only = bool(is_text_only[i]) if is_text_only is not None \
+                else False
+            task = tk.t2it if text_only else task_default
             t = self._bos_eos(in_text[i])
             # independent text/image condition dropout draws
             # (train_interleave.py:699-703; image dropout zeroes the tokens)
             if self.rng.random() < cond_dropout_prob:
                 t = [bos, eos]
             img_in = input_image_ids[i]
-            if self.rng.random() < cond_dropout_prob:
+            if text_only or self.rng.random() < cond_dropout_prob:
                 img_in = np.zeros_like(img_in)
             max_text = msl
             if max_text >= len(t):

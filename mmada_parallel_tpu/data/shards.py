@@ -38,6 +38,27 @@ def braceexpand(pattern: str) -> List[str]:
             for p in braceexpand(pattern[:m.start()] + opt + pattern[m.end():])]
 
 
+
+def _with_epoch(stream_once: Callable[[], Iterator],
+                samples_per_epoch: Optional[int]) -> Iterator:
+    """webdataset ``with_epoch`` semantics (``data.py:265-289``): a fixed
+    per-epoch sample count over an endlessly restarting stream; an empty
+    stream terminates instead of spinning."""
+    if samples_per_epoch is None:
+        yield from stream_once()
+        return
+
+    def forever():
+        while True:
+            n = 0
+            for d in stream_once():
+                yield d
+                n += 1
+            if n == 0:
+                return
+    yield from itertools.islice(forever(), samples_per_epoch)
+
+
 class ShardReader:
     """Iterate ``(key, {ext: bytes})`` samples from tar shards, tolerating
     corrupt members (``data.py:73-108`` group_by_keys_nothrow).
@@ -316,19 +337,7 @@ class Text2ImageShardDataset:
                 yield d
 
     def __iter__(self):
-        if self.samples_per_epoch is None:
-            yield from self._stream_once()
-            return
-
-        def forever():
-            while True:
-                n = 0
-                for d in self._stream_once():
-                    yield d
-                    n += 1
-                if n == 0:
-                    return
-        yield from itertools.islice(forever(), self.samples_per_epoch)
+        yield from _with_epoch(self._stream_once, self.samples_per_epoch)
 
 
 class InterleavePairShardDataset:
@@ -394,13 +403,19 @@ class InterleavePairShardDataset:
         img_in = self._image(sample, self.IN_IMG_KEYS)
         img_out = self._image(sample, self.OUT_IMG_KEYS)
         is_text_only = img_in is None
-        placeholder = None
-        if img_out is None or img_in is None:
+        # single-image (t2i-style) samples train with input == target — the
+        # reference would substitute a black placeholder here with a warning
+        # per sample (train_interleave.py:463-466), which silently trains
+        # the image branch toward black; input-as-target is the useful
+        # semantics for caption-only shards
+        if img_out is None and img_in is not None:
+            img_out = img_in
+        if img_in is None or img_out is None:
             placeholder = Image.new("RGB",
                                     (self.resolution, self.resolution),
                                     (0, 0, 0))
-        img_in = img_in if img_in is not None else placeholder
-        img_out = img_out if img_out is not None else placeholder
+            img_in = img_in if img_in is not None else placeholder
+            img_out = img_out if img_out is not None else placeholder
         out: Dict[str, Any] = {
             "__key__": sample["__key__"],
             "instruction": instruction,
@@ -421,16 +436,4 @@ class InterleavePairShardDataset:
                 yield d
 
     def __iter__(self):
-        if self.samples_per_epoch is None:
-            yield from self._stream_once()
-            return
-
-        def forever():
-            while True:
-                n = 0
-                for d in self._stream_once():
-                    yield d
-                    n += 1
-                if n == 0:
-                    return
-        yield from itertools.islice(forever(), self.samples_per_epoch)
+        yield from _with_epoch(self._stream_once, self.samples_per_epoch)

@@ -45,7 +45,8 @@ def _build_lib():
         lib.tar_next.restype = ctypes.c_int
         lib.tar_next.argtypes = [ctypes.c_void_p,
                                  ctypes.POINTER(ctypes.c_uint64),
-                                 ctypes.c_char_p, ctypes.c_uint64]
+                                 ctypes.c_char_p, ctypes.c_uint64,
+                                 ctypes.POINTER(ctypes.c_uint64)]
         lib.tar_read.restype = ctypes.c_int64
         lib.tar_read.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
                                  ctypes.c_uint64]
@@ -76,12 +77,18 @@ class NativeTarStream:
     def __iter__(self) -> Iterator[Tuple[str, bytes]]:
         name = ctypes.create_string_buffer(4096)
         size = ctypes.c_uint64()
+        nlen = ctypes.c_uint64()
         while True:
-            rc = self._lib.tar_next(self._h, ctypes.byref(size), name, 4096)
+            rc = self._lib.tar_next(self._h, ctypes.byref(size), name,
+                                    len(name), ctypes.byref(nlen))
             if rc == 1:
                 return
             if rc != 0:
                 raise OSError(f"malformed tar shard: {self._path}")
+            if nlen.value >= len(name):  # pax path longer than the buffer:
+                # re-query with an exact-size buffer (entry stays current)
+                name = ctypes.create_string_buffer(int(nlen.value) + 1)
+                continue
             buf = ctypes.create_string_buffer(size.value)
             got = self._lib.tar_read(self._h, buf, size.value)
             if got < 0:

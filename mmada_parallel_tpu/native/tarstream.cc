@@ -91,8 +91,12 @@ std::string pax_path(const std::vector<uint8_t>& buf) {
     while (sp < n && p[sp] != ' ') ++sp;
     if (sp >= n) break;
     long len = std::strtol(p + off, nullptr, 10);
-    if (len <= 0 || off + len > n) break;
-    // record spans [off, off+len); the value part is (sp+1 .. off+len)
+    // record spans [off, off+len); the value part is (sp+1 .. off+len).
+    // guard sp+1 <= off+len or the size_t below underflows on a corrupt
+    // record (e.g. a declared length shorter than its own digits)
+    if (len <= 0 || off + static_cast<size_t>(len) > n
+        || sp + 1 > off + static_cast<size_t>(len))
+      break;
     std::string rec(p + sp + 1, off + len - (sp + 1));
     if (!rec.empty() && rec.back() == '\n') rec.pop_back();
     if (rec.rfind("path=", 0) == 0) return rec.substr(5);
@@ -101,7 +105,22 @@ std::string pax_path(const std::vector<uint8_t>& buf) {
   return "";
 }
 
+void producer_impl(Stream* s);
+
+// any C++ exception on the producer thread (bad_alloc from a corrupt
+// multi-GB size field, length_error, ...) must become the error flag, not
+// std::terminate — ShardReader maps it to warn-and-skip like tarfile
 void producer(Stream* s) {
+  try {
+    producer_impl(s);
+  } catch (...) {
+    std::lock_guard<std::mutex> g(s->mu);
+    s->error = true;
+    s->cv_pop.notify_one();
+  }
+}
+
+void producer_impl(Stream* s) {
   uint8_t hdr[512];
   std::string longname;   // from 'L' / pax 'path='
   bool ok_eof = false;
@@ -183,11 +202,13 @@ void* tar_open(const char* path, uint64_t cap_bytes) {
   return s;
 }
 
-// Wait for the next entry.  Returns 0 (entry ready: *size_out set, name
-// copied), 1 (clean EOF), 2 (malformed archive).  The entry stays current
-// until tar_read consumes it.
+// Wait for the next entry.  Returns 0 (entry ready: *size_out and
+// *name_len_out set, name copied — truncated if it exceeds name_cap-1;
+// re-call with a bigger buffer to get the full name), 1 (clean EOF),
+// 2 (malformed archive).  The entry stays current until tar_read consumes
+// it.
 int tar_next(void* handle, uint64_t* size_out, char* name_out,
-             uint64_t name_cap) {
+             uint64_t name_cap, uint64_t* name_len_out) {
   auto* s = static_cast<Stream*>(handle);
   if (!s) return 2;
   std::unique_lock<std::mutex> lk(s->mu);
@@ -201,6 +222,7 @@ int tar_next(void* handle, uint64_t* size_out, char* name_out,
     s->cv_push.notify_one();
   }
   *size_out = s->cur.data.size();
+  if (name_len_out) *name_len_out = s->cur.name.size();
   if (name_cap) {
     size_t n = s->cur.name.size();
     if (n >= name_cap) n = name_cap - 1;

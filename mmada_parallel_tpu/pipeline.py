@@ -180,9 +180,9 @@ class InterleavePipeline:
         # cond / uncond prompts (MMaDA-Parallel-M/inference.py:98-112)
         instr_ids = self.tokenizer(instruction)["input_ids"]
         uncond_ids = self.tokenizer("")["input_ids"] or [T.bos]
-        prompt = ([T.lvg, T.soi] + [int(c) for c in codes] + [T.eoi]
+        prompt = ([T.interleave, T.soi] + [int(c) for c in codes] + [T.eoi]
                   + list(instr_ids))
-        un_prompt = ([T.lvg, T.soi] + [int(c) for c in codes] + [T.eoi]
+        un_prompt = ([T.interleave, T.soi] + [int(c) for c in codes] + [T.eoi]
                      + list(uncond_ids))
         # equal-length prompts: pad the shorter with eos on the right
         L = max(len(prompt), len(un_prompt))

@@ -59,13 +59,14 @@ class ServeConfig:
 
 
 class _Pending:
-    __slots__ = ("prompt_ids", "event", "result", "error")
+    __slots__ = ("prompt_ids", "event", "result", "error", "cancelled")
 
     def __init__(self, prompt_ids):
         self.prompt_ids = list(prompt_ids)
         self.event = threading.Event()
         self.result = None
         self.error: Optional[BaseException] = None
+        self.cancelled = False   # submit() timed out; skip if still queued
 
 
 class TI2TIServer:
@@ -88,6 +89,13 @@ class TI2TIServer:
         self.uncond_image_prefix = uncond_image_prefix
         self._q: "queue.Queue[_Pending]" = queue.Queue()
         self._compiled: Dict[int, Tuple[Callable, Any]] = {}
+        # fully-deterministic parity mode when nothing samples: key=None
+        # also switches the still-masked-at-extraction fill to zeros
+        # (generate_ti2ti matches the reference's random fill only under a
+        # PRNG key, parallel_generator.py:356-360)
+        self._deterministic = (opts.temperature == 0.0
+                               and opts.text_temperature == 0.0
+                               and opts.remasking != "random")
         self._key = jax.random.key(seed)
         self._stats = {"requests": 0, "batches": 0, "batched_rows": 0}
         self._stop = threading.Event()
@@ -104,16 +112,32 @@ class TI2TIServer:
         p = _Pending(prompt_ids)
         self._q.put(p)
         if not p.event.wait(timeout):
+            # mark abandoned so the worker drops it instead of burning a
+            # batched device run on a result nobody reads
+            p.cancelled = True
             raise TimeoutError("edit did not complete in time")
         if p.error is not None:
             raise p.error
         return p.result
 
     def warmup(self, prompt_lens: Sequence[int]) -> None:
-        """Pre-compile the buckets a deployment expects (pairs naturally
-        with the persistent compilation cache)."""
+        """AOT-compile the buckets a deployment expects (jit alone is lazy
+        — constructing the wrapper compiles nothing).  The compiled
+        executable replaces the lazy jit callable, and with the persistent
+        compilation cache enabled the XLA work is a disk hit on repeat
+        launches."""
         for n in prompt_lens:
-            self._get_compiled(self._bucket(n))
+            plen = self._bucket(n)
+            fn, layout = self._get_compiled(plen)
+            if not hasattr(fn, "lower"):
+                continue  # already an AOT executable
+            B = self.serve.batch_size
+            ids_s = jax.ShapeDtypeStruct((B, layout.total_len), jnp.int32)
+            mask_s = jax.ShapeDtypeStruct((B, layout.total_len), jnp.bool_)
+            key_s = None if self._deterministic else jax.eval_shape(
+                lambda: jax.random.key(0))
+            compiled = fn.lower(self.params, ids_s, mask_s, key_s).compile()
+            self._compiled[plen] = (compiled, layout)
 
     def stats(self) -> Dict[str, int]:
         return dict(self._stats)
@@ -158,9 +182,12 @@ class TI2TIServer:
                     batch.append(self._q.get(timeout=left))
                 except queue.Empty:
                     break
-            # group by bucket; each group is one compiled call
+            # group by bucket; each group is one compiled call.  Abandoned
+            # requests (submit timeout) are dropped here.
             groups: Dict[int, List[_Pending]] = {}
             for p in batch:
+                if p.cancelled:
+                    continue
                 groups.setdefault(self._bucket(len(p.prompt_ids)),
                                   []).append(p)
             for plen, group in groups.items():
@@ -186,13 +213,7 @@ class TI2TIServer:
             ids[i] = row
             mask[i] = True
             mask[i, len(p.prompt_ids):plen] = False
-        # fully-deterministic parity mode when nothing samples: key=None
-        # also switches the still-masked-at-extraction fill to zeros
-        # (generate_ti2ti matches the reference's random fill only under a
-        # PRNG key, parallel_generator.py:356-360)
-        if (self.opts.temperature == 0.0
-                and self.opts.text_temperature == 0.0
-                and self.opts.remasking != "random"):
+        if self._deterministic:
             sub = None
         else:
             self._key, sub = jax.random.split(self._key)

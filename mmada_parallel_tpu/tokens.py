@@ -95,6 +95,10 @@ class VariantMTokens:
     lvg: int = 126092
     ipad: int = 126093
     r2i: int = 126094
+    # the interleave trainer/inference extend the table in-place
+    # (train_interleave.py:1-15, inference.py:13)
+    interleave: int = 126095
+    t2it: int = 126096   # text-only rows' task token (train_interleave.py:684)
     bos: int = 126080  # LLaDA tokenizer <s>; override from the real tokenizer
     eos: int = 126081
     text_vocab_size: int = 126464  # len(tokenizer); VQ offset

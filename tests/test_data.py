@@ -276,6 +276,27 @@ def test_native_tarstream_matches_tarfile(tmp_path):
         list(NativeTarStream(str(trunc)))
     assert list(ShardReader([str(trunc)])) == []
 
+    # a pax path longer than the 4096-byte name buffer must round-trip
+    # un-truncated (the wrapper re-queries with an exact-size buffer)
+    huge = tmp_path / "huge-000.tar"
+    huge_name = "h" * 5000 + ".txt"
+    with tarfile.open(huge, "w") as tf:
+        ti = tarfile.TarInfo(huge_name)
+        ti.size = 3
+        tf.addfile(ti, io.BytesIO(b"abc"))
+    assert list(NativeTarStream(str(huge))) == [(huge_name, b"abc")]
+
+    # corrupt pax record (declared length shorter than its own digits):
+    # skipped without crashing the producer thread
+    bad = bytearray(512)
+    bad[0:4] = b"junk"
+    payload = b"4abc 5 a=b\n"
+    bad[124:136] = b"%011o\x00" % len(payload)
+    bad[156] = ord("x")
+    corrupt = tmp_path / "badpax-000.tar"
+    corrupt.write_bytes(bytes(bad) + payload.ljust(512, b"\0") + b"\0" * 1024)
+    assert list(NativeTarStream(str(corrupt))) == []
+
 
 def test_reader_scheme_registry(tmp_path, monkeypatch):
     """data/reader.py: the reference's read_general (data_reader.py:31-57)
@@ -463,3 +484,26 @@ def test_mmconv_item_processor():
         proc.process_item({"conversations": [
             {"from": "human", "value": "hi"}]}, training_mode=True)
     assert proc.predict_item_token_length(item) > 0
+
+
+def test_interleave_task_tokens_match_reference():
+    """<|interleave|> = 126095 / <|t2it|> = 126096 (train_interleave.py:1-15);
+    text-only rows switch the task token and zero the input-image tokens
+    (:640-643,684)."""
+    from mmada_parallel_tpu.tokens import TOKENS_M
+    assert TOKENS_M.interleave == 126095
+    assert TOKENS_M.t2it == 126096
+
+    up = UniversalPrompting(FakeTokenizer(), max_text_len=4,
+                            cond_dropout_prob=0.0)
+    img_in = np.arange(6).reshape(2, 3) + 1000
+    noisy = np.arange(6).reshape(2, 3) + 2000
+    txt = np.full((2, 4), 5)
+    lab = np.full((2, 4), -100)
+    seq, labels, mask = up.interleave(img_in, ["a", "b"], noisy, txt, lab,
+                                      is_text_only=[False, True])
+    assert seq[0][0] == TOKENS_M.interleave
+    assert seq[1][0] == TOKENS_M.t2it
+    # text-only row: input image tokens zeroed (ref :640-643)
+    assert list(seq[1][2:5]) == [0, 0, 0]
+    assert list(seq[0][2:5]) == list(img_in[0])

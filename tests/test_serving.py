@@ -79,6 +79,24 @@ def test_batched_serving_matches_solo(model):
         server.close()
 
 
+def test_warmup_actually_compiles(model):
+    """warmup() must produce an AOT executable (jit alone is lazy), and the
+    warmed bucket must serve identical results."""
+    cfg, params = model
+    server = TI2TIServer(params, cfg, OPTS, SERVE, tokens=TOK)
+    try:
+        server.warmup([5])
+        plen = server._bucket(5)
+        fn, _ = server._compiled[plen]
+        assert not hasattr(fn, "lower")  # compiled executable, not lazy jit
+        r = server.submit(list(range(10, 15)), timeout=300)
+        t, c = _solo(cfg, params, list(range(10, 15)))
+        np.testing.assert_array_equal(r["text_ids"], t)
+        np.testing.assert_array_equal(r["codes"], c)
+    finally:
+        server.close()
+
+
 def test_bucketing_and_guards(model):
     cfg, params = model
     server = TI2TIServer(params, cfg, OPTS, SERVE, tokens=TOK)
