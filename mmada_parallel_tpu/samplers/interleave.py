@@ -58,6 +58,7 @@ def interleave_generate(
     opts: InterleaveOptions = InterleaveOptions(),
     key: Optional[jax.Array] = None,
     attn_mask: Optional[jax.Array] = None,
+    uncond_attn_mask: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Returns ``(final_ids [B, L], image_codes [B, N_vq])``.
 
@@ -68,8 +69,9 @@ def interleave_generate(
 
     ``attn_mask``: optional ``[B, L]`` bool (True = real token) for ragged
     batches padded inside the prompt region; pads are hidden from attention
-    and RoPE positions are re-ranked (applies to cond and uncond rows, which
-    share structure).
+    and RoPE positions are re-ranked.  ``uncond_attn_mask`` gives the
+    uncond rows their own pad pattern (the empty prompt is shorter than the
+    instruction); defaults to ``attn_mask``.
     """
     if opts.remasking == "random" and key is None:
         raise ValueError("remasking='random' requires a PRNG key")
@@ -97,9 +99,10 @@ def interleave_generate(
 
     if attn_mask is not None:
         from mmada_parallel_tpu.ops.masks import ragged_positions
-        pos_ids = ragged_positions(attn_mask)
-        mask2b = jnp.concatenate([attn_mask, attn_mask], axis=0)
-        pos2b = jnp.concatenate([pos_ids, pos_ids], axis=0)
+        un_mask = attn_mask if uncond_attn_mask is None else uncond_attn_mask
+        mask2b = jnp.concatenate([attn_mask, un_mask], axis=0)
+        pos2b = jnp.concatenate([ragged_positions(attn_mask),
+                                 ragged_positions(un_mask)], axis=0)
     else:
         mask2b = pos2b = None
 

@@ -1,13 +1,21 @@
-"""Continuous-batching TI2TI serving.
+"""Continuous-batching servers for both variants.
 
 The reference's only serving surface is a single-request Gradio app
 (``MMaDA-Parallel-A/app.py``); this module is the TPU build's production
 path: a request queue drained by one device-owning worker thread that
 groups requests into prompt-length buckets, pads each bucket to a static
-layout, and runs ONE compiled ragged-batch ``generate_ti2ti`` per group —
-the padding mask + re-ranked RoPE positions guarantee each row decodes
-exactly what its unpadded solo run would (at temperature 0; sampled runs
-share one PRNG stream per batch — ``tests/test_serving.py``).
+layout, and runs ONE compiled ragged-batch sampler call per group — the
+padding mask + re-ranked RoPE positions guarantee each row decodes exactly
+what its unpadded solo run would (at temperature 0; sampled runs share one
+PRNG stream per batch — ``tests/test_serving.py``).
+
+Two concrete servers share the batching core:
+
+* :class:`TI2TIServer` — variant-A thinking-aware edits over
+  ``generate_ti2ti``;
+* :class:`InterleaveServer` — variant-M interleave generation over
+  ``interleave_generate`` (batched on-device MagViT encode of the request
+  images happens on the worker thread too).
 
 Design notes (TPU-first):
 
@@ -16,8 +24,7 @@ Design notes (TPU-first):
   each (bucket, B) pair compiles once, ever (and lands in the persistent
   compilation cache, ``utils/compile_cache``).
 * **One device owner**: JAX dispatch happens only on the worker thread;
-  HTTP/producer threads just enqueue and wait on per-request events, so
-  there is no cross-thread device contention.
+  HTTP/producer threads just enqueue and wait on per-request events.
 * **Latency/throughput knob**: the worker waits up to ``max_wait_ms`` for
   the batch to fill after the first request arrives, then flushes whatever
   it has (continuous batching at denoise-trajectory granularity — the
@@ -43,13 +50,15 @@ from mmada_parallel_tpu.models.llada import LLaDAConfig
 from mmada_parallel_tpu.samplers.parallel_ti2ti import (TI2TIOptions,
                                                         generate_ti2ti,
                                                         decode_text)
+from mmada_parallel_tpu.samplers.interleave import (InterleaveOptions,
+                                                    interleave_generate)
 
-__all__ = ["ServeConfig", "TI2TIServer"]
+__all__ = ["ServeConfig", "TI2TIServer", "InterleaveServer"]
 
 
 @dataclasses.dataclass(frozen=True)
 class ServeConfig:
-    grid_hw: Tuple[int, int] = (32, 32)     # 512x512 at stride 16
+    grid_hw: Tuple[int, int] = (32, 32)     # 512x512 at stride 16 (A)
     text_gen_length: int = 256
     end_token_ids: Tuple[int, ...] = (126355,)
     batch_size: int = 4
@@ -59,18 +68,95 @@ class ServeConfig:
 
 
 class _Pending:
-    __slots__ = ("prompt_ids", "event", "result", "error", "cancelled")
+    __slots__ = ("payload", "event", "result", "error", "cancelled")
 
-    def __init__(self, prompt_ids):
-        self.prompt_ids = list(prompt_ids)
+    def __init__(self, payload):
+        self.payload = payload
         self.event = threading.Event()
         self.result = None
         self.error: Optional[BaseException] = None
         self.cancelled = False   # submit() timed out; skip if still queued
 
 
-class TI2TIServer:
-    """Queue + worker around the ragged-batch fused sampler.
+class _BatchServerBase:
+    """Queue + device-owning worker + bucket grouping.
+
+    Subclasses implement ``_bucket_of(payload) -> int`` and
+    ``_serve_group(bucket, group)`` (which must set each pending's
+    ``result`` and ``event``)."""
+
+    def __init__(self, batch_size: int, max_wait_ms: float):
+        self._batch_size = batch_size
+        self._max_wait_ms = max_wait_ms
+        self._q: "queue.Queue[_Pending]" = queue.Queue()
+        self._stats = {"requests": 0, "batches": 0, "batched_rows": 0}
+        self._stop = threading.Event()
+        self._worker = threading.Thread(target=self._run, daemon=True)
+        self._worker.start()
+
+    def _submit(self, payload, timeout: Optional[float]) -> Any:
+        p = _Pending(payload)
+        self._q.put(p)
+        if not p.event.wait(timeout):
+            # mark abandoned so the worker drops it instead of burning a
+            # batched device run on a result nobody reads
+            p.cancelled = True
+            raise TimeoutError("request did not complete in time")
+        if p.error is not None:
+            raise p.error
+        return p.result
+
+    def stats(self) -> Dict[str, int]:
+        return dict(self._stats)
+
+    def close(self) -> None:
+        self._stop.set()
+        self._worker.join(timeout=5)
+
+    def _run(self) -> None:
+        while not self._stop.is_set():
+            try:
+                first = self._q.get(timeout=0.1)
+            except queue.Empty:
+                continue
+            batch = [first]
+            deadline = time.time() + self._max_wait_ms / 1e3
+            while len(batch) < self._batch_size:
+                left = deadline - time.time()
+                if left <= 0:
+                    break
+                try:
+                    batch.append(self._q.get(timeout=left))
+                except queue.Empty:
+                    break
+            # group by bucket; each group is one compiled call.  Abandoned
+            # requests (submit timeout) are dropped here.
+            groups: Dict[int, List[_Pending]] = {}
+            for p in batch:
+                if p.cancelled:
+                    continue
+                groups.setdefault(self._bucket_of(p.payload), []).append(p)
+            for bucket, group in groups.items():
+                try:
+                    self._serve_group(bucket, group)
+                except BaseException as e:  # deliver, don't kill the worker
+                    for p in group:
+                        p.error, _ = e, p.event.set()
+
+    # -- subclass hooks
+    def _bucket_of(self, payload) -> int:
+        raise NotImplementedError
+
+    def _serve_group(self, bucket: int, group: List[_Pending]) -> None:
+        raise NotImplementedError
+
+
+def _round_bucket(n: int, quantum: int, cap: int) -> int:
+    return min(-(-max(n, 1) // quantum) * quantum, cap)
+
+
+class TI2TIServer(_BatchServerBase):
+    """Variant-A thinking-aware edit server over ``generate_ti2ti``.
 
     ``submit(prompt_ids)`` blocks until the edit is done and returns
     ``{"text_ids", "codes", "text"}``; call from any number of threads.
@@ -87,7 +173,6 @@ class TI2TIServer:
         self.serve, self.tokens = serve, tokens
         self.tokenizer = tokenizer
         self.uncond_image_prefix = uncond_image_prefix
-        self._q: "queue.Queue[_Pending]" = queue.Queue()
         self._compiled: Dict[int, Tuple[Callable, Any]] = {}
         # fully-deterministic parity mode when nothing samples: key=None
         # also switches the still-masked-at-extraction fill to zeros
@@ -97,10 +182,7 @@ class TI2TIServer:
                                and opts.text_temperature == 0.0
                                and opts.remasking != "random")
         self._key = jax.random.key(seed)
-        self._stats = {"requests": 0, "batches": 0, "batched_rows": 0}
-        self._stop = threading.Event()
-        self._worker = threading.Thread(target=self._run, daemon=True)
-        self._worker.start()
+        super().__init__(serve.batch_size, serve.max_wait_ms)
 
     # ------------------------------------------------------------- public
     def submit(self, prompt_ids: Sequence[int],
@@ -109,16 +191,7 @@ class TI2TIServer:
             raise ValueError(
                 f"prompt length {len(prompt_ids)} exceeds max_prompt_len "
                 f"{self.serve.max_prompt_len}")
-        p = _Pending(prompt_ids)
-        self._q.put(p)
-        if not p.event.wait(timeout):
-            # mark abandoned so the worker drops it instead of burning a
-            # batched device run on a result nobody reads
-            p.cancelled = True
-            raise TimeoutError("edit did not complete in time")
-        if p.error is not None:
-            raise p.error
-        return p.result
+        return self._submit(list(prompt_ids), timeout)
 
     def warmup(self, prompt_lens: Sequence[int]) -> None:
         """AOT-compile the buckets a deployment expects (jit alone is lazy
@@ -127,7 +200,7 @@ class TI2TIServer:
         compilation cache enabled the XLA work is a disk hit on repeat
         launches."""
         for n in prompt_lens:
-            plen = self._bucket(n)
+            plen = self._bucket_of([0] * n)
             fn, layout = self._get_compiled(plen)
             if not hasattr(fn, "lower"):
                 continue  # already an AOT executable
@@ -139,17 +212,10 @@ class TI2TIServer:
             compiled = fn.lower(self.params, ids_s, mask_s, key_s).compile()
             self._compiled[plen] = (compiled, layout)
 
-    def stats(self) -> Dict[str, int]:
-        return dict(self._stats)
-
-    def close(self) -> None:
-        self._stop.set()
-        self._worker.join(timeout=5)
-
     # ------------------------------------------------------------ worker
-    def _bucket(self, n: int) -> int:
-        q = self.serve.bucket_quantum
-        return min(-(-max(n, 1) // q) * q, self.serve.max_prompt_len)
+    def _bucket_of(self, payload) -> int:
+        return _round_bucket(len(payload), self.serve.bucket_quantum,
+                             self.serve.max_prompt_len)
 
     def _get_compiled(self, plen: int):
         hit = self._compiled.get(plen)
@@ -166,37 +232,6 @@ class TI2TIServer:
         self._compiled[plen] = (fn, layout)
         return fn, layout
 
-    def _run(self) -> None:
-        while not self._stop.is_set():
-            try:
-                first = self._q.get(timeout=0.1)
-            except queue.Empty:
-                continue
-            batch = [first]
-            deadline = time.time() + self.serve.max_wait_ms / 1e3
-            while len(batch) < self.serve.batch_size:
-                left = deadline - time.time()
-                if left <= 0:
-                    break
-                try:
-                    batch.append(self._q.get(timeout=left))
-                except queue.Empty:
-                    break
-            # group by bucket; each group is one compiled call.  Abandoned
-            # requests (submit timeout) are dropped here.
-            groups: Dict[int, List[_Pending]] = {}
-            for p in batch:
-                if p.cancelled:
-                    continue
-                groups.setdefault(self._bucket(len(p.prompt_ids)),
-                                  []).append(p)
-            for plen, group in groups.items():
-                try:
-                    self._serve_group(plen, group)
-                except BaseException as e:  # deliver, don't kill the worker
-                    for p in group:
-                        p.error, _ = e, p.event.set()
-
     def _serve_group(self, plen: int, group: List[_Pending]) -> None:
         B = self.serve.batch_size
         fn, layout = self._get_compiled(plen)
@@ -205,14 +240,14 @@ class TI2TIServer:
         mask = np.zeros((B, layout.total_len), bool)
         for i in range(B):
             p = group[min(i, len(group) - 1)]   # pad batch by repetition
-            prompt = p.prompt_ids + [self.tokens.pad] * (plen
-                                                         - len(p.prompt_ids))
+            n = len(p.payload)
+            prompt = p.payload + [self.tokens.pad] * (plen - n)
             row, _ = tk.assemble_ti2ti_sequence(
                 prompt, self.serve.text_gen_length, gh, gw,
                 list(self.serve.end_token_ids), tokens=self.tokens)
             ids[i] = row
             mask[i] = True
-            mask[i, len(p.prompt_ids):plen] = False
+            mask[i, n:plen] = False
         if self._deterministic:
             sub = None
         else:
@@ -230,4 +265,144 @@ class TI2TIServer:
                 "text": decode_text(fin[i], layout, self.opts,
                                     self.tokenizer),
             }
+            p.event.set()
+
+
+class InterleaveServer(_BatchServerBase):
+    """Variant-M interleave-generation server over ``interleave_generate``.
+
+    ``submit(instr_ids, codes=..., image=...)`` blocks until generation is
+    done and returns ``{"text_ids", "codes", "text"}``.  ``codes`` are
+    VQ-offset image tokens (``[num_vq_tokens]``); pass ``image`` (any
+    ``[H, W, 3]``-transformable pixels via ``transform``) instead to have
+    the worker thread batch-encode through MagViT on device.
+
+    Prompt structure per row (``MMaDA-Parallel-M/inference.py:98-112``):
+    ``[<|interleave|>][<|soi|>]codes[<|eoi|>]instr…`` with the instruction
+    tail padded to the bucket and hidden by the attention mask; the uncond
+    row swaps the instruction for the empty prompt.
+    """
+
+    def __init__(self, params: Any, cfg: LLaDAConfig,
+                 opts: InterleaveOptions = InterleaveOptions(),
+                 num_vq_tokens: int = 1024,
+                 max_seq_length: int = 256,
+                 batch_size: int = 4, max_wait_ms: float = 50.0,
+                 bucket_quantum: int = 32, max_instr_len: int = 512,
+                 tokenizer: Any = None,
+                 get_code: Optional[Callable] = None,
+                 tokens: tk.VariantMTokens = tk.TOKENS_M,
+                 seed: int = 0):
+        self.params, self.cfg, self.opts = params, cfg, opts
+        self.num_vq_tokens = num_vq_tokens
+        self.max_seq_length = max_seq_length
+        self.bucket_quantum = bucket_quantum
+        self.max_instr_len = max_instr_len
+        self.tokenizer = tokenizer
+        self.get_code = get_code            # jitted MagViT encode, [B,H,W,3]
+        self.tokens = tokens
+        self._compiled: Dict[int, Tuple[Callable, Any]] = {}
+        self._deterministic = (opts.text_temperature == 0.0
+                               and opts.image_temperature == 0.0
+                               and opts.remasking != "random")
+        self._key = jax.random.key(seed)
+        self._uncond_ids = None
+        if tokenizer is not None:
+            self._uncond_ids = list(tokenizer("")["input_ids"]) or None
+        super().__init__(batch_size, max_wait_ms)
+
+    def submit(self, instr_ids: Sequence[int],
+               codes: Optional[np.ndarray] = None,
+               image: Optional[Any] = None,
+               timeout: Optional[float] = None) -> Dict[str, Any]:
+        if (codes is None) == (image is None):
+            raise ValueError("pass exactly one of codes= or image=")
+        if len(instr_ids) > self.max_instr_len:
+            raise ValueError(
+                f"instruction length {len(instr_ids)} exceeds "
+                f"max_instr_len {self.max_instr_len}")
+        return self._submit(
+            {"instr": list(instr_ids), "codes": codes, "image": image},
+            timeout)
+
+    def _bucket_of(self, payload) -> int:
+        return _round_bucket(len(payload["instr"]), self.bucket_quantum,
+                             self.max_instr_len)
+
+    def _get_compiled(self, ilen: int):
+        hit = self._compiled.get(ilen)
+        if hit is not None:
+            return hit
+        T = self.tokens
+        prompt_len = 3 + self.num_vq_tokens + ilen  # task+soi+codes+eoi+instr
+        _, layout = tk.assemble_interleave_sequence(
+            [T.eos] * prompt_len, self.num_vq_tokens, self.max_seq_length,
+            tokens=T)
+        fn = jax.jit(
+            lambda p, i, u, m, um, k, lay=layout: interleave_generate(
+                p, self.cfg, i, u, lay, self.opts, key=k, attn_mask=m,
+                uncond_attn_mask=um))
+        self._compiled[ilen] = (fn, layout)
+        return fn, layout
+
+    def _serve_group(self, ilen: int, group: List[_Pending]) -> None:
+        B = self._batch_size
+        T = self.tokens
+        fn, layout = self._get_compiled(ilen)
+
+        # batch-encode any raw images on the device-owning thread
+        to_encode = [p for p in group if p.payload["codes"] is None]
+        if to_encode:
+            if self.get_code is None:
+                raise ValueError("image= submitted but server has no "
+                                 "get_code encoder")
+            px = jnp.stack([jnp.asarray(p.payload["image"])
+                            for p in to_encode])
+            enc = np.asarray(self.get_code(px)) + T.vq_offset
+            for row, p in enumerate(to_encode):
+                p.payload["codes"] = enc[row]
+
+        uncond_tail = self._uncond_ids or [T.bos]
+        L = layout.total_len
+        ids = np.zeros((B, L), np.int32)
+        un_ids = np.zeros((B, L), np.int32)
+        mask = np.zeros((B, L), bool)
+        un_mask = np.zeros((B, L), bool)
+        for i in range(B):
+            p = group[min(i, len(group) - 1)]
+            instr = p.payload["instr"]
+            codes = [int(c) for c in p.payload["codes"]]
+            head = [T.interleave, T.soi] + codes + [T.eoi]
+            prompt = head + instr + [T.eos] * (ilen - len(instr))
+            un_prompt = (head + uncond_tail
+                         + [T.eos] * (ilen - len(uncond_tail)))
+            row, _ = tk.assemble_interleave_sequence(
+                prompt, self.num_vq_tokens, self.max_seq_length, tokens=T)
+            un_row, _ = tk.assemble_interleave_sequence(
+                un_prompt, self.num_vq_tokens, self.max_seq_length, tokens=T)
+            ids[i], un_ids[i] = row, un_row
+            mask[i] = True
+            mask[i, len(head) + len(instr):len(head) + ilen] = False
+            un_mask[i] = True
+            un_mask[i, len(head) + len(uncond_tail):len(head) + ilen] = False
+        if self._deterministic:
+            sub = None
+        else:
+            self._key, sub = jax.random.split(self._key)
+        fin, codes = fn(self.params, jnp.asarray(ids), jnp.asarray(un_ids),
+                        jnp.asarray(mask), jnp.asarray(un_mask), sub)
+        fin, codes = np.asarray(fin), np.asarray(codes)
+        self._stats["requests"] += len(group)
+        self._stats["batches"] += 1
+        self._stats["batched_rows"] += B
+        for i, p in enumerate(group):
+            text_ids = fin[i, layout.text_start:layout.text_end]
+            text = text_ids
+            if self.tokenizer is not None and hasattr(self.tokenizer,
+                                                      "decode"):
+                keep = [int(t) for t in text_ids
+                        if int(t) != self.opts.mask_token]
+                text = self.tokenizer.decode(keep, skip_special_tokens=True)
+            p.result = {"text_ids": text_ids, "codes": codes[i],
+                        "text": text}
             p.event.set()

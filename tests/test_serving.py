@@ -86,7 +86,7 @@ def test_warmup_actually_compiles(model):
     server = TI2TIServer(params, cfg, OPTS, SERVE, tokens=TOK)
     try:
         server.warmup([5])
-        plen = server._bucket(5)
+        plen = server._bucket_of([0] * 5)
         fn, _ = server._compiled[plen]
         assert not hasattr(fn, "lower")  # compiled executable, not lazy jit
         r = server.submit(list(range(10, 15)), timeout=300)
@@ -164,3 +164,105 @@ def test_http_serve_cli(model, monkeypatch):
         st = json.loads(r.read())
     assert st["requests"] >= 1
     started["httpd"].shutdown()
+
+
+# ---------------------------------------------------------------------------
+# InterleaveServer (variant M)
+# ---------------------------------------------------------------------------
+
+from mmada_parallel_tpu.samplers.interleave import (InterleaveOptions,
+                                                    interleave_generate)
+from mmada_parallel_tpu.serving import InterleaveServer
+
+TOK_M = tk.VariantMTokens(mask=250, soi=251, eoi=252, bos=249, eos=248,
+                          interleave=247, text_vocab_size=TVS,
+                          codebook_size=CB)
+M_OPTS = InterleaveOptions(text_steps=8, image_steps=4, text_cfg=1.5,
+                           image_cfg=2.0, text_temperature=0.0,
+                           image_temperature=0.0, text_vocab_size=TVS,
+                           codebook_size=CB, mask_token=250)
+N_VQ, MSL = 6, 8
+
+
+def _m_solo(cfg, params, instr, codes):
+    """Single-row oracle: unpadded cond prompt; the (shorter) uncond prompt
+    carries mask-hidden eos pads before the output template — by the
+    ragged-batch contract this equals a true unpadded uncond run."""
+    ilen = len(instr)
+    head = [TOK_M.interleave, TOK_M.soi] + [int(c) for c in codes] + [TOK_M.eoi]
+    ids, lay = tk.assemble_interleave_sequence(head + instr, N_VQ, MSL,
+                                               tokens=TOK_M)
+    un_ids, _ = tk.assemble_interleave_sequence(
+        head + [TOK_M.bos] + [TOK_M.eos] * (ilen - 1), N_VQ, MSL,
+        tokens=TOK_M)
+    m = np.ones(len(ids), bool)
+    um = np.ones(len(ids), bool)
+    um[len(head) + 1:len(head) + ilen] = False
+    fin, out_codes = interleave_generate(
+        params, cfg, jnp.asarray(ids)[None], jnp.asarray(un_ids)[None], lay,
+        M_OPTS, key=None, attn_mask=jnp.asarray(m)[None],
+        uncond_attn_mask=jnp.asarray(um)[None])
+    fin = np.asarray(fin)[0]
+    return fin[lay.text_start:lay.text_end].copy(), np.asarray(out_codes)[0]
+
+
+def test_interleave_server_matches_solo(model):
+    cfg, params = model
+    server = InterleaveServer(params, cfg, M_OPTS, num_vq_tokens=N_VQ,
+                              max_seq_length=MSL, batch_size=3,
+                              max_wait_ms=200.0, bucket_quantum=8,
+                              tokens=TOK_M)
+    try:
+        rng = np.random.default_rng(3)
+        reqs = [(list(range(10, 14)), rng.integers(TVS, TVS + CB, N_VQ)),
+                (list(range(30, 37)), rng.integers(TVS, TVS + CB, N_VQ)),
+                (list(range(60, 62)), rng.integers(TVS, TVS + CB, N_VQ))]
+        results = [None] * 3
+
+        def call(i):
+            instr, codes = reqs[i]
+            results[i] = server.submit(instr, codes=codes, timeout=300)
+
+        threads = [threading.Thread(target=call, args=(i,)) for i in range(3)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+
+        for i, (instr, codes) in enumerate(reqs):
+            want_text, want_codes = _m_solo(cfg, params, instr, codes)
+            np.testing.assert_array_equal(results[i]["text_ids"], want_text,
+                                          err_msg=f"row {i} text")
+            np.testing.assert_array_equal(results[i]["codes"], want_codes,
+                                          err_msg=f"row {i} codes")
+        assert server.stats()["requests"] == 3
+    finally:
+        server.close()
+
+
+def test_interleave_server_image_encode(model):
+    """image= submissions batch-encode through get_code on the worker."""
+    cfg, params = model
+
+    def fake_get_code(px):
+        # deterministic "encoder": mean-pool pixels into CB bins
+        flat = px.reshape(px.shape[0], -1, N_VQ).mean(axis=1)
+        return (flat.astype(jnp.int32) % CB)
+
+    server = InterleaveServer(params, cfg, M_OPTS, num_vq_tokens=N_VQ,
+                              max_seq_length=MSL, batch_size=2,
+                              max_wait_ms=100.0, bucket_quantum=8,
+                              get_code=fake_get_code, tokens=TOK_M)
+    try:
+        img = np.full((4, N_VQ), 300.0, np.float32)
+        r = server.submit(list(range(10, 13)), image=img, timeout=300)
+        codes = np.asarray(fake_get_code(jnp.asarray(img)[None]))[0] \
+            + TOK_M.vq_offset
+        want_text, want_codes = _m_solo(cfg, params, list(range(10, 13)),
+                                        codes)
+        np.testing.assert_array_equal(r["text_ids"], want_text)
+        np.testing.assert_array_equal(r["codes"], want_codes)
+        with pytest.raises(ValueError, match="exactly one"):
+            server.submit([1, 2], codes=codes, image=img)
+    finally:
+        server.close()
