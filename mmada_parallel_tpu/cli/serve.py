@@ -1,15 +1,26 @@
-"""TI2TI serving CLI: HTTP front-end over the continuous batcher.
+"""Serving CLI: HTTP front-end over the continuous batchers, both variants.
 
 The reference ships a single-request Gradio demo (``app.py``); this is the
 production path — stdlib HTTP (no extra deps), requests batched across
-connections by :class:`mmada_parallel_tpu.serving.TI2TIServer`.
+connections by :mod:`mmada_parallel_tpu.serving`.
 
+    # variant A (TI2TI edits)
     python -m mmada_parallel_tpu.cli.serve --checkpoint /ckpts/... \
         --port 8000 --batch_size 4 --warmup 128,256
 
     POST /edit {"prompt": "make the sky purple", "image_tokens": [...]}
         -> {"text": ..., "codes": [...]}       (image_tokens optional)
     POST /edit {"prompt_ids": [...]}           (pre-tokenized)
+
+    # variant M (interleave generation)
+    python -m mmada_parallel_tpu.cli.serve --variant m --checkpoint ... \
+        --port 8000
+
+    POST /interleave {"instruction": "...", "image_tokens": [...]}
+        -> {"text": ..., "codes": [...]}   (image_tokens = RAW MagViT codes
+                                            without the vocab offset)
+    POST /interleave {"instr_ids": [...], "image_tokens": [...]}
+
     GET  /stats -> {"requests": N, "batches": M, "batched_rows": K}
 """
 
@@ -20,6 +31,7 @@ import os
 
 def build_parser():
     p = argparse.ArgumentParser()
+    p.add_argument("--variant", type=str, default="a", choices=["a", "m"])
     p.add_argument("--checkpoint", type=str, default=None)
     p.add_argument("--port", type=int, default=8000)
     p.add_argument("--host", type=str, default="127.0.0.1")
@@ -32,6 +44,12 @@ def build_parser():
     p.add_argument("--text_steps", type=int, default=128)
     p.add_argument("--cfg_scale", type=float, default=0.0)
     p.add_argument("--cfg_img", type=float, default=4.0)
+    # variant m knobs (defaults = MMaDA-Parallel-M/inference.py:114-124)
+    p.add_argument("--num_vq_tokens", type=int, default=1024)
+    p.add_argument("--max_seq_length", type=int, default=256)
+    p.add_argument("--image_steps", type=int, default=30)
+    p.add_argument("--text_cfg", type=float, default=2.5)
+    p.add_argument("--image_cfg", type=float, default=4.0)
     p.add_argument("--warmup", type=str, default="",
                    help="comma-separated prompt lengths to pre-compile")
     p.add_argument("--quant", type=str, default="",
@@ -53,14 +71,16 @@ def main(argv=None):
     from mmada_parallel_tpu.models import LLaDAConfig, init_llada_params
     from mmada_parallel_tpu.models import convert as CV
     from mmada_parallel_tpu.samplers import TI2TIOptions
-    from mmada_parallel_tpu.serving import ServeConfig, TI2TIServer
+    from mmada_parallel_tpu.samplers.interleave import InterleaveOptions
+    from mmada_parallel_tpu.serving import (ServeConfig, TI2TIServer,
+                                            InterleaveServer)
 
     args = build_parser().parse_args(argv)
     if args.checkpoint is None and not args.tiny_model:
         raise SystemExit(
             "--checkpoint is required (or pass --tiny_model explicitly for "
             "a random-weight debug server)")
-    T = tk.TOKENS_A
+    T = tk.TOKENS_A if args.variant == "a" else tk.TOKENS_M
     if args.tiny_model or args.checkpoint is None:
         cfg = LLaDAConfig.tiny(vocab_size=T.full_vocab_size,
                                mask_token_id=T.mask)
@@ -80,25 +100,39 @@ def main(argv=None):
         params = jax.jit(lambda p: quantize_llada_params(
             p, quantize_head="bf16head" not in args.quant))(params)
 
-    _, _, gh, gw = tk.calculate_vq_params(args.height, args.width, 16)
-    opts = TI2TIOptions(timesteps=args.timesteps, text_steps=args.text_steps,
-                        cfg_scale=args.cfg_scale, cfg_img=args.cfg_img,
-                        text_vocab_size=T.text_vocab_size,
-                        codebook_size=T.codebook_size, mask_token=T.mask)
-    end_ids = (list(tokenizer("</answer>",
-                              add_special_tokens=False)["input_ids"])
-               if tokenizer is not None else [T.answer_end])
-    server = TI2TIServer(
-        params, cfg, opts,
-        ServeConfig(grid_hw=(gh, gw), text_gen_length=args.text_gen_length,
-                    end_token_ids=tuple(end_ids),
-                    batch_size=args.batch_size,
-                    max_wait_ms=args.max_wait_ms),
-        tokenizer=tokenizer, tokens=T)
-    if args.warmup:
-        lens = [int(x) for x in args.warmup.split(",") if x]
-        print(f"[serve] warming up buckets for prompt lens {lens} ...")
-        server.warmup(lens)
+    if args.variant == "a":
+        _, _, gh, gw = tk.calculate_vq_params(args.height, args.width, 16)
+        opts = TI2TIOptions(timesteps=args.timesteps,
+                            text_steps=args.text_steps,
+                            cfg_scale=args.cfg_scale, cfg_img=args.cfg_img,
+                            text_vocab_size=T.text_vocab_size,
+                            codebook_size=T.codebook_size, mask_token=T.mask)
+        end_ids = (list(tokenizer("</answer>",
+                                  add_special_tokens=False)["input_ids"])
+                   if tokenizer is not None else [T.answer_end])
+        server = TI2TIServer(
+            params, cfg, opts,
+            ServeConfig(grid_hw=(gh, gw),
+                        text_gen_length=args.text_gen_length,
+                        end_token_ids=tuple(end_ids),
+                        batch_size=args.batch_size,
+                        max_wait_ms=args.max_wait_ms),
+            tokenizer=tokenizer, tokens=T)
+        if args.warmup:
+            lens = [int(x) for x in args.warmup.split(",") if x]
+            print(f"[serve] warming up buckets for prompt lens {lens} ...")
+            server.warmup(lens)
+    else:
+        m_opts = InterleaveOptions(
+            text_steps=args.text_steps, image_steps=args.image_steps,
+            text_cfg=args.text_cfg, image_cfg=args.image_cfg,
+            text_vocab_size=T.text_vocab_size,
+            codebook_size=T.codebook_size, mask_token=T.mask)
+        server = InterleaveServer(
+            params, cfg, m_opts, num_vq_tokens=args.num_vq_tokens,
+            max_seq_length=args.max_seq_length,
+            batch_size=args.batch_size, max_wait_ms=args.max_wait_ms,
+            tokenizer=tokenizer, tokens=T)
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *a):  # quiet
@@ -117,30 +151,46 @@ def main(argv=None):
                 return self._json(200, server.stats())
             return self._json(404, {"error": "unknown path"})
 
+        def _respond(self, out):
+            self._json(200, {
+                "text": out["text"] if isinstance(out["text"], str)
+                else [int(t) for t in out["text_ids"]],
+                "codes": [int(c) for c in out["codes"]],
+            })
+
         def do_POST(self):
-            if self.path != "/edit":
-                return self._json(404, {"error": "unknown path"})
             try:
                 n = int(self.headers.get("Content-Length", 0))
                 req = json.loads(self.rfile.read(n) or b"{}")
-                if "prompt_ids" in req:
-                    pids = [int(t) for t in req["prompt_ids"]]
-                else:
-                    if tokenizer is None:
-                        return self._json(400, {
-                            "error": "no tokenizer loaded; send prompt_ids"})
-                    pids = list(tokenizer(req["prompt"])["input_ids"])
-                    if req.get("image_tokens"):
-                        T = tk.TOKENS_A
-                        pids = (pids[:-1] + [T.boi]
-                                + [int(t) for t in req["image_tokens"]]
-                                + [T.eoi] + pids[-1:])
-                out = server.submit(pids)
-                self._json(200, {
-                    "text": out["text"] if isinstance(out["text"], str)
-                    else [int(t) for t in out["text_ids"]],
-                    "codes": [int(c) for c in out["codes"]],
-                })
+                if self.path == "/edit" and args.variant == "a":
+                    if "prompt_ids" in req:
+                        pids = [int(t) for t in req["prompt_ids"]]
+                    else:
+                        if tokenizer is None:
+                            return self._json(400, {
+                                "error": "no tokenizer loaded; "
+                                         "send prompt_ids"})
+                        pids = list(tokenizer(req["prompt"])["input_ids"])
+                        if req.get("image_tokens"):
+                            pids = (pids[:-1] + [T.boi]
+                                    + [int(t) for t in req["image_tokens"]]
+                                    + [T.eoi] + pids[-1:])
+                    return self._respond(server.submit(pids))
+                if self.path == "/interleave" and args.variant == "m":
+                    if "instr_ids" in req:
+                        iids = [int(t) for t in req["instr_ids"]]
+                    else:
+                        if tokenizer is None:
+                            return self._json(400, {
+                                "error": "no tokenizer loaded; "
+                                         "send instr_ids"})
+                        iids = list(tokenizer(req["instruction"])
+                                    ["input_ids"])
+                    codes = np.asarray(req["image_tokens"],
+                                       np.int32) + T.vq_offset
+                    return self._respond(server.submit(iids, codes=codes))
+                return self._json(404, {"error": "unknown path for variant "
+                                                 f"{args.variant!r}"})
             except Exception as e:
                 self._json(500, {"error": f"{type(e).__name__}: {e}"})
 

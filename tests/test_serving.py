@@ -5,6 +5,7 @@ and the HTTP surface round-trips."""
 import json
 import threading
 import time
+import urllib.error
 import urllib.request
 
 import numpy as np
@@ -266,3 +267,50 @@ def test_interleave_server_image_encode(model):
             server.submit([1, 2], codes=codes, image=img)
     finally:
         server.close()
+
+
+def test_http_serve_cli_variant_m(model, monkeypatch):
+    """Drive cli/serve.py --variant m over localhost HTTP (tiny model)."""
+    import mmada_parallel_tpu.cli.serve as sv
+
+    monkeypatch.setattr(tk, "TOKENS_M", TOK_M, raising=True)
+    argv = ["--variant", "m", "--tiny_model", "--port", "0",
+            "--batch_size", "2", "--num_vq_tokens", str(N_VQ),
+            "--max_seq_length", str(MSL), "--text_steps", "8",
+            "--image_steps", "4", "--text_cfg", "1.5", "--image_cfg", "2.0",
+            "--max_wait_ms", "50"]
+
+    from http.server import ThreadingHTTPServer
+    started = {}
+    real_serve = ThreadingHTTPServer.serve_forever
+
+    def hook(self, *a, **kw):
+        started["httpd"] = self
+        real_serve(self)
+
+    monkeypatch.setattr(ThreadingHTTPServer, "serve_forever", hook)
+    th = threading.Thread(target=sv.main, args=(argv,), daemon=True)
+    th.start()
+    for _ in range(600):
+        if "httpd" in started:
+            break
+        time.sleep(0.1)
+    assert "httpd" in started, "server did not start"
+    port = started["httpd"].server_address[1]
+
+    def post(path, obj):
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}{path}",
+            data=json.dumps(obj).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=300) as r:
+            return json.loads(r.read())
+
+    out = post("/interleave", {"instr_ids": list(range(10, 14)),
+                               "image_tokens": [1, 5, 9, 2, 7, 3]})
+    assert len(out["codes"]) == N_VQ
+    assert len(out["text"]) == MSL
+    # wrong endpoint for the variant -> 404
+    with pytest.raises(urllib.error.HTTPError):
+        post("/edit", {"prompt_ids": [1, 2]})
+    started["httpd"].shutdown()
