@@ -118,10 +118,6 @@ def main(argv=None):
                         batch_size=args.batch_size,
                         max_wait_ms=args.max_wait_ms),
             tokenizer=tokenizer, tokens=T)
-        if args.warmup:
-            lens = [int(x) for x in args.warmup.split(",") if x]
-            print(f"[serve] warming up buckets for prompt lens {lens} ...")
-            server.warmup(lens)
     else:
         m_opts = InterleaveOptions(
             text_steps=args.text_steps, image_steps=args.image_steps,
@@ -133,6 +129,11 @@ def main(argv=None):
             max_seq_length=args.max_seq_length,
             batch_size=args.batch_size, max_wait_ms=args.max_wait_ms,
             tokenizer=tokenizer, tokens=T)
+
+    if args.warmup:
+        lens = [int(x) for x in args.warmup.split(",") if x]
+        print(f"[serve] warming up buckets for prompt lens {lens} ...")
+        server.warmup(lens)
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *a):  # quiet

@@ -372,14 +372,27 @@ def main(argv=None):
                 buf = []
 
     def encode_out_text(texts):
-        """Output-text rows: tokens + eos fill, truncated to msl."""
-        out = np.full((len(texts), msl), TOKENS_M.eos, np.int64)
+        """Output-text rows, normalized like train_interleave.py:735-747:
+        bos-prefixed, eos-suffixed, eos fill; truncation keeps a final eos
+        (``ids[:msl-1] + [eos]``) so the trained layout always matches the
+        inference template (bos at position 0, eos-terminated)."""
+        _bos = getattr(tokenizer, "bos_token_id", None)
+        _eos = getattr(tokenizer, "eos_token_id", None)
+        bos = TOKENS_M.bos if _bos is None else int(_bos)
+        eos = TOKENS_M.eos if _eos is None else int(_eos)
+        out = np.full((len(texts), msl), eos, np.int64)
+        out[:, 0] = bos
         if tokenizer is None:
             return out
         for i, t in enumerate(texts):
-            ids = tokenizer(t, truncation=True,
-                            max_length=msl)["input_ids"] if t else []
-            out[i, :len(ids)] = np.asarray(ids, np.int64)[:msl]
+            ids = list(tokenizer(t)["input_ids"]) if t else []
+            if not ids or ids[0] != bos:
+                ids = [bos] + ids
+            if ids[-1] != eos:
+                ids = ids + [eos]
+            if len(ids) > msl:
+                ids = ids[:msl - 1] + [eos]
+            out[i, :len(ids)] = np.asarray(ids, np.int64)
         return out
 
     key = jax.random.key(tr.seed)

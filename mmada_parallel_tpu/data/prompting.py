@@ -215,18 +215,23 @@ class UniversalPrompting:
         msl = output_text_ids.shape[1]
         if output_image_labels is None:
             output_image_labels = np.full_like(output_image_ids, IGNORE)
+        # pre-draw both dropout streams for ALL rows up front
+        # (train_interleave.py:675-676) so seeded runs reproduce regardless
+        # of how many rows are text-only
+        drop_text = self.rng.random(B)
+        drop_img = self.rng.random(B)
         seqs, labels, masks = [], [], []
         for i in range(B):
             text_only = bool(is_text_only[i]) if is_text_only is not None \
                 else False
             task = tk.t2it if text_only else task_default
             t = self._bos_eos(in_text[i])
-            # independent text/image condition dropout draws
-            # (train_interleave.py:699-703; image dropout zeroes the tokens)
-            if self.rng.random() < cond_dropout_prob:
+            # text/image condition dropout (train_interleave.py:699-703;
+            # image dropout zeroes the tokens)
+            if drop_text[i] < cond_dropout_prob:
                 t = [bos, eos]
             img_in = input_image_ids[i]
-            if text_only or self.rng.random() < cond_dropout_prob:
+            if text_only or drop_img[i] < cond_dropout_prob:
                 img_in = np.zeros_like(img_in)
             max_text = msl
             if max_text >= len(t):

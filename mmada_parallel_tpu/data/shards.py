@@ -376,10 +376,13 @@ class InterleavePairShardDataset:
                 continue
             if isinstance(v, bytes):
                 try:
-                    return v.decode("utf-8").strip()
+                    s = v.decode("utf-8").strip()
                 except UnicodeDecodeError:
                     continue
-            return str(v).strip()
+            else:
+                s = str(v).strip()
+            if s:  # whitespace-only falls through to the next candidate
+                return s  # (train_interleave.py:347-361 `if input_text`)
         return None
 
     def _image(self, sample: Dict, keys):

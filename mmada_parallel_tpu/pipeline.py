@@ -177,16 +177,28 @@ class InterleavePipeline:
         px = jnp.asarray(IM.image_transform_squash(image, self.resolution))
         codes = np.asarray(self._get_code(px))[0] + T.vq_offset
 
-        # cond / uncond prompts (MMaDA-Parallel-M/inference.py:98-112)
-        instr_ids = self.tokenizer(instruction)["input_ids"]
-        uncond_ids = self.tokenizer("")["input_ids"] or [T.bos]
+        # cond / uncond prompts (MMaDA-Parallel-M/inference.py:80-112):
+        # bos/eos-normalized text, uncond image span zeroed *after* the
+        # vocab offset (literal token id 0, inference.py:81)
+        bos = getattr(self.tokenizer, "bos_token_id", None)
+        eos = getattr(self.tokenizer, "eos_token_id", None)
+        bos = T.bos if bos is None else int(bos)
+        eos = T.eos if eos is None else int(eos)
+
+        def norm(ids):
+            ids = list(ids)
+            if not ids or ids[0] != bos:
+                ids = [bos] + ids
+            return ids + [eos]
+
+        instr_ids = norm(self.tokenizer(instruction)["input_ids"])
+        uncond_ids = norm(self.tokenizer("")["input_ids"])
         prompt = ([T.interleave, T.soi] + [int(c) for c in codes] + [T.eoi]
-                  + list(instr_ids))
-        un_prompt = ([T.interleave, T.soi] + [int(c) for c in codes] + [T.eoi]
-                     + list(uncond_ids))
+                  + instr_ids)
+        un_prompt = ([T.interleave, T.soi] + [0] * len(codes) + [T.eoi]
+                     + uncond_ids)
         # equal-length prompts: pad the shorter with eos on the right
         L = max(len(prompt), len(un_prompt))
-        eos = getattr(self.tokenizer, "eos_token_id", T.eos)
         prompt += [eos] * (L - len(prompt))
         un_prompt += [eos] * (L - len(un_prompt))
 

@@ -97,11 +97,13 @@ def interleave_generate(
 
     uncond_prompt = uncond_input_ids[:, :prompt_len]
 
-    if attn_mask is not None:
+    if attn_mask is not None or uncond_attn_mask is not None:
         from mmada_parallel_tpu.ops.masks import ragged_positions
-        un_mask = attn_mask if uncond_attn_mask is None else uncond_attn_mask
-        mask2b = jnp.concatenate([attn_mask, un_mask], axis=0)
-        pos2b = jnp.concatenate([ragged_positions(attn_mask),
+        cm = (attn_mask if attn_mask is not None
+              else jnp.ones(input_ids.shape, jnp.bool_))
+        un_mask = cm if uncond_attn_mask is None else uncond_attn_mask
+        mask2b = jnp.concatenate([cm, un_mask], axis=0)
+        pos2b = jnp.concatenate([ragged_positions(cm),
                                  ragged_positions(un_mask)], axis=0)
     else:
         mask2b = pos2b = None

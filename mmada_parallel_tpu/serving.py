@@ -277,10 +277,14 @@ class InterleaveServer(_BatchServerBase):
     ``[H, W, 3]``-transformable pixels via ``transform``) instead to have
     the worker thread batch-encode through MagViT on device.
 
-    Prompt structure per row (``MMaDA-Parallel-M/inference.py:98-112``):
+    Prompt structure per row (``MMaDA-Parallel-M/inference.py:80-112``):
     ``[<|interleave|>][<|soi|>]codes[<|eoi|>]instr…`` with the instruction
-    tail padded to the bucket and hidden by the attention mask; the uncond
-    row swaps the instruction for the empty prompt.
+    bos/eos-normalized and its tail padded to the bucket and hidden by the
+    attention mask.  The uncond row zeroes the image-token span (the
+    reference zeroes *after* the vocab offset, so the span is literal token
+    id 0), swaps the instruction for ``[bos, eos]``, and eos-pads it to the
+    cond instruction's true length with *attended* eos — only bucket
+    padding beyond that is mask-hidden.
     """
 
     def __init__(self, params: Any, cfg: LLaDAConfig,
@@ -306,10 +310,21 @@ class InterleaveServer(_BatchServerBase):
                                and opts.image_temperature == 0.0
                                and opts.remasking != "random")
         self._key = jax.random.key(seed)
-        self._uncond_ids = None
-        if tokenizer is not None:
-            self._uncond_ids = list(tokenizer("")["input_ids"]) or None
+        _bos = getattr(tokenizer, "bos_token_id", None)
+        _eos = getattr(tokenizer, "eos_token_id", None)
+        self._bos = tokens.bos if _bos is None else int(_bos)
+        self._eos = tokens.eos if _eos is None else int(_eos)
+        raw_uncond = (list(tokenizer("")["input_ids"])
+                      if tokenizer is not None else [])
+        self._uncond_ids = self._normalize(raw_uncond)  # typically [bos,eos]
         super().__init__(batch_size, max_wait_ms)
+
+    def _normalize(self, ids: Sequence[int]) -> List[int]:
+        """bos-prefix + eos-suffix guard (``inference.py:88-95``)."""
+        ids = list(ids)
+        if not ids or ids[0] != self._bos:
+            ids = [self._bos] + ids
+        return ids + [self._eos]
 
     def submit(self, instr_ids: Sequence[int],
                codes: Optional[np.ndarray] = None,
@@ -317,12 +332,19 @@ class InterleaveServer(_BatchServerBase):
                timeout: Optional[float] = None) -> Dict[str, Any]:
         if (codes is None) == (image is None):
             raise ValueError("pass exactly one of codes= or image=")
-        if len(instr_ids) > self.max_instr_len:
+        instr = self._normalize(instr_ids)
+        if len(instr) > self.max_instr_len:
             raise ValueError(
-                f"instruction length {len(instr_ids)} exceeds "
-                f"max_instr_len {self.max_instr_len}")
+                f"instruction length {len(instr)} (bos/eos-normalized) "
+                f"exceeds max_instr_len {self.max_instr_len}")
+        if codes is not None:
+            codes = np.asarray(codes).reshape(-1)
+            if codes.shape[0] != self.num_vq_tokens:
+                raise ValueError(
+                    f"codes has {codes.shape[0]} tokens, server expects "
+                    f"{self.num_vq_tokens}")
         return self._submit(
-            {"instr": list(instr_ids), "codes": codes, "image": image},
+            {"instr": instr, "codes": codes, "image": image},
             timeout)
 
     def _bucket_of(self, payload) -> int:
@@ -345,6 +367,24 @@ class InterleaveServer(_BatchServerBase):
         self._compiled[ilen] = (fn, layout)
         return fn, layout
 
+    def warmup(self, instr_lens: Sequence[int]) -> None:
+        """AOT-compile the instruction-length buckets a deployment expects
+        (mirrors ``TI2TIServer.warmup``; lengths are bos/eos-normalized
+        before bucketing, matching ``submit``)."""
+        for n in instr_lens:
+            ilen = self._bucket_of({"instr": self._normalize([0] * n)})
+            fn, layout = self._get_compiled(ilen)
+            if not hasattr(fn, "lower"):
+                continue  # already an AOT executable
+            B = self._batch_size
+            ids_s = jax.ShapeDtypeStruct((B, layout.total_len), jnp.int32)
+            mask_s = jax.ShapeDtypeStruct((B, layout.total_len), jnp.bool_)
+            key_s = None if self._deterministic else jax.eval_shape(
+                lambda: jax.random.key(0))
+            compiled = fn.lower(self.params, ids_s, ids_s, mask_s, mask_s,
+                                key_s).compile()
+            self._compiled[ilen] = (compiled, layout)
+
     def _serve_group(self, ilen: int, group: List[_Pending]) -> None:
         B = self._batch_size
         T = self.tokens
@@ -362,20 +402,25 @@ class InterleaveServer(_BatchServerBase):
             for row, p in enumerate(to_encode):
                 p.payload["codes"] = enc[row]
 
-        uncond_tail = self._uncond_ids or [T.bos]
         L = layout.total_len
         ids = np.zeros((B, L), np.int32)
         un_ids = np.zeros((B, L), np.int32)
         mask = np.zeros((B, L), bool)
         un_mask = np.zeros((B, L), bool)
+        zero_codes = [0] * self.num_vq_tokens  # inference.py:81 zeros_like
         for i in range(B):
             p = group[min(i, len(group) - 1)]
             instr = p.payload["instr"]
             codes = [int(c) for c in p.payload["codes"]]
             head = [T.interleave, T.soi] + codes + [T.eoi]
-            prompt = head + instr + [T.eos] * (ilen - len(instr))
-            un_prompt = (head + uncond_tail
-                         + [T.eos] * (ilen - len(uncond_tail)))
+            un_head = [T.interleave, T.soi] + zero_codes + [T.eoi]
+            # uncond text is eos-padded to the cond instruction's true
+            # length and ATTENDED (inference.py:92-97); only the bucket
+            # tail beyond ilen is mask-hidden for both rows.
+            un_tail = (self._uncond_ids
+                       + [self._eos] * (len(instr) - len(self._uncond_ids)))
+            prompt = head + instr + [self._eos] * (ilen - len(instr))
+            un_prompt = un_head + un_tail + [self._eos] * (ilen - len(instr))
             row, _ = tk.assemble_interleave_sequence(
                 prompt, self.num_vq_tokens, self.max_seq_length, tokens=T)
             un_row, _ = tk.assemble_interleave_sequence(
@@ -384,7 +429,7 @@ class InterleaveServer(_BatchServerBase):
             mask[i] = True
             mask[i, len(head) + len(instr):len(head) + ilen] = False
             un_mask[i] = True
-            un_mask[i, len(head) + len(uncond_tail):len(head) + ilen] = False
+            un_mask[i, len(head) + len(instr):len(head) + ilen] = False
         if self._deterministic:
             sub = None
         else:

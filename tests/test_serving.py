@@ -186,23 +186,24 @@ N_VQ, MSL = 6, 8
 
 
 def _m_solo(cfg, params, instr, codes):
-    """Single-row oracle: unpadded cond prompt; the (shorter) uncond prompt
-    carries mask-hidden eos pads before the output template — by the
-    ragged-batch contract this equals a true unpadded uncond run."""
+    """Single-row oracle, reference-faithful (inference.py:80-112): cond
+    instruction bos/eos-normalized; uncond row zeroes the image span and
+    uses [bos, eos] eos-padded to the cond length with ATTENDED pads — by
+    the ragged-batch contract this equals the server's bucket-padded run."""
+    instr = [TOK_M.bos] + list(instr) + [TOK_M.eos]
     ilen = len(instr)
     head = [TOK_M.interleave, TOK_M.soi] + [int(c) for c in codes] + [TOK_M.eoi]
+    un_head = [TOK_M.interleave, TOK_M.soi] + [0] * N_VQ + [TOK_M.eoi]
+    un_tail = [TOK_M.bos, TOK_M.eos] + [TOK_M.eos] * (ilen - 2)
     ids, lay = tk.assemble_interleave_sequence(head + instr, N_VQ, MSL,
                                                tokens=TOK_M)
     un_ids, _ = tk.assemble_interleave_sequence(
-        head + [TOK_M.bos] + [TOK_M.eos] * (ilen - 1), N_VQ, MSL,
-        tokens=TOK_M)
+        un_head + un_tail, N_VQ, MSL, tokens=TOK_M)
     m = np.ones(len(ids), bool)
-    um = np.ones(len(ids), bool)
-    um[len(head) + 1:len(head) + ilen] = False
     fin, out_codes = interleave_generate(
         params, cfg, jnp.asarray(ids)[None], jnp.asarray(un_ids)[None], lay,
         M_OPTS, key=None, attn_mask=jnp.asarray(m)[None],
-        uncond_attn_mask=jnp.asarray(um)[None])
+        uncond_attn_mask=jnp.asarray(m)[None])
     fin = np.asarray(fin)[0]
     return fin[lay.text_start:lay.text_end].copy(), np.asarray(out_codes)[0]
 
