@@ -1,0 +1,252 @@
+"""End-to-end capability demo: train a tiny M-variant model on a synthetic
+edit task, checkpoint it, restore it, and generate — producing real image
+artifacts from the full train -> save -> restore -> sample lifecycle.
+
+The task: the "output image" is the input image with every VQ code shifted
+by +1 (mod codebook) — a palette rotation — and the output text is a fixed
+confirmation sentence.  A model that solves it must (a) copy the input span
+through attention, (b) apply the learned code map, and (c) denoise the
+masked output under the same interleave template the reference trains
+(``MMaDA-Parallel-M/training/train_interleave.py:640-800``) and samples
+(``inference.py:80-130``).
+
+Everything runs through the production stack: ``UniversalPrompting`` +
+``interleave_noising`` for data, ``make_train_step`` for optimization,
+orbax ``CheckpointManager`` for the save/restore round-trip, and
+``interleave_generate`` for sampling.  Codes are rendered to PNGs via a
+fixed palette so "generated == target" is visible, not just asserted.
+
+Run: ``python examples/train_edit_demo.py [--steps 1200] [--out results_ti2ti/edit_demo]``
+(CPU-friendly: tiny vocab/model; a few minutes on one core).
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+# ----------------------------------------------------------------- tokens
+TVS, CB = 32, 16          # text vocab / codebook
+N_VQ, MSL = 16, 6         # 4x4 image grid, short text span
+GRID = 4
+
+
+class WordTok:
+    """Minimal word-level tokenizer over the demo vocabulary."""
+
+    bos_token_id, eos_token_id = 1, 2
+    _words = {"shift": 3, "the": 4, "palette": 5, "by": 6, "one": 7,
+              "done": 8, "rotated": 9, "colors": 10}
+
+    def __call__(self, texts, **kw):
+        if isinstance(texts, str):
+            return {"input_ids": [self._words.get(w, 11)
+                                  for w in texts.split()]}
+        return {"input_ids": [[self._words.get(w, 11) for w in t.split()]
+                              for t in texts]}
+
+    def decode(self, ids, **kw):
+        inv = {v: k for k, v in self._words.items()}
+        return " ".join(inv.get(int(i), "?") for i in ids
+                        if int(i) not in (self.bos_token_id,
+                                          self.eos_token_id))
+
+
+def demo_tokens():
+    from mmada_parallel_tpu import tokens as tk
+    return tk.VariantMTokens(
+        mask=31, soi=30, eoi=29, interleave=27, t2it=26, bos=1, eos=2,
+        text_vocab_size=TVS, codebook_size=CB)
+
+
+PALETTE = np.asarray(
+    [[31, 119, 180], [255, 127, 14], [44, 160, 44], [214, 39, 40],
+     [148, 103, 189], [140, 86, 75], [227, 119, 194], [127, 127, 127],
+     [188, 189, 34], [23, 190, 207], [174, 199, 232], [255, 187, 120],
+     [152, 223, 138], [255, 152, 150], [197, 176, 213], [196, 156, 148]],
+    np.uint8)
+
+
+def render_codes(codes, path, cell=32):
+    """Palette-render a [N_VQ] raw-code vector to a PNG grid."""
+    from PIL import Image
+    grid = PALETTE[np.asarray(codes, int).reshape(GRID, GRID) % CB]
+    img = Image.fromarray(grid, "RGB").resize(
+        (GRID * cell, GRID * cell), Image.NEAREST)
+    img.save(path)
+    return img
+
+
+def make_batch(rng, B, T, up, noise_key):
+    """Synthetic edit pairs through the production prompting/noising path."""
+    import jax.numpy as jnp
+    from mmada_parallel_tpu.training.masking import interleave_noising
+
+    codes_in = rng.integers(0, CB, (B, N_VQ)) + TVS          # vocab-offset
+    codes_out = (codes_in - TVS + 1) % CB + TVS              # +1 palette shift
+    instr = ["shift the palette by"] * B
+    out_text = np.full((B, MSL), T.eos, np.int64)
+    sent = [T.bos, 9, 10, 8, T.eos]                          # bos rotated colors done eos
+    out_text[:, :len(sent)] = sent
+
+    noisy_img, img_lab, noisy_txt, txt_lab, t = interleave_noising(
+        noise_key, jnp.asarray(codes_out), jnp.asarray(out_text),
+        mask_token=T.mask)
+    seq, labels, mask = up.interleave(
+        codes_in, instr, np.asarray(noisy_img), np.asarray(noisy_txt),
+        np.asarray(txt_lab), cond_dropout_prob=0.0,
+        output_image_labels=np.asarray(img_lab))
+    return (seq.astype(np.int32), labels.astype(np.int32),
+            mask.astype(np.int32), np.asarray(t, np.float32)), codes_in
+
+
+def run_demo(steps=1200, batch=32, lr=3e-3, out_dir=None, seed=0,
+             log_every=50):
+    """Train, checkpoint, restore, generate.  Returns the metrics dict."""
+    import jax
+    import jax.numpy as jnp
+    from mmada_parallel_tpu import tokens as tk
+    from mmada_parallel_tpu.models import (LLaDAConfig, init_llada_params,
+                                           llada_forward)
+    from mmada_parallel_tpu.data.prompting import UniversalPrompting
+    from mmada_parallel_tpu.training.losses import m_interleave_loss
+    from mmada_parallel_tpu.training.trainer import (OptimizerConfig,
+                                                     make_optimizer,
+                                                     make_train_step,
+                                                     TrainState)
+    from mmada_parallel_tpu.training.checkpoint import CheckpointManager
+    from mmada_parallel_tpu.samplers.interleave import (InterleaveOptions,
+                                                        interleave_generate)
+
+    T = demo_tokens()
+    tokz = WordTok()
+    cfg = LLaDAConfig.tiny(d_model=128, n_heads=4, n_kv_heads=4,
+                           mlp_hidden_size=256, vocab_size=T.full_vocab_size,
+                           mask_token_id=T.mask)
+    params = init_llada_params(jax.random.key(seed), cfg)
+    up = UniversalPrompting(tokz, max_text_len=MSL - 1, tokens=T,
+                            rng=np.random.default_rng(seed))
+    # up pads text to max_text_len+1 == MSL (prompting_utils.py:78 parity)
+
+    opt = make_optimizer(OptimizerConfig(lr=lr, weight_decay=0.0), params)
+    state = TrainState.create(params, opt)
+
+    def loss_fn(p, b, key):
+        ids, labels, mask, t = b
+        logits = llada_forward(p, cfg, ids, mask.astype(bool))
+        out = m_interleave_loss(logits, labels, t, MSL, N_VQ)
+        return out["loss"], {"text_loss": out["text_loss"],
+                             "image_loss": out["image_loss"]}
+
+    step_fn = jax.jit(make_train_step(loss_fn, opt, accum_steps=1))
+
+    rng = np.random.default_rng(seed)
+    key = jax.random.key(seed + 1)
+    curve = []
+    t0 = time.time()
+    for i in range(steps):
+        key, k1, k2 = jax.random.split(key, 3)
+        b, _ = make_batch(rng, batch, T, up, k1)
+        state, metrics = step_fn(state, tuple(map(jnp.asarray, b)), k2)
+        if i % log_every == 0 or i == steps - 1:
+            loss = float(metrics["loss"])
+            curve.append({"step": i, "loss": round(loss, 4),
+                          "image_loss": round(float(metrics["image_loss"]), 4),
+                          "text_loss": round(float(metrics["text_loss"]), 4)})
+            print(f"step {i:4d}  loss {loss:8.4f}  "
+                  f"img {float(metrics['image_loss']):8.4f}  "
+                  f"txt {float(metrics['text_loss']):8.4f}", file=sys.stderr)
+    train_s = time.time() - t0
+
+    # ---- checkpoint round-trip (orbax) ----
+    restored_params = state.params
+    if out_dir:
+        ckpt_dir = os.path.abspath(os.path.join(out_dir, "ckpt"))
+        mngr = CheckpointManager(ckpt_dir)
+        mngr.save(steps, state, metadata={"task": "palette_shift_demo"})
+        mngr.wait()
+        fresh = TrainState.create(init_llada_params(jax.random.key(99), cfg),
+                                  make_optimizer(OptimizerConfig(lr=lr),
+                                                 params))
+        restored, meta, last = CheckpointManager(ckpt_dir).restore(fresh)
+        assert restored is not None and last == steps, "restore failed"
+        assert meta["task"] == "palette_shift_demo"
+        restored_params = restored.params
+
+    # ---- generation on held-out inputs (reference inference template) ----
+    opts = InterleaveOptions(
+        text_steps=MSL, image_steps=8, text_cfg=0.0, image_cfg=0.0,
+        text_temperature=0.0, image_temperature=0.0,
+        text_vocab_size=TVS, codebook_size=CB, mask_token=T.mask)
+    eval_rng = np.random.default_rng(seed + 1234)
+    codes_in = eval_rng.integers(0, CB, (4, N_VQ))
+    want = (codes_in + 1) % CB
+    instr = [T.bos] + tokz("shift the palette by")["input_ids"] + [T.eos]
+
+    accs, gen_codes, gen_texts = [], [], []
+    for r in range(codes_in.shape[0]):
+        prompt = ([T.interleave, T.soi]
+                  + [int(c) + TVS for c in codes_in[r]] + [T.eoi] + instr)
+        ids, lay = tk.assemble_interleave_sequence(prompt, N_VQ, MSL,
+                                                   tokens=T)
+        un_prompt = ([T.interleave, T.soi] + [0] * N_VQ + [T.eoi]
+                     + [T.bos, T.eos] + [T.eos] * (len(instr) - 2))
+        un_ids, _ = tk.assemble_interleave_sequence(un_prompt, N_VQ, MSL,
+                                                    tokens=T)
+        fin, out_codes = interleave_generate(
+            restored_params, cfg, jnp.asarray(ids)[None],
+            jnp.asarray(un_ids)[None], lay, opts)
+        got = np.asarray(out_codes)[0]
+        accs.append(float((got == want[r]).mean()))
+        gen_codes.append(got)
+        gen_texts.append(tokz.decode(
+            [t for t in np.asarray(fin)[0][lay.text_start:lay.text_end]
+             if int(t) < TVS]))
+
+    metrics = {
+        "task": "palette_shift (+1 mod codebook) edit",
+        "steps": steps, "batch": batch, "train_seconds": round(train_s, 1),
+        "final_loss": curve[-1]["loss"],
+        "eval_code_accuracy": round(float(np.mean(accs)), 4),
+        "per_sample_accuracy": [round(a, 4) for a in accs],
+        "generated_text": gen_texts,
+    }
+
+    if out_dir:
+        os.makedirs(out_dir, exist_ok=True)
+        with open(os.path.join(out_dir, "loss_curve.jsonl"), "w") as f:
+            for row in curve:
+                f.write(json.dumps(row) + "\n")
+        with open(os.path.join(out_dir, "metrics.json"), "w") as f:
+            json.dump(metrics, f, indent=2)
+        for r in range(codes_in.shape[0]):
+            render_codes(codes_in[r],
+                         os.path.join(out_dir, f"sample{r}_input.png"))
+            render_codes(want[r],
+                         os.path.join(out_dir, f"sample{r}_target.png"))
+            render_codes(gen_codes[r],
+                         os.path.join(out_dir, f"sample{r}_generated.png"))
+    return metrics
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=1200)
+    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--lr", type=float, default=3e-3)
+    ap.add_argument("--out", default="results_ti2ti/edit_demo")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (axon registers TPU at boot)")
+    args = ap.parse_args()
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+    m = run_demo(steps=args.steps, batch=args.batch, lr=args.lr,
+                 out_dir=args.out)
+    print(json.dumps(m, indent=2))
