@@ -27,3 +27,16 @@ def test_edit_demo_learns_and_generates(tmp_path):
     assert (tmp_path / "metrics.json").exists()
     assert (tmp_path / "sample0_generated.png").exists()
     assert (tmp_path / "ckpt").is_dir()
+
+
+def test_edit_demo_a_learns_and_generates(tmp_path):
+    """A-variant closure: AItemProcessor/a_variant_losses training agrees
+    with the assemble_ti2ti_sequence/generate_ti2ti inference template.
+    Ceiling is 15/16 (one leftover-masked cell, deterministic 0 fill —
+    see the demo docstring), so the bar is 0.85."""
+    from train_edit_demo_a import run_demo_a
+
+    m = run_demo_a(steps=800, batch=32, lr=3e-3, out_dir=None,
+                   log_every=400, work_dir=str(tmp_path / "grids"))
+    assert m["eval_code_accuracy"] >= 0.85, m
+    assert m["generated_text"][0] == "rotated colors done"
