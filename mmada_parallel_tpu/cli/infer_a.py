@@ -40,6 +40,11 @@ def build_parser():
     p.add_argument("--mask_h_ratio", type=float, default=0.5)
     p.add_argument("--mask_w_ratio", type=float, default=0.5)
     p.add_argument("--debug_tokens", action="store_true")
+    p.add_argument("--edit_type", type=str, default=None,
+                   help="edit-type-specific prompt/system template "
+                        "(utils/prompt_utils.py:43-207): e.g. edit, "
+                        "canny_dense, control, subject, ref_transfer, "
+                        "multi_view_left")
     return p
 
 
@@ -89,12 +94,18 @@ def main(argv=None):
         remasking=args.remasking)
 
     img = preprocess_image(args.image_path)
+    prompt = args.prompt
+    pipe_kw = {}
+    if args.edit_type:
+        from mmada_parallel_tpu import tokens as tk
+        prompt = tk.edit_type_prompt(args.edit_type, args.prompt)
+        pipe_kw["system_prompt"] = tk.edit_type_system_prompt(args.edit_type)
     t0 = time.time()
     out_img, text, info = pipe(
-        args.prompt, img, args.height, args.width, opts,
+        prompt, img, args.height, args.width, opts,
         text_gen_length=args.text_gen_length, seed=args.seed,
         painting_mode=args.painting_mode, mask_h_ratio=args.mask_h_ratio,
-        mask_w_ratio=args.mask_w_ratio)
+        mask_w_ratio=args.mask_w_ratio, **pipe_kw)
     elapsed = time.time() - t0
 
     words = "".join(c for c in "_".join(args.prompt.split()[:10])

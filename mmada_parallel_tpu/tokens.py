@@ -41,8 +41,13 @@ __all__ = [
     "build_ti2ti_layout",
     "build_interleave_layout",
     "PROMPT_TEMPLATES",
+    "DENSE_MAP_DESCRIPTIONS",
     "make_ti2ti_prompt",
     "make_t2i_prompt",
+    "make_edit_prompt",
+    "make_mmu_prompt",
+    "edit_type_prompt",
+    "edit_type_system_prompt",
 ]
 
 
@@ -407,3 +412,70 @@ def make_ti2ti_prompt(prompt_text: str, system_prompt: str) -> Tuple[str, str]:
 def make_t2i_prompt(prompt_text: str) -> Tuple[str, str]:
     """Conditional/unconditional T2I prompts (``utils/prompt_utils.py:23-41``)."""
     return make_ti2ti_prompt(prompt_text, PROMPT_TEMPLATES["image_generation"])
+
+
+# dense-prediction target descriptions (``utils/prompt_utils.py:145-152``)
+DENSE_MAP_DESCRIPTIONS = {
+    "canny": "canny edge map",
+    "hed": "hed edge map",
+    "normal": "normal map",
+    "sam2mask": "sam2 mask",
+    "depth": "depth map",
+    "openpose": "pose estimation map",
+}
+
+
+def edit_type_prompt(edit_type: str, prompt_text) -> str:
+    """Edit-type-specific user prompt (``utils/prompt_utils.py:128-178``).
+
+    ``prompt_text`` may be a list for ``*_multiturn_<i>`` edit types — the
+    reference indexes the turn out of it.
+    """
+    if "dense" in edit_type:
+        des = DENSE_MAP_DESCRIPTIONS.get(edit_type.split("_")[0],
+                                         "dense map")
+        return f"Generate a {des} according to the image."
+    if "edit" in edit_type:
+        if "multiturn" in edit_type:
+            ids = int(edit_type.split("_")[-1])
+            if ids == 0:
+                return (prompt_text[0] if isinstance(prompt_text, list)
+                        else prompt_text)
+            turn = prompt_text[ids]
+            return turn[0] if isinstance(turn, list) else turn
+        return prompt_text
+    if "ref_transfer" in edit_type:
+        return ("Transform the current image into the style of the "
+                "provided image.")
+    if "multi_view" in edit_type:
+        return (f"Generate the {edit_type.split('_')[-1]} view based on "
+                "the provided front view.")
+    return prompt_text  # control / subject / unknown pass through
+
+
+def edit_type_system_prompt(edit_type: str) -> str:
+    """System prompt per edit type (``utils/prompt_utils.py:180-207``)."""
+    for key, template in (("dense", "dense_prediction"),
+                          ("control", "control_generation"),
+                          ("subject", "subject_generation"),
+                          ("edit", "image_editing"),
+                          ("ref_transfer", "style_transfer"),
+                          ("multi_view", "multi_view")):
+        if key in edit_type:
+            return PROMPT_TEMPLATES[template]
+    return "Generate an image according to the prompt and image."
+
+
+def make_edit_prompt(prompt_text, edit_type: str) -> Tuple[str, str, str]:
+    """``(cond, uncond, system_prompt)`` for an edit type
+    (``utils/prompt_utils.py:43-106`` ``generate_image_to_image_prompt``)."""
+    system = edit_type_system_prompt(edit_type)
+    cond, uncond = make_ti2ti_prompt(edit_type_prompt(edit_type, prompt_text),
+                                     system)
+    return cond, uncond, system
+
+
+def make_mmu_prompt(question: str) -> str:
+    """MMU prompt (``utils/prompt_utils.py:108-127``)."""
+    return (f"<system>{PROMPT_TEMPLATES['text_understanding']}</system>"
+            f"<user>{question}</user>")

@@ -27,7 +27,34 @@ __all__ = [
     "a_variant_losses",
     "m_interleave_loss",
     "m_forward_process_losses",
+    "soft_target_cross_entropy",
+    "masking_loss_weight",
 ]
+
+
+def soft_target_cross_entropy(logits: jax.Array, targets: jax.Array,
+                              soft_targets: jax.Array) -> jax.Array:
+    """Soft-target CE over the class-conditional t2i head
+    (``MMaDA-Parallel-M/training/utils.py:54-71``): drops the leading
+    class-id token, truncates logits to the soft-target width, zeroes
+    ``-100``-padded positions, and normalizes by the active count."""
+    logits = logits[:, 1:, :soft_targets.shape[-1]].astype(jnp.float32)
+    targets = targets[:, 1:]
+    log_probs = jax.nn.log_softmax(logits, axis=-1)
+    loss = -(soft_targets * log_probs).sum(-1)
+    padding = targets == -100
+    loss = jnp.where(padding, 0.0, loss)
+    num_active = padding.size - padding.sum()
+    return loss.sum() / jnp.maximum(num_active, 1)
+
+
+def masking_loss_weight(t: jax.Array, mask: jax.Array,
+                        min_val: float = 0.3) -> jax.Array:
+    """Per-position loss weight for ``predict_all_tokens`` training
+    (``get_loss_weight``, ``MMaDA-Parallel-M/training/utils.py:73-75``):
+    masked positions weigh 1, unmasked decay toward ``min_val`` as the
+    timestep ``t`` (the mask probability) falls."""
+    return 1.0 - (1.0 - mask) * ((1.0 - t) * (1.0 - min_val))[:, None]
 
 
 def token_cross_entropy(logits: jax.Array, labels: jax.Array) -> jax.Array:

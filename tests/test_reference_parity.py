@@ -450,3 +450,87 @@ def test_magvit_matches_reference_torch(ref_magvit):
     got_pix = np.asarray(magvit_decode_code(params, cfg, idx_j, shape=(8, 8)))
     np.testing.assert_allclose(got_pix.transpose(0, 3, 1, 2), ref_pix,
                                atol=2e-4, rtol=2e-3)
+
+
+# ---------------------------------------------------------------------------
+# Prompt-builder helpers vs the reference implementations
+# ---------------------------------------------------------------------------
+
+
+def test_prompt_helpers_match_reference():
+    pu = _load_file_module(
+        "ref_prompt_utils", os.path.join(REF_A, "utils", "prompt_utils.py"))
+
+    assert tk.PROMPT_TEMPLATES == pu.create_prompt_templates()
+
+    edit_types = ["edit", "canny_dense", "hed_dense", "depth_dense",
+                  "unknown_dense", "control", "subject_xyz", "ref_transfer",
+                  "multi_view_left", "multi_view_back", "something_else"]
+    for et in edit_types:
+        assert tk.edit_type_prompt(et, "make it red") == \
+            pu.get_edit_type_specific_prompt(et, "make it red"), et
+        assert tk.edit_type_system_prompt(et) == \
+            pu.get_system_prompt_for_edit_type(et), et
+        # full (cond, uncond, system) triple for the non-multiturn types
+        ref_cond, ref_uncond, ref_sys = pu.generate_image_to_image_prompt(
+            pu.get_edit_type_specific_prompt(et, "make it red")
+            if "multiturn" in et else "make it red", et)
+        cond, uncond, system = tk.make_edit_prompt("make it red", et)
+        assert (cond, uncond, system) == (ref_cond, ref_uncond, ref_sys), et
+
+    # multiturn indexing quirk
+    turns = ["first edit", ["second edit", "extra"], ["third edit"]]
+    assert tk.edit_type_prompt("edit_multiturn_0", turns) == \
+        pu.get_edit_type_specific_prompt("edit_multiturn_0", turns)
+    assert tk.edit_type_prompt("edit_multiturn_1", turns) == \
+        pu.get_edit_type_specific_prompt("edit_multiturn_1", turns)
+    assert tk.edit_type_prompt("edit_multiturn_2", turns) == \
+        pu.get_edit_type_specific_prompt("edit_multiturn_2", turns)
+
+    # MMU + ti2ti builders
+    assert tk.make_mmu_prompt("what color is the sky?") == \
+        pu.generate_multimodal_understanding_prompt("what color is the sky?")
+    cond, uncond = tk.make_ti2ti_prompt("p", "s")
+    assert (cond, uncond) == pu.generate_text_image_to_text_image_prompt(
+        "p", "s")
+    cond, uncond = tk.make_t2i_prompt("a cat")
+    assert (cond, uncond) == pu.generate_text_to_image_prompt("a cat")
+
+
+def test_soft_target_ce_and_loss_weight_match_reference():
+    """training/utils.py:54-75 ports (needs an omegaconf stub to import)."""
+    if "omegaconf" not in sys.modules:
+        oc = types.ModuleType("omegaconf")
+        oc.DictConfig = dict
+        oc.ListConfig = list
+        oc.OmegaConf = types.SimpleNamespace()
+        sys.modules["omegaconf"] = oc
+    if "torchvision" not in sys.modules:
+        tv = types.ModuleType("torchvision")
+        tv.transforms = types.ModuleType("torchvision.transforms")
+        sys.modules["torchvision"] = tv
+        sys.modules["torchvision.transforms"] = tv.transforms
+    tu = _load_file_module(
+        "ref_m_training_utils", os.path.join(REF_M, "training", "utils.py"))
+
+    from mmada_parallel_tpu.training.losses import (soft_target_cross_entropy,
+                                                    masking_loss_weight)
+
+    g = torch.Generator().manual_seed(0)
+    B, L, V, Vs = 3, 9, 12, 10
+    logits = torch.randn(B, L, V, generator=g)
+    soft = torch.softmax(torch.randn(B, L - 1, Vs, generator=g), -1)
+    targets = torch.randint(0, Vs, (B, L), generator=g)
+    targets[0, 3:5] = -100
+    ref = tu.soft_target_cross_entropy(logits, targets, soft).item()
+    got = float(soft_target_cross_entropy(
+        jnp.asarray(logits.numpy()), jnp.asarray(targets.numpy()),
+        jnp.asarray(soft.numpy())))
+    np.testing.assert_allclose(got, ref, rtol=1e-5)
+
+    t = torch.rand(B, generator=g)
+    mask = torch.randint(0, 2, (B, L), generator=g)
+    ref_w = tu.get_loss_weight(t, mask.long()).numpy()
+    got_w = np.asarray(masking_loss_weight(jnp.asarray(t.numpy()),
+                                           jnp.asarray(mask.numpy())))
+    np.testing.assert_allclose(got_w, ref_w, rtol=1e-6)
