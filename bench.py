@@ -38,11 +38,98 @@ def backbone_flops_per_token(d, h, n_layers, kv_ratio, seq):
     return n_layers * (attn_proj + attn_scores + mlp)
 
 
+def bench_m(depths, quant):
+    """Opt-in M-variant benchmark (``BENCH_VARIANT=m``): one interleave
+    generation at the reference defaults (``MMaDA-Parallel-M/inference.py:
+    114-124`` — text_steps=128, image_steps=30, 1024 VQ tokens, msl=256),
+    cond+uncond batched per forward.  Same depth-curve protocol as the A
+    headline."""
+    import jax
+    from mmada_parallel_tpu import tokens as tk
+    from mmada_parallel_tpu.models import LLaDAConfig, init_llada_params
+    from mmada_parallel_tpu.samplers.interleave import (InterleaveOptions,
+                                                        interleave_generate)
+
+    err = lambda *a: print(*a, file=sys.stderr, flush=True)
+    T = tk.TOKENS_M
+    n_vq, msl, instr_len = 1024, 256, 32
+    prompt = ([T.interleave, T.soi] + [T.vq_offset + 7] * n_vq + [T.eoi]
+              + [T.bos] + list(range(1000, 1000 + instr_len - 2)) + [T.eos])
+    ids, lay = tk.assemble_interleave_sequence(prompt, n_vq, msl)
+    un_prompt = ([T.interleave, T.soi] + [0] * n_vq + [T.eoi]
+                 + [T.bos, T.eos] + [T.eos] * (instr_len - 2))
+    un_ids, _ = tk.assemble_interleave_sequence(un_prompt, n_vq, msl)
+    seq = lay.total_len
+    opts = InterleaveOptions()  # reference defaults; image_temp 1.0 -> key
+    err(f"[M] sequence length: {seq}; depths: {depths}")
+
+    curve = {}
+    for L in depths:
+        cfg = LLaDAConfig.llada_8b(n_layers=L, param_dtype=jnp.bfloat16,
+                                   compute_dtype=jnp.bfloat16)
+        params = init_llada_params(jax.random.key(0), cfg)
+        if quant.startswith("int8"):
+            from mmada_parallel_tpu.ops.quant import quantize_llada_params
+            params = jax.jit(lambda p: quantize_llada_params(
+                p, quantize_head="bf16head" not in quant))(params)
+        run = jax.jit(lambda p, i, u, k, cfg=cfg: interleave_generate(
+            p, cfg, i, u, lay, opts, key=k))
+        i_dev = jnp.asarray(ids)[None]
+        u_dev = jnp.asarray(un_ids)[None]
+        t0 = time.time()
+        fin, _ = run(params, i_dev, u_dev, jax.random.key(1))
+        np.asarray(fin)
+        err(f"[M {L} layers] compile+first run: {time.time() - t0:.1f}s")
+        times = []
+        for i in range(3):
+            t0 = time.time()
+            fin, _ = run(params, i_dev, u_dev, jax.random.key(2 + i))
+            np.asarray(fin)
+            times.append(time.time() - t0)
+        curve[L] = min(times)
+        err(f"[M {L} layers] interleave time: {curve[L]:.2f}s")
+        del params
+
+    # cond+uncond = batch 2 per forward, text_steps forwards
+    n_fwd = InterleaveOptions().text_steps
+    f_tok_layer = backbone_flops_per_token(4096, 12288, 1, 1.0, seq)
+    Ls = sorted(curve)
+    if len(Ls) >= 2:
+        m = (curve[Ls[-1]] - curve[Ls[0]]) / (Ls[-1] - Ls[0])
+        a = curve[Ls[0]] - m * Ls[0]
+        t_8b = a + 32 * m
+        method = f"linear fit over measured depths {Ls}"
+    else:
+        t_8b = curve[Ls[0]] * 32.0 / Ls[0]
+        method = f"FLOPs-ratio extrapolation from {Ls[0]} layers"
+    L0 = Ls[0]
+    sustained = f_tok_layer * L0 * seq * 2 * n_fwd / curve[L0]
+    err(f"[M] sustained at {L0} layers: {sustained / 1e12:.0f} TFLOP/s; "
+        f"8B-extrapolated {t_8b:.2f}s/gen 1-chip, {t_8b / 8:.2f}s on v5e-8")
+    tag = f" W8A8-{quant}" if quant.startswith("int8") else ""
+    print(json.dumps({
+        "metric": "sec per 512x512 interleave generation, 128 text + 30 "
+                  f"image steps{tag} (variant M; 8B depth from "
+                  f"{method}; ASSUMES linear v5e-8 scaling)",
+        "value": round(t_8b / 8, 3),
+        "unit": "s",
+        "vs_baseline": None,
+        "diagnostics": {
+            "depth_curve_s": {str(k): round(v, 3) for k, v in curve.items()},
+            "sustained_tflops_min_depth": round(sustained / 1e12, 1),
+            "seq_len": seq,
+        },
+    }))
+
+
 def main():
     from mmada_parallel_tpu import tokens as tk
     from mmada_parallel_tpu.models import LLaDAConfig, init_llada_params
     from mmada_parallel_tpu.samplers import TI2TIOptions, generate_ti2ti
+    from mmada_parallel_tpu.utils.compile_cache import (
+        enable_compilation_cache)
 
+    enable_compilation_cache()  # repeat runs hit disk, not the remote
     err = lambda *a: print(*a, file=sys.stderr, flush=True)
 
     # depth curve: measure the edit at these reduced depths and fit
@@ -55,6 +142,10 @@ def main():
     # int8 MXU (394 TOPS vs 197 bf16 TFLOP/s); int8_bf16head keeps the
     # vocab head dense (better trajectory fidelity, see ops/quant.py)
     quant = os.environ.get("BENCH_QUANT", "")
+    # BENCH_VARIANT=m benchmarks the M interleave path instead (diagnostic;
+    # the driver contract headline stays the A edit)
+    if os.environ.get("BENCH_VARIANT", "a").lower() == "m":
+        return bench_m(depths, quant)
 
     _, _, gh, gw = tk.calculate_vq_params(512, 512, 16)
     prompt = list(range(1000, 1050))

@@ -106,8 +106,49 @@ def make_batch(rng, B, T, up, noise_key):
             mask.astype(np.int32), np.asarray(t, np.float32)), codes_in
 
 
+def eval_palette_model(params, cfg, T, tokz, seed=0, n_samples=4):
+    """Generate on held-out inputs via the reference inference template;
+    returns ``(accs, gen_codes, gen_texts, codes_in, want)``.  Works with
+    bf16 or int8-quantized param pytrees (the forward dispatches on the
+    quantized leaves)."""
+    import jax.numpy as jnp
+    from mmada_parallel_tpu import tokens as tk
+    from mmada_parallel_tpu.samplers.interleave import (InterleaveOptions,
+                                                        interleave_generate)
+
+    opts = InterleaveOptions(
+        text_steps=MSL, image_steps=8, text_cfg=0.0, image_cfg=0.0,
+        text_temperature=0.0, image_temperature=0.0,
+        text_vocab_size=TVS, codebook_size=CB, mask_token=T.mask)
+    eval_rng = np.random.default_rng(seed + 1234)
+    codes_in = eval_rng.integers(0, CB, (n_samples, N_VQ))
+    want = (codes_in + 1) % CB
+    instr = [T.bos] + tokz("shift the palette by")["input_ids"] + [T.eos]
+
+    accs, gen_codes, gen_texts = [], [], []
+    for r in range(codes_in.shape[0]):
+        prompt = ([T.interleave, T.soi]
+                  + [int(c) + TVS for c in codes_in[r]] + [T.eoi] + instr)
+        ids, lay = tk.assemble_interleave_sequence(prompt, N_VQ, MSL,
+                                                   tokens=T)
+        un_prompt = ([T.interleave, T.soi] + [0] * N_VQ + [T.eoi]
+                     + [T.bos, T.eos] + [T.eos] * (len(instr) - 2))
+        un_ids, _ = tk.assemble_interleave_sequence(un_prompt, N_VQ, MSL,
+                                                    tokens=T)
+        fin, out_codes = interleave_generate(
+            params, cfg, jnp.asarray(ids)[None],
+            jnp.asarray(un_ids)[None], lay, opts)
+        got = np.asarray(out_codes)[0]
+        accs.append(float((got == want[r]).mean()))
+        gen_codes.append(got)
+        gen_texts.append(tokz.decode(
+            [t for t in np.asarray(fin)[0][lay.text_start:lay.text_end]
+             if int(t) < TVS]))
+    return accs, gen_codes, gen_texts, codes_in, want
+
+
 def run_demo(steps=1200, batch=32, lr=3e-3, out_dir=None, seed=0,
-             log_every=50):
+             log_every=50, return_params=False):
     """Train, checkpoint, restore, generate.  Returns the metrics dict."""
     import jax
     import jax.numpy as jnp
@@ -180,34 +221,8 @@ def run_demo(steps=1200, batch=32, lr=3e-3, out_dir=None, seed=0,
         restored_params = restored.params
 
     # ---- generation on held-out inputs (reference inference template) ----
-    opts = InterleaveOptions(
-        text_steps=MSL, image_steps=8, text_cfg=0.0, image_cfg=0.0,
-        text_temperature=0.0, image_temperature=0.0,
-        text_vocab_size=TVS, codebook_size=CB, mask_token=T.mask)
-    eval_rng = np.random.default_rng(seed + 1234)
-    codes_in = eval_rng.integers(0, CB, (4, N_VQ))
-    want = (codes_in + 1) % CB
-    instr = [T.bos] + tokz("shift the palette by")["input_ids"] + [T.eos]
-
-    accs, gen_codes, gen_texts = [], [], []
-    for r in range(codes_in.shape[0]):
-        prompt = ([T.interleave, T.soi]
-                  + [int(c) + TVS for c in codes_in[r]] + [T.eoi] + instr)
-        ids, lay = tk.assemble_interleave_sequence(prompt, N_VQ, MSL,
-                                                   tokens=T)
-        un_prompt = ([T.interleave, T.soi] + [0] * N_VQ + [T.eoi]
-                     + [T.bos, T.eos] + [T.eos] * (len(instr) - 2))
-        un_ids, _ = tk.assemble_interleave_sequence(un_prompt, N_VQ, MSL,
-                                                    tokens=T)
-        fin, out_codes = interleave_generate(
-            restored_params, cfg, jnp.asarray(ids)[None],
-            jnp.asarray(un_ids)[None], lay, opts)
-        got = np.asarray(out_codes)[0]
-        accs.append(float((got == want[r]).mean()))
-        gen_codes.append(got)
-        gen_texts.append(tokz.decode(
-            [t for t in np.asarray(fin)[0][lay.text_start:lay.text_end]
-             if int(t) < TVS]))
+    accs, gen_codes, gen_texts, codes_in, want = eval_palette_model(
+        restored_params, cfg, T, tokz, seed=seed)
 
     metrics = {
         "task": "palette_shift (+1 mod codebook) edit",
@@ -232,6 +247,8 @@ def run_demo(steps=1200, batch=32, lr=3e-3, out_dir=None, seed=0,
                          os.path.join(out_dir, f"sample{r}_target.png"))
             render_codes(gen_codes[r],
                          os.path.join(out_dir, f"sample{r}_generated.png"))
+    if return_params:
+        return metrics, restored_params, cfg, T, tokz
     return metrics
 
 

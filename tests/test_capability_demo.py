@@ -7,26 +7,58 @@ objective (``interleave_noising`` + ``m_interleave_loss`` through
 reference-template interleave sampler all agree — a systematic mismatch
 between any two of them (e.g. a train/inference layout or position skew)
 caps generation accuracy near chance (1/16), far below the asserted bar.
+
+The trained model doubles as the peaked-logits fixture for the int8
+quality claim (README "W8A8 int8 inference"): unlike the random-weight
+worst case in ``test_quant.py``, a trained model's distributions are
+peaked, and the quantized trajectory should preserve the task accuracy.
 """
 
 import os
 import sys
 
+import numpy as np
+import pytest
+
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), "examples"))
 
 
-def test_edit_demo_learns_and_generates(tmp_path):
+@pytest.fixture(scope="module")
+def trained_m(tmp_path_factory):
     from train_edit_demo import run_demo
 
-    m = run_demo(steps=400, batch=32, lr=3e-3, out_dir=str(tmp_path),
-                 log_every=200)
+    out = tmp_path_factory.mktemp("edit_demo")
+    metrics, params, cfg, T, tokz = run_demo(
+        steps=400, batch=32, lr=3e-3, out_dir=str(out), log_every=200,
+        return_params=True)
+    return metrics, params, cfg, T, tokz, out
+
+
+def test_edit_demo_learns_and_generates(trained_m):
+    m, _, _, _, _, out = trained_m
     assert m["eval_code_accuracy"] >= 0.9, m
     assert "rotated" in m["generated_text"][0]
     # artifacts written
-    assert (tmp_path / "metrics.json").exists()
-    assert (tmp_path / "sample0_generated.png").exists()
-    assert (tmp_path / "ckpt").is_dir()
+    assert (out / "metrics.json").exists()
+    assert (out / "sample0_generated.png").exists()
+    assert (out / "ckpt").is_dir()
+
+
+def test_int8_preserves_trained_task_accuracy(trained_m):
+    """W8A8 on a TRAINED model keeps the edit-task trajectory: the README
+    quantifies random-weight (worst-case) trajectory divergence; this pins
+    the peaked-logits claim with a measured end-task number."""
+    import jax
+    from mmada_parallel_tpu.ops.quant import quantize_llada_params
+    from train_edit_demo import eval_palette_model
+
+    m, params, cfg, T, tokz, _ = trained_m
+    qparams = jax.jit(quantize_llada_params)(params)
+    accs, _, texts, _, _ = eval_palette_model(qparams, cfg, T, tokz)
+    assert float(np.mean(accs)) >= m["eval_code_accuracy"] - 0.1, (
+        accs, m["eval_code_accuracy"])
+    assert "rotated" in texts[0]
 
 
 def test_edit_demo_a_learns_and_generates(tmp_path):
