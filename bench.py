@@ -38,6 +38,36 @@ def backbone_flops_per_token(d, h, n_layers, kv_ratio, seq):
     return n_layers * (attn_proj + attn_scores + mlp)
 
 
+def time_best3(run_once, label, err):
+    """Compile+first run, then best of 3 timed runs.  ``run_once(i)`` must
+    end in a full host sync (``np.asarray``) — ``block_until_ready`` alone
+    has been observed not to block under the axon relay."""
+    t0 = time.time()
+    run_once(0)
+    err(f"[{label}] compile+first run: {time.time() - t0:.1f}s")
+    times = []
+    for i in range(3):
+        t0 = time.time()
+        run_once(1 + i)
+        times.append(time.time() - t0)
+    return min(times)
+
+
+def extrapolate_depth(curve, target_layers=32):
+    """``(t_target, method, marginal_s_per_layer|None)`` from a measured
+    depth->seconds curve: linear fit ``t(L) = a + m*L`` when >=2 depths,
+    else the FLOPs-ratio fallback."""
+    Ls = sorted(curve)
+    if len(Ls) >= 2:
+        m = (curve[Ls[-1]] - curve[Ls[0]]) / (Ls[-1] - Ls[0])
+        a = curve[Ls[0]] - m * Ls[0]
+        return (a + target_layers * m,
+                f"linear fit over measured depths {Ls}", m)
+    L = Ls[0]
+    return (curve[L] * target_layers / L,
+            f"FLOPs-ratio extrapolation from {L} layers", None)
+
+
 def bench_m(depths, quant):
     """Opt-in M-variant benchmark (``BENCH_VARIANT=m``): one interleave
     generation at the reference defaults (``MMaDA-Parallel-M/inference.py:
@@ -76,33 +106,20 @@ def bench_m(depths, quant):
             p, cfg, i, u, lay, opts, key=k))
         i_dev = jnp.asarray(ids)[None]
         u_dev = jnp.asarray(un_ids)[None]
-        t0 = time.time()
-        fin, _ = run(params, i_dev, u_dev, jax.random.key(1))
-        np.asarray(fin)
-        err(f"[M {L} layers] compile+first run: {time.time() - t0:.1f}s")
-        times = []
-        for i in range(3):
-            t0 = time.time()
-            fin, _ = run(params, i_dev, u_dev, jax.random.key(2 + i))
+
+        def run_once(i, run=run, params=params):
+            fin, _ = run(params, i_dev, u_dev, jax.random.key(1 + i))
             np.asarray(fin)
-            times.append(time.time() - t0)
-        curve[L] = min(times)
+
+        curve[L] = time_best3(run_once, f"M {L} layers", err)
         err(f"[M {L} layers] interleave time: {curve[L]:.2f}s")
         del params
 
     # cond+uncond = batch 2 per forward, text_steps forwards
     n_fwd = InterleaveOptions().text_steps
     f_tok_layer = backbone_flops_per_token(4096, 12288, 1, 1.0, seq)
-    Ls = sorted(curve)
-    if len(Ls) >= 2:
-        m = (curve[Ls[-1]] - curve[Ls[0]]) / (Ls[-1] - Ls[0])
-        a = curve[Ls[0]] - m * Ls[0]
-        t_8b = a + 32 * m
-        method = f"linear fit over measured depths {Ls}"
-    else:
-        t_8b = curve[Ls[0]] * 32.0 / Ls[0]
-        method = f"FLOPs-ratio extrapolation from {Ls[0]} layers"
-    L0 = Ls[0]
+    t_8b, method, _ = extrapolate_depth(curve)
+    L0 = min(curve)
     sustained = f_tok_layer * L0 * seq * 2 * n_fwd / curve[L0]
     err(f"[M] sustained at {L0} layers: {sustained / 1e12:.0f} TFLOP/s; "
         f"8B-extrapolated {t_8b:.2f}s/gen 1-chip, {t_8b / 8:.2f}s on v5e-8")
@@ -174,40 +191,27 @@ def main():
         run = jax.jit(lambda p, i, k, cfg=cfg: generate_ti2ti(
             p, cfg, i, lay, opts, uncond_image_prefix=un_img, key=k))
         ids_dev = jnp.asarray(ids)[None, :]
-        t0 = time.time()
-        fin, codes = run(params, ids_dev, jax.random.key(1))
-        np.asarray(fin)  # full host sync — block_until_ready alone has been
-        # observed not to block under the axon relay
-        err(f"[{L} layers] compile+first run: {time.time() - t0:.1f}s")
-        times = []
-        for i in range(3):
-            t0 = time.time()
-            fin, codes = run(params, ids_dev, jax.random.key(2 + i))
+
+        def run_once(i, run=run, params=params):
+            fin, _ = run(params, ids_dev, jax.random.key(1 + i))
             np.asarray(fin)
-            times.append(time.time() - t0)
-        curve[L] = min(times)
+
+        curve[L] = time_best3(run_once, f"{L} layers", err)
         err(f"[{L} layers] edit time: {curve[L]:.2f}s; "
             f"{n_forwards / curve[L]:.1f} denoise steps/s/chip")
         del params
 
     f_tok_layer = backbone_flops_per_token(4096, 12288, 1, 1.0, seq)
-    if len(curve) >= 2:
-        Ls = sorted(curve)
-        l0, l1 = Ls[0], Ls[-1]
-        m = (curve[l1] - curve[l0]) / (l1 - l0)      # s per layer per edit
-        a = curve[l0] - m * l0                        # fixed per-edit cost
-        t_8b_1chip = a + 32 * m
-        marginal_tflops = f_tok_layer * seq * n_forwards / m / 1e12
-        method = f"linear fit over measured depths {Ls}"
-        err(f"fit: fixed {a:.2f}s + {m:.3f}s/layer; marginal backbone "
-            f"throughput {marginal_tflops:.0f} TFLOP/s "
+    t_8b_1chip, method, m_per_layer = extrapolate_depth(curve)
+    if m_per_layer is not None:
+        marginal_tflops = f_tok_layer * seq * n_forwards / m_per_layer / 1e12
+        err(f"fit: fixed {t_8b_1chip - 32 * m_per_layer:.2f}s + "
+            f"{m_per_layer:.3f}s/layer; marginal backbone throughput "
+            f"{marginal_tflops:.0f} TFLOP/s "
             f"({100 * marginal_tflops * 1e12 / V5E_BF16_PEAK:.0f}% of "
             f"v5e bf16 peak)")
     else:
-        L = depths[0]
-        t_8b_1chip = curve[L] * 32.0 / L
         marginal_tflops = None
-        method = f"FLOPs-ratio extrapolation from {L} layers"
 
     t_8b_8chip = t_8b_1chip / 8.0
     err(f"8B-extrapolated: {t_8b_1chip:.2f}s/edit on 1 chip, "

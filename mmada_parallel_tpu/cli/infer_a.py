@@ -98,6 +98,11 @@ def main(argv=None):
     pipe_kw = {}
     if args.edit_type:
         from mmada_parallel_tpu import tokens as tk
+        if "multiturn" in args.edit_type:
+            # edit_type_prompt would index into the --prompt STRING
+            raise SystemExit(
+                "--edit_type *_multiturn_* needs a list of turns; use "
+                "tokens.edit_type_prompt from the API instead")
         prompt = tk.edit_type_prompt(args.edit_type, args.prompt)
         pipe_kw["system_prompt"] = tk.edit_type_system_prompt(args.edit_type)
     t0 = time.time()

@@ -266,6 +266,7 @@ def main(argv=None):
     from mmada_parallel_tpu.utils.logging import MetricLogger, ScalarWriter
     from mmada_parallel_tpu.data.prompting import UniversalPrompting
     from mmada_parallel_tpu.tokens import TOKENS_M
+    from mmada_parallel_tpu import tokens as TK
 
     argv = list(sys.argv[1:] if argv is None else argv)
     path = None
@@ -385,11 +386,9 @@ def main(argv=None):
         if tokenizer is None:
             return out
         for i, t in enumerate(texts):
-            ids = list(tokenizer(t)["input_ids"]) if t else []
-            if not ids or ids[0] != bos:
-                ids = [bos] + ids
-            if ids[-1] != eos:
-                ids = ids + [eos]
+            ids = TK.normalize_text_ids(
+                list(tokenizer(t)["input_ids"]) if t else [],
+                bos, eos, append_eos_always=False)
             if len(ids) > msl:
                 ids = ids[:msl - 1] + [eos]
             out[i, :len(ids)] = np.asarray(ids, np.int64)

@@ -184,15 +184,10 @@ class InterleavePipeline:
         eos = getattr(self.tokenizer, "eos_token_id", None)
         bos = T.bos if bos is None else int(bos)
         eos = T.eos if eos is None else int(eos)
-
-        def norm(ids):
-            ids = list(ids)
-            if not ids or ids[0] != bos:
-                ids = [bos] + ids
-            return ids + [eos]
-
-        instr_ids = norm(self.tokenizer(instruction)["input_ids"])
-        uncond_ids = norm(self.tokenizer("")["input_ids"])
+        instr_ids = tk.normalize_text_ids(
+            self.tokenizer(instruction)["input_ids"], bos, eos)
+        uncond_ids = tk.normalize_text_ids(
+            self.tokenizer("")["input_ids"], bos, eos)
         prompt = ([T.interleave, T.soi] + [int(c) for c in codes] + [T.eoi]
                   + instr_ids)
         un_prompt = ([T.interleave, T.soi] + [0] * len(codes) + [T.eoi]

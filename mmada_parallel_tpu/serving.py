@@ -317,14 +317,15 @@ class InterleaveServer(_BatchServerBase):
         raw_uncond = (list(tokenizer("")["input_ids"])
                       if tokenizer is not None else [])
         self._uncond_ids = self._normalize(raw_uncond)  # typically [bos,eos]
+        if len(self._uncond_ids) > max_instr_len:
+            raise ValueError(
+                f"normalized uncond prompt ({len(self._uncond_ids)} tokens) "
+                f"exceeds max_instr_len {max_instr_len}")
         super().__init__(batch_size, max_wait_ms)
 
     def _normalize(self, ids: Sequence[int]) -> List[int]:
         """bos-prefix + eos-suffix guard (``inference.py:88-95``)."""
-        ids = list(ids)
-        if not ids or ids[0] != self._bos:
-            ids = [self._bos] + ids
-        return ids + [self._eos]
+        return tk.normalize_text_ids(ids, self._bos, self._eos)
 
     def submit(self, instr_ids: Sequence[int],
                codes: Optional[np.ndarray] = None,
@@ -348,8 +349,10 @@ class InterleaveServer(_BatchServerBase):
             timeout)
 
     def _bucket_of(self, payload) -> int:
-        return _round_bucket(len(payload["instr"]), self.bucket_quantum,
-                             self.max_instr_len)
+        # the bucket must also fit the uncond tail (which is eos-padded to
+        # at least the cond length but may itself be longer)
+        n = max(len(payload["instr"]), len(self._uncond_ids))
+        return _round_bucket(n, self.bucket_quantum, self.max_instr_len)
 
     def _get_compiled(self, ilen: int):
         hit = self._compiled.get(ilen)
@@ -415,12 +418,14 @@ class InterleaveServer(_BatchServerBase):
             head = [T.interleave, T.soi] + codes + [T.eoi]
             un_head = [T.interleave, T.soi] + zero_codes + [T.eoi]
             # uncond text is eos-padded to the cond instruction's true
-            # length and ATTENDED (inference.py:92-97); only the bucket
-            # tail beyond ilen is mask-hidden for both rows.
+            # length and ATTENDED (inference.py:92-97) — or attended whole
+            # if itself longer; only the bucket tail beyond that is
+            # mask-hidden, for both rows symmetrically.
+            attend = max(len(instr), len(self._uncond_ids))
             un_tail = (self._uncond_ids
-                       + [self._eos] * (len(instr) - len(self._uncond_ids)))
+                       + [self._eos] * (attend - len(self._uncond_ids)))
             prompt = head + instr + [self._eos] * (ilen - len(instr))
-            un_prompt = un_head + un_tail + [self._eos] * (ilen - len(instr))
+            un_prompt = un_head + un_tail + [self._eos] * (ilen - attend)
             row, _ = tk.assemble_interleave_sequence(
                 prompt, self.num_vq_tokens, self.max_seq_length, tokens=T)
             un_row, _ = tk.assemble_interleave_sequence(
@@ -429,7 +434,7 @@ class InterleaveServer(_BatchServerBase):
             mask[i] = True
             mask[i, len(head) + len(instr):len(head) + ilen] = False
             un_mask[i] = True
-            un_mask[i, len(head) + len(instr):len(head) + ilen] = False
+            un_mask[i, len(head) + attend:len(head) + ilen] = False
         if self._deterministic:
             sub = None
         else:

@@ -48,6 +48,7 @@ __all__ = [
     "make_mmu_prompt",
     "edit_type_prompt",
     "edit_type_system_prompt",
+    "normalize_text_ids",
 ]
 
 
@@ -473,6 +474,23 @@ def make_edit_prompt(prompt_text, edit_type: str) -> Tuple[str, str, str]:
     cond, uncond = make_ti2ti_prompt(edit_type_prompt(edit_type, prompt_text),
                                      system)
     return cond, uncond, system
+
+
+def normalize_text_ids(ids: Sequence[int], bos: int, eos: int,
+                       append_eos_always: bool = True) -> List[int]:
+    """bos-prefix / eos-suffix guard shared by every M text span.
+
+    ``append_eos_always=True`` is the inference convention
+    (``MMaDA-Parallel-M/inference.py:88-95`` appends eos unconditionally);
+    ``False`` is the trainer convention (``train_interleave.py:735-747``
+    appends only when the last token is not already eos).
+    """
+    ids = list(ids)
+    if not ids or ids[0] != bos:
+        ids = [bos] + ids
+    if append_eos_always or ids[-1] != eos:
+        ids = ids + [eos]
+    return ids
 
 
 def make_mmu_prompt(question: str) -> str:

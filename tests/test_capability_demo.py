@@ -49,16 +49,19 @@ def test_int8_preserves_trained_task_accuracy(trained_m):
     """W8A8 on a TRAINED model keeps the edit-task trajectory: the README
     quantifies random-weight (worst-case) trajectory divergence; this pins
     the peaked-logits claim with a measured end-task number."""
+    import functools
     import jax
     from mmada_parallel_tpu.ops.quant import quantize_llada_params
     from train_edit_demo import eval_palette_model
 
     m, params, cfg, T, tokz, _ = trained_m
-    qparams = jax.jit(quantize_llada_params)(params)
-    accs, _, texts, _, _ = eval_palette_model(qparams, cfg, T, tokz)
-    assert float(np.mean(accs)) >= m["eval_code_accuracy"] - 0.1, (
-        accs, m["eval_code_accuracy"])
-    assert "rotated" in texts[0]
+    for quantize_head in (True, False):   # int8 head / dense bf16 head
+        qparams = jax.jit(functools.partial(
+            quantize_llada_params, quantize_head=quantize_head))(params)
+        accs, _, texts, _, _ = eval_palette_model(qparams, cfg, T, tokz)
+        assert float(np.mean(accs)) >= m["eval_code_accuracy"] - 0.1, (
+            quantize_head, accs, m["eval_code_accuracy"])
+        assert "rotated" in texts[0], (quantize_head, texts)
 
 
 def test_edit_demo_a_learns_and_generates(tmp_path):

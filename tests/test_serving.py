@@ -315,3 +315,34 @@ def test_http_serve_cli_variant_m(model, monkeypatch):
     with pytest.raises(urllib.error.HTTPError):
         post("/edit", {"prompt_ids": [1, 2]})
     started["httpd"].shutdown()
+
+
+def test_interleave_server_long_uncond_short_instr(model):
+    """A tokenizer whose empty-prompt encoding is LONGER than a request's
+    instruction must not crash the batch group: the uncond tail is attended
+    whole and the bucket stretches to fit it (review r2 finding)."""
+    cfg, params = model
+
+    class ChattyTok:
+        bos_token_id, eos_token_id = TOK_M.bos, TOK_M.eos
+
+        def __call__(self, t, **kw):
+            if not t:
+                return {"input_ids": [TOK_M.bos, 7, 8, 9]}  # 4 -> norm 6
+            return {"input_ids": [10 + ord(c) % 50 for c in t[:6]]}
+
+        def decode(self, ids, **kw):
+            return " ".join(map(str, ids))
+
+    server = InterleaveServer(params, cfg, M_OPTS, num_vq_tokens=N_VQ,
+                              max_seq_length=MSL, batch_size=2,
+                              max_wait_ms=100.0, bucket_quantum=4,
+                              tokenizer=ChattyTok(), tokens=TOK_M)
+    try:
+        codes = np.arange(TVS, TVS + N_VQ)
+        # empty instruction -> normalized [bos, eos] (2) < uncond (6)
+        r = server.submit([], codes=codes, timeout=300)
+        assert r["codes"].shape == (N_VQ,)
+        assert len(r["text_ids"]) == MSL
+    finally:
+        server.close()
