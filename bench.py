@@ -74,13 +74,28 @@ def bench_m(depths, quant):
     114-124`` — text_steps=128, image_steps=30, 1024 VQ tokens, msl=256),
     cond+uncond batched per forward.  Same depth-curve protocol as the A
     headline."""
+    import functools
     import jax
     from mmada_parallel_tpu import tokens as tk
     from mmada_parallel_tpu.models import LLaDAConfig, init_llada_params
-    from mmada_parallel_tpu.samplers.interleave import (InterleaveOptions,
-                                                        interleave_generate)
+    from mmada_parallel_tpu.samplers.interleave import (
+        InterleaveOptions, interleave_generate, interleave_generate_cached)
 
     err = lambda *a: print(*a, file=sys.stderr, flush=True)
+    # BENCH_CACHED=ratio,interval,warmup[,img] switches to the adaptive
+    # feature cache (opt-in approximation), e.g. BENCH_CACHED=0.95,4,0.25,0
+    cached_env = os.environ.get("BENCH_CACHED", "")
+    if cached_env:
+        parts = cached_env.split(",")
+        cached_kw = {"cache_ratio": float(parts[0]),
+                     "refresh_interval": int(parts[1]),
+                     "warmup_ratio": float(parts[2]),
+                     "refresh_on_image_steps": (bool(int(parts[3]))
+                                                if len(parts) > 3 else True)}
+        gen = functools.partial(interleave_generate_cached, **cached_kw)
+        err(f"[M] cached sampler: {cached_kw}")
+    else:
+        gen = interleave_generate
     T = tk.TOKENS_M
     n_vq, msl, instr_len = 1024, 256, 32
     prompt = ([T.interleave, T.soi] + [T.vq_offset + 7] * n_vq + [T.eoi]
@@ -102,7 +117,7 @@ def bench_m(depths, quant):
             from mmada_parallel_tpu.ops.quant import quantize_llada_params
             params = jax.jit(lambda p: quantize_llada_params(
                 p, quantize_head="bf16head" not in quant))(params)
-        run = jax.jit(lambda p, i, u, k, cfg=cfg: interleave_generate(
+        run = jax.jit(lambda p, i, u, k, cfg=cfg: gen(
             p, cfg, i, u, lay, opts, key=k))
         i_dev = jnp.asarray(ids)[None]
         u_dev = jnp.asarray(un_ids)[None]

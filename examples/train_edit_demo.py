@@ -106,15 +106,21 @@ def make_batch(rng, B, T, up, noise_key):
             mask.astype(np.int32), np.asarray(t, np.float32)), codes_in
 
 
-def eval_palette_model(params, cfg, T, tokz, seed=0, n_samples=4):
+def eval_palette_model(params, cfg, T, tokz, seed=0, n_samples=4,
+                       use_cached=False, **cached_kw):
     """Generate on held-out inputs via the reference inference template;
     returns ``(accs, gen_codes, gen_texts, codes_in, want)``.  Works with
     bf16 or int8-quantized param pytrees (the forward dispatches on the
-    quantized leaves)."""
+    quantized leaves); ``use_cached=True`` samples through
+    ``interleave_generate_cached`` (+``cached_kw``) instead of the exact
+    path."""
+    import functools
     import jax.numpy as jnp
     from mmada_parallel_tpu import tokens as tk
-    from mmada_parallel_tpu.samplers.interleave import (InterleaveOptions,
-                                                        interleave_generate)
+    from mmada_parallel_tpu.samplers.interleave import (
+        InterleaveOptions, interleave_generate, interleave_generate_cached)
+    gen = (functools.partial(interleave_generate_cached, **cached_kw)
+           if use_cached else interleave_generate)
 
     opts = InterleaveOptions(
         text_steps=MSL, image_steps=8, text_cfg=0.0, image_cfg=0.0,
@@ -135,7 +141,7 @@ def eval_palette_model(params, cfg, T, tokz, seed=0, n_samples=4):
                      + [T.bos, T.eos] + [T.eos] * (len(instr) - 2))
         un_ids, _ = tk.assemble_interleave_sequence(un_prompt, N_VQ, MSL,
                                                     tokens=T)
-        fin, out_codes = interleave_generate(
+        fin, out_codes = gen(
             params, cfg, jnp.asarray(ids)[None],
             jnp.asarray(un_ids)[None], lay, opts)
         got = np.asarray(out_codes)[0]

@@ -64,6 +64,24 @@ def test_int8_preserves_trained_task_accuracy(trained_m):
         assert "rotated" in texts[0], (quantize_head, texts)
 
 
+def test_cached_sampler_preserves_trained_task_accuracy(trained_m):
+    """interleave_generate_cached (real cache schedule, not always-refresh)
+    on the trained model keeps the edit-task accuracy — the peaked-logits
+    quality story for the M cached sampler."""
+    from train_edit_demo import eval_palette_model
+
+    m, params, cfg, T, tokz, _ = trained_m
+    for kw in ({"cache_ratio": 0.5, "refresh_interval": 3,
+                "warmup_ratio": 0.25},
+               {"cache_ratio": 0.5, "refresh_interval": 3,
+                "warmup_ratio": 0.25, "refresh_on_image_steps": False}):
+        accs, _, texts, _, _ = eval_palette_model(
+            params, cfg, T, tokz, use_cached=True, **kw)
+        assert float(np.mean(accs)) >= m["eval_code_accuracy"] - 0.1, (
+            kw, accs, m["eval_code_accuracy"])
+        assert "rotated" in texts[0], (kw, texts)
+
+
 def test_edit_demo_a_learns_and_generates(tmp_path):
     """A-variant closure: AItemProcessor/a_variant_losses training agrees
     with the assemble_ti2ti_sequence/generate_ti2ti inference template.
