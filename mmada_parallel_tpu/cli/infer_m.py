@@ -90,7 +90,9 @@ def main(argv=None):
             continue
         instruction = open(txt_path).read().strip()
         img = Image.open(img_path).convert("RGB")
-        out_img, text, info = pipe(instruction, img, opts, seed=cfg.seed)
+        out_img, text, info = pipe(
+            instruction, img, opts, seed=cfg.seed,
+            use_cache=bool(getattr(cfg, "use_cache", False)))
         base = os.path.splitext(os.path.basename(img_path))[0]
         out_img.save(os.path.join(cfg.output_dir, base + "_out.png"))
         with open(os.path.join(cfg.output_dir, base + "_out.txt"), "w") as f:

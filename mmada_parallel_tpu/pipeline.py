@@ -172,7 +172,12 @@ class InterleavePipeline:
 
     def __call__(self, instruction: str, image,
                  opts: InterleaveOptions = InterleaveOptions(),
-                 seed: int = 0) -> Tuple[Any, str, Dict]:
+                 seed: int = 0, use_cache: bool = False,
+                 cache_kw: Optional[Dict] = None) -> Tuple[Any, str, Dict]:
+        """``use_cache=True`` samples through the opt-in
+        ``interleave_generate_cached`` approximation (``cache_kw`` passes
+        ``cache_ratio``/``refresh_interval``/``warmup_ratio``/
+        ``refresh_on_image_steps``); default is the exact parity path."""
         T = self.tokens
         px = jnp.asarray(IM.image_transform_squash(image, self.resolution))
         codes = np.asarray(self._get_code(px))[0] + T.vq_offset
@@ -202,11 +207,20 @@ class InterleavePipeline:
         un_ids, _ = tk.assemble_interleave_sequence(
             un_prompt, self.num_vq_tokens, self.max_seq_length, T)
 
-        run_key = (layout, opts)
+        ck = tuple(sorted((cache_kw or {}).items()))
+        run_key = (layout, opts, use_cache, ck)
         if run_key not in self._runs:
-            self._runs[run_key] = jax.jit(
-                lambda p, i, u, k: interleave_generate(
-                    p, self.llada_cfg, i, u, layout, opts, key=k))
+            if use_cache:
+                from mmada_parallel_tpu.samplers.interleave import (
+                    interleave_generate_cached)
+                kw = dict(cache_kw or {})
+                self._runs[run_key] = jax.jit(
+                    lambda p, i, u, k: interleave_generate_cached(
+                        p, self.llada_cfg, i, u, layout, opts, key=k, **kw))
+            else:
+                self._runs[run_key] = jax.jit(
+                    lambda p, i, u, k: interleave_generate(
+                        p, self.llada_cfg, i, u, layout, opts, key=k))
         key = jax.random.key(seed if seed else
                              int(np.random.randint(1, 2 ** 31)))
         t0 = time.time()

@@ -95,3 +95,10 @@ def test_interleave_pipeline_end_to_end():
     assert img.size == (16, 16)
     assert info["codes"].shape == (1, 64)
     assert (info["codes"] >= 0).all()
+
+    # opt-in cached sampler path through the same pipeline surface
+    img_c, text_c, info_c = pipe(
+        "make it red", _img(), opts, seed=5, use_cache=True,
+        cache_kw={"cache_ratio": 0.5, "refresh_interval": 2})
+    assert img_c.size == (16, 16)
+    assert info_c["codes"].shape == (1, 64)
