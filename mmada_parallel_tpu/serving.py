@@ -296,7 +296,11 @@ class InterleaveServer(_BatchServerBase):
                  tokenizer: Any = None,
                  get_code: Optional[Callable] = None,
                  tokens: tk.VariantMTokens = tk.TOKENS_M,
-                 seed: int = 0):
+                 seed: int = 0,
+                 use_cache: bool = False,
+                 cache_kw: Optional[Dict[str, Any]] = None):
+        self.use_cache = use_cache
+        self.cache_kw = dict(cache_kw or {})
         self.params, self.cfg, self.opts = params, cfg, opts
         self.num_vq_tokens = num_vq_tokens
         self.max_seq_length = max_seq_length
@@ -338,6 +342,12 @@ class InterleaveServer(_BatchServerBase):
             raise ValueError(
                 f"instruction length {len(instr)} (bos/eos-normalized) "
                 f"exceeds max_instr_len {self.max_instr_len}")
+        if self.use_cache and len(instr) < len(self._uncond_ids):
+            raise ValueError(
+                "use_cache=True cannot serve an instruction shorter than "
+                "the normalized uncond prompt (the cond row would need "
+                "mask-hidden padding, which the cached sampler does not "
+                "take)")
         if codes is not None:
             codes = np.asarray(codes).reshape(-1)
             if codes.shape[0] != self.num_vq_tokens:
@@ -352,6 +362,11 @@ class InterleaveServer(_BatchServerBase):
         # the bucket must also fit the uncond tail (which is eos-padded to
         # at least the cond length but may itself be longer)
         n = max(len(payload["instr"]), len(self._uncond_ids))
+        if self.use_cache:
+            # cached sampler takes no attention mask, so a bucket must not
+            # introduce hidden padding: group by EXACT attend length (both
+            # rows are then fully attended, matching the maskless path)
+            return n
         return _round_bucket(n, self.bucket_quantum, self.max_instr_len)
 
     def _get_compiled(self, ilen: int):
@@ -363,10 +378,21 @@ class InterleaveServer(_BatchServerBase):
         _, layout = tk.assemble_interleave_sequence(
             [T.eos] * prompt_len, self.num_vq_tokens, self.max_seq_length,
             tokens=T)
-        fn = jax.jit(
-            lambda p, i, u, m, um, k, lay=layout: interleave_generate(
-                p, self.cfg, i, u, lay, self.opts, key=k, attn_mask=m,
-                uncond_attn_mask=um))
+        if self.use_cache:
+            # cached path takes no attention masks: serve it only when the
+            # bucket row is fully attended (pads would corrupt the cache)
+            from mmada_parallel_tpu.samplers.interleave import (
+                interleave_generate_cached)
+            kw = self.cache_kw
+            fn = jax.jit(
+                lambda p, i, u, m, um, k, lay=layout, kw=kw:
+                interleave_generate_cached(
+                    p, self.cfg, i, u, lay, self.opts, key=k, **kw))
+        else:
+            fn = jax.jit(
+                lambda p, i, u, m, um, k, lay=layout: interleave_generate(
+                    p, self.cfg, i, u, lay, self.opts, key=k, attn_mask=m,
+                    uncond_attn_mask=um))
         self._compiled[ilen] = (fn, layout)
         return fn, layout
 

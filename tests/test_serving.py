@@ -346,3 +346,25 @@ def test_interleave_server_long_uncond_short_instr(model):
         assert len(r["text_ids"]) == MSL
     finally:
         server.close()
+
+
+def test_interleave_server_cached_always_refresh_matches_solo(model):
+    """use_cache=True with refresh_interval=1 (always-refresh == exact
+    trajectory) must serve the same tokens as the exact solo run; exact
+    grouping means no hidden padding reaches the maskless cached sampler."""
+    cfg, params = model
+    server = InterleaveServer(params, cfg, M_OPTS, num_vq_tokens=N_VQ,
+                              max_seq_length=MSL, batch_size=2,
+                              max_wait_ms=100.0, tokens=TOK_M,
+                              use_cache=True,
+                              cache_kw={"refresh_interval": 1,
+                                        "warmup_ratio": 1.0})
+    try:
+        rng = np.random.default_rng(5)
+        instr, codes = list(range(20, 24)), rng.integers(TVS, TVS + CB, N_VQ)
+        r = server.submit(instr, codes=codes, timeout=300)
+        want_text, want_codes = _m_solo(cfg, params, instr, codes)
+        np.testing.assert_array_equal(r["text_ids"], want_text)
+        np.testing.assert_array_equal(r["codes"], want_codes)
+    finally:
+        server.close()
