@@ -20,8 +20,14 @@ connections by :mod:`mmada_parallel_tpu.serving`.
         -> {"text": ..., "codes": [...]}   (image_tokens = RAW MagViT codes
                                             without the vocab offset)
     POST /interleave {"instr_ids": [...], "image_tokens": [...]}
+    POST /interleave {"instruction": "...", "image_b64": "..."}
+        (raw image; requires --vq_checkpoint — the worker thread
+         batch-encodes images from co-batched requests through MagViT)
 
     GET  /stats -> {"requests": N, "batches": M, "batched_rows": K}
+
+``--use_cache ratio,interval,warmup[,img]`` serves variant m through the
+adaptive-feature-cache sampler (opt-in approximation, see README).
 """
 
 import argparse
@@ -56,6 +62,15 @@ def build_parser():
                    choices=["", "int8", "int8_bf16head"])
     p.add_argument("--tiny_model", action="store_true",
                    help="debug: random tiny model instead of a checkpoint")
+    p.add_argument("--vq_checkpoint", type=str, default=None,
+                   help="MagViT checkpoint dir (variant m): enables raw "
+                        "image submission (image_b64) with on-worker "
+                        "batched VQ encode")
+    p.add_argument("--resolution", type=int, default=512)
+    p.add_argument("--use_cache", type=str, default="",
+                   help="variant m: serve through the cached sampler, "
+                        "'ratio,interval,warmup[,img]' e.g. 0.95,4,0.25,1 "
+                        "(opt-in approximation; exact-length grouping)")
     return p
 
 
@@ -124,11 +139,33 @@ def main(argv=None):
             text_cfg=args.text_cfg, image_cfg=args.image_cfg,
             text_vocab_size=T.text_vocab_size,
             codebook_size=T.codebook_size, mask_token=T.mask)
+        get_code = None
+        if args.vq_checkpoint:
+            from mmada_parallel_tpu.models import magvit2 as MVQ
+            if args.vq_checkpoint == "tiny":   # debug/testing
+                vq_cfg = MVQ.MagvitConfig.tiny()
+                vq_params = MVQ.init_magvit_params(jax.random.key(1), vq_cfg)
+            else:
+                vq_cfg = MVQ.MagvitConfig()
+                vq_params = CV.magvit_params_from_torch(
+                    CV.load_safetensors_dir(args.vq_checkpoint), vq_cfg)
+            get_code = jax.jit(lambda px: MVQ.magvit_get_code(
+                vq_params, vq_cfg, px))
+        cache_kw = None
+        if args.use_cache:
+            parts = args.use_cache.split(",")
+            cache_kw = {"cache_ratio": float(parts[0]),
+                        "refresh_interval": int(parts[1]),
+                        "warmup_ratio": float(parts[2]),
+                        "refresh_on_image_steps": (bool(int(parts[3]))
+                                                   if len(parts) > 3
+                                                   else True)}
         server = InterleaveServer(
             params, cfg, m_opts, num_vq_tokens=args.num_vq_tokens,
             max_seq_length=args.max_seq_length,
             batch_size=args.batch_size, max_wait_ms=args.max_wait_ms,
-            tokenizer=tokenizer, tokens=T)
+            tokenizer=tokenizer, get_code=get_code, tokens=T,
+            use_cache=bool(args.use_cache), cache_kw=cache_kw)
 
     if args.warmup:
         lens = [int(x) for x in args.warmup.split(",") if x]
@@ -187,6 +224,17 @@ def main(argv=None):
                                          "send instr_ids"})
                         iids = list(tokenizer(req["instruction"])
                                     ["input_ids"])
+                    if req.get("image_b64"):
+                        import base64
+                        import io
+                        from PIL import Image
+                        from mmada_parallel_tpu.utils.image import (
+                            image_transform_squash)
+                        img = Image.open(io.BytesIO(
+                            base64.b64decode(req["image_b64"])))
+                        px = np.asarray(image_transform_squash(
+                            img.convert("RGB"), args.resolution))[0]
+                        return self._respond(server.submit(iids, image=px))
                     codes = np.asarray(req["image_tokens"],
                                        np.int32) + T.vq_offset
                     return self._respond(server.submit(iids, codes=codes))

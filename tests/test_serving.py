@@ -368,3 +368,52 @@ def test_interleave_server_cached_always_refresh_matches_solo(model):
         np.testing.assert_array_equal(r["codes"], want_codes)
     finally:
         server.close()
+
+
+def test_http_serve_cli_variant_m_image_b64(model, monkeypatch):
+    """POST /interleave with a base64 raw image: --vq_checkpoint tiny wires
+    a MagViT encoder; the worker batch-encodes on device."""
+    import base64
+    import io
+    import mmada_parallel_tpu.cli.serve as sv
+    from PIL import Image
+
+    monkeypatch.setattr(tk, "TOKENS_M", TOK_M, raising=True)
+    # tiny MagViT: 2x downsample, 4-bit LFQ -> 8x8=64 codes at 16px
+    argv = ["--variant", "m", "--tiny_model", "--vq_checkpoint", "tiny",
+            "--resolution", "16", "--port", "0", "--batch_size", "2",
+            "--num_vq_tokens", "64", "--max_seq_length", str(MSL),
+            "--text_steps", "4", "--image_steps", "2",
+            "--text_cfg", "1.0", "--image_cfg", "1.0", "--max_wait_ms", "50"]
+
+    from http.server import ThreadingHTTPServer
+    started = {}
+    real_serve = ThreadingHTTPServer.serve_forever
+
+    def hook(self, *a, **kw):
+        started["httpd"] = self
+        real_serve(self)
+
+    monkeypatch.setattr(ThreadingHTTPServer, "serve_forever", hook)
+    th = threading.Thread(target=sv.main, args=(argv,), daemon=True)
+    th.start()
+    for _ in range(600):
+        if "httpd" in started:
+            break
+        time.sleep(0.1)
+    assert "httpd" in started, "server did not start"
+    port = started["httpd"].server_address[1]
+
+    buf = io.BytesIO()
+    Image.new("RGB", (20, 20), (200, 40, 40)).save(buf, "PNG")
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/interleave",
+        data=json.dumps({"instr_ids": list(range(10, 13)),
+                         "image_b64":
+                         base64.b64encode(buf.getvalue()).decode()}).encode(),
+        headers={"Content-Type": "application/json"})
+    with urllib.request.urlopen(req, timeout=300) as r:
+        out = json.loads(r.read())
+    assert len(out["codes"]) == 64
+    assert all(0 <= c < CB for c in out["codes"])
+    started["httpd"].shutdown()
