@@ -11,6 +11,9 @@ connections by :mod:`mmada_parallel_tpu.serving`.
     POST /edit {"prompt": "make the sky purple", "image_tokens": [...]}
         -> {"text": ..., "codes": [...]}       (image_tokens optional)
     POST /edit {"prompt_ids": [...]}           (pre-tokenized)
+    POST /edit {"prompt"|"prompt_ids": ..., "image_b64": "..."}
+        (raw image; requires --vq_checkpoint — encoded through Amused-VQ
+         into the boi/newline-grid/eoi span server-side)
 
     # variant M (interleave generation)
     python -m mmada_parallel_tpu.cli.serve --variant m --checkpoint ... \
@@ -115,6 +118,33 @@ def main(argv=None):
         params = jax.jit(lambda p: quantize_llada_params(
             p, quantize_head="bf16head" not in args.quant))(params)
 
+    a_encode = None
+    if args.variant == "a" and args.vq_checkpoint:
+        from mmada_parallel_tpu.models import amused_vq as AVQ
+        if args.vq_checkpoint == "tiny":    # debug/testing
+            a_vq_cfg = AVQ.AmusedVQConfig.tiny()
+            a_vq_params = AVQ.init_amused_vq_params(jax.random.key(1),
+                                                    a_vq_cfg)
+        else:
+            import json as _json
+            cfg_path = os.path.join(args.vq_checkpoint, "config.json")
+            a_vq_cfg = (CV.amused_config_from_hf(_json.load(open(cfg_path)))
+                        if os.path.exists(cfg_path) else AVQ.AmusedVQConfig())
+            a_vq_params = CV.amused_params_from_torch(
+                CV.load_safetensors_dir(args.vq_checkpoint), a_vq_cfg)
+        _enc = jax.jit(lambda px: AVQ.amused_quantize(
+            a_vq_params, a_vq_cfg,
+            AVQ.amused_encode(a_vq_params, a_vq_cfg, px))[1])
+
+        def a_encode(img):
+            """PIL image -> [boi] grid-with-newlines [eoi] token span."""
+            from mmada_parallel_tpu.utils.image import image_to_array
+            codes = np.asarray(_enc(image_to_array(img, "zero_one")))[0]
+            h = img.size[1] // a_vq_cfg.scale
+            w = img.size[0] // a_vq_cfg.scale
+            grid = [int(c) + T.vq_offset for c in codes]
+            return [T.boi] + tk.add_break_line(grid, h, w, T.newline) + [T.eoi]
+
     if args.variant == "a":
         _, _, gh, gw = tk.calculate_vq_params(args.height, args.width, 16)
         opts = TI2TIOptions(timesteps=args.timesteps,
@@ -209,10 +239,24 @@ def main(argv=None):
                                 "error": "no tokenizer loaded; "
                                          "send prompt_ids"})
                         pids = list(tokenizer(req["prompt"])["input_ids"])
-                        if req.get("image_tokens"):
-                            pids = (pids[:-1] + [T.boi]
-                                    + [int(t) for t in req["image_tokens"]]
-                                    + [T.eoi] + pids[-1:])
+                    if req.get("image_b64"):
+                        if a_encode is None:
+                            return self._json(400, {
+                                "error": "image_b64 needs --vq_checkpoint"})
+                        import base64
+                        import io
+                        from PIL import Image
+                        from mmada_parallel_tpu.utils.image import (
+                            preprocess_image)
+                        img = preprocess_image(
+                            Image.open(io.BytesIO(base64.b64decode(
+                                req["image_b64"]))),
+                            (args.height, args.width))
+                        pids = pids[:-1] + a_encode(img) + pids[-1:]
+                    elif req.get("image_tokens"):
+                        pids = (pids[:-1] + [T.boi]
+                                + [int(t) for t in req["image_tokens"]]
+                                + [T.eoi] + pids[-1:])
                     return self._respond(server.submit(pids))
                 if self.path == "/interleave" and args.variant == "m":
                     if "instr_ids" in req:

@@ -417,3 +417,51 @@ def test_http_serve_cli_variant_m_image_b64(model, monkeypatch):
     assert len(out["codes"]) == 64
     assert all(0 <= c < CB for c in out["codes"])
     started["httpd"].shutdown()
+
+
+def test_http_serve_cli_variant_a_image_b64(model, monkeypatch):
+    """POST /edit with prompt_ids + image_b64: --vq_checkpoint tiny wires
+    Amused-VQ; the server encodes into the boi/newline-grid/eoi span."""
+    import base64
+    import io
+    import mmada_parallel_tpu.cli.serve as sv
+    from PIL import Image
+
+    monkeypatch.setattr(tk, "TOKENS_A", TOK, raising=True)
+    argv = ["--variant", "a", "--tiny_model", "--vq_checkpoint", "tiny",
+            "--port", "0", "--batch_size", "2", "--height", "32",
+            "--width", "32", "--text_gen_length", "8", "--timesteps", "4",
+            "--text_steps", "8", "--cfg_scale", "0", "--cfg_img", "2.0",
+            "--max_wait_ms", "50"]
+
+    from http.server import ThreadingHTTPServer
+    started = {}
+    real_serve = ThreadingHTTPServer.serve_forever
+
+    def hook(self, *a, **kw):
+        started["httpd"] = self
+        real_serve(self)
+
+    monkeypatch.setattr(ThreadingHTTPServer, "serve_forever", hook)
+    th = threading.Thread(target=sv.main, args=(argv,), daemon=True)
+    th.start()
+    for _ in range(600):
+        if "httpd" in started:
+            break
+        time.sleep(0.1)
+    assert "httpd" in started, "server did not start"
+    port = started["httpd"].server_address[1]
+
+    buf = io.BytesIO()
+    Image.new("RGB", (40, 40), (40, 120, 220)).save(buf, "PNG")
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/edit",
+        data=json.dumps({"prompt_ids": list(range(10, 14)),
+                         "image_b64":
+                         base64.b64encode(buf.getvalue()).decode()}).encode(),
+        headers={"Content-Type": "application/json"})
+    with urllib.request.urlopen(req, timeout=300) as r:
+        out = json.loads(r.read())
+    assert len(out["codes"]) == 2 * 2      # 32x32 at stride 16
+    assert all(0 <= c < CB for c in out["codes"])
+    started["httpd"].shutdown()
