@@ -465,3 +465,31 @@ def test_http_serve_cli_variant_a_image_b64(model, monkeypatch):
     assert len(out["codes"]) == 2 * 2      # 32x32 at stride 16
     assert all(0 <= c < CB for c in out["codes"])
     started["httpd"].shutdown()
+
+
+def test_interleave_server_with_sharded_params(model):
+    """Production layout: the server holds GSPMD-sharded params on an
+    (data, fsdp, tensor) mesh; results equal the unsharded solo run (jit
+    propagates the input shardings — serving and training share one
+    placement story)."""
+    from mmada_parallel_tpu.models import param_shardings
+    from mmada_parallel_tpu.parallel import MeshConfig, make_mesh, \
+        shard_params
+
+    cfg, params = model
+    mesh = make_mesh(MeshConfig(data=2, fsdp=2, tensor=2),
+                     jax.devices()[:8])
+    sharded = shard_params(params, param_shardings(cfg), mesh)
+    server = InterleaveServer(sharded, cfg, M_OPTS, num_vq_tokens=N_VQ,
+                              max_seq_length=MSL, batch_size=2,
+                              max_wait_ms=100.0, bucket_quantum=8,
+                              tokens=TOK_M)
+    try:
+        rng = np.random.default_rng(9)
+        instr, codes = list(range(40, 45)), rng.integers(TVS, TVS + CB, N_VQ)
+        r = server.submit(instr, codes=codes, timeout=300)
+        want_text, want_codes = _m_solo(cfg, params, instr, codes)
+        np.testing.assert_array_equal(r["text_ids"], want_text)
+        np.testing.assert_array_equal(r["codes"], want_codes)
+    finally:
+        server.close()
