@@ -70,6 +70,9 @@ def build_parser():
                         "image submission (image_b64) with on-worker "
                         "batched VQ encode")
     p.add_argument("--resolution", type=int, default=512)
+    p.add_argument("--max_prompt_len", type=int, default=0,
+                   help="0 = auto (1024, + the image span when "
+                        "--vq_checkpoint enables server-side encoding)")
     p.add_argument("--use_cache", type=str, default="",
                    help="variant m: serve through the cached sampler, "
                         "'ratio,interval,warmup[,img]' e.g. 0.95,4,0.25,1 "
@@ -137,13 +140,14 @@ def main(argv=None):
             AVQ.amused_encode(a_vq_params, a_vq_cfg, px))[1])
 
         def a_encode(img):
-            """PIL image -> [boi] grid-with-newlines [eoi] token span."""
-            from mmada_parallel_tpu.utils.image import image_to_array
-            codes = np.asarray(_enc(image_to_array(img, "zero_one")))[0]
-            h = img.size[1] // a_vq_cfg.scale
-            w = img.size[0] // a_vq_cfg.scale
-            grid = [int(c) + T.vq_offset for c in codes]
-            return [T.boi] + tk.add_break_line(grid, h, w, T.newline) + [T.eoi]
+            """PIL image -> [boi] grid-with-newlines [eoi] token span.
+
+            Serving resizes to the FIXED (--width, --height) rather than
+            the reference CLI's var_center_crop (image_utils.py:80-93): a
+            single static shape means one encoder compile instead of one
+            per aspect-ratio bucket on a request thread."""
+            img = img.resize((args.width, args.height))
+            return AVQ.amused_img_span(_enc, a_vq_cfg, img, T)
 
     if args.variant == "a":
         _, _, gh, gw = tk.calculate_vq_params(args.height, args.width, 16)
@@ -161,7 +165,12 @@ def main(argv=None):
                         text_gen_length=args.text_gen_length,
                         end_token_ids=tuple(end_ids),
                         batch_size=args.batch_size,
-                        max_wait_ms=args.max_wait_ms),
+                        max_wait_ms=args.max_wait_ms,
+                        # auto: leave room for a server-encoded image span
+                        # ([boi] + gh*(gw+1) grid+newlines + [eoi])
+                        max_prompt_len=(args.max_prompt_len
+                                        or 1024 + (gh * (gw + 1) + 2
+                                                   if a_encode else 0))),
             tokenizer=tokenizer, tokens=T)
     else:
         m_opts = InterleaveOptions(
@@ -246,12 +255,8 @@ def main(argv=None):
                         import base64
                         import io
                         from PIL import Image
-                        from mmada_parallel_tpu.utils.image import (
-                            preprocess_image)
-                        img = preprocess_image(
-                            Image.open(io.BytesIO(base64.b64decode(
-                                req["image_b64"]))),
-                            (args.height, args.width))
+                        img = Image.open(io.BytesIO(base64.b64decode(
+                            req["image_b64"]))).convert("RGB")
                         pids = pids[:-1] + a_encode(img) + pids[-1:]
                     elif req.get("image_tokens"):
                         pids = (pids[:-1] + [T.boi]
@@ -269,6 +274,9 @@ def main(argv=None):
                         iids = list(tokenizer(req["instruction"])
                                     ["input_ids"])
                     if req.get("image_b64"):
+                        if server.get_code is None:
+                            return self._json(400, {
+                                "error": "image_b64 needs --vq_checkpoint"})
                         import base64
                         import io
                         from PIL import Image

@@ -211,3 +211,20 @@ def amused_decode_code(params: Dict[str, Any], cfg: AmusedVQConfig,
     x = C.swish(C.group_norm(p["norm_out"], x, g, e))
     x = C.conv2d(p["conv_out"], x)
     return jnp.clip(x, 0.0, 1.0)
+
+
+def amused_img_span(encode_fn, cfg: AmusedVQConfig, img, tokens) -> list:
+    """PIL image -> ``[boi] offset-grid-with-newlines [eoi]`` token span
+    (the A prompt image format, ``inference.py:150-158``).  ``encode_fn``
+    is a (jitted) ``[1,H,W,3] -> [1, h*w]`` code encoder — shared by
+    ``TI2TIPipeline.encode_img_with_breaks`` and the serve CLI."""
+    import numpy as np
+    from mmada_parallel_tpu import tokens as tk
+    from mmada_parallel_tpu.utils.image import image_to_array
+
+    codes = np.asarray(encode_fn(image_to_array(img, "zero_one")))[0]
+    h = img.size[1] // cfg.scale
+    w = img.size[0] // cfg.scale
+    grid = [int(c) + tokens.vq_offset for c in codes]
+    return [tokens.boi] + tk.add_break_line(grid, h, w, tokens.newline) \
+        + [tokens.eoi]

@@ -54,13 +54,8 @@ class TI2TIPipeline:
 
     # -- tokenize an image with newline structure (image_utils.py:159-173)
     def encode_img_with_breaks(self, img) -> list:
-        px = jnp.asarray(IM.image_to_array(img, "zero_one"))
-        codes = np.asarray(self._encode(px))[0]
-        h = img.size[1] // self.vq_cfg.scale
-        w = img.size[0] // self.vq_cfg.scale
-        T = self.tokens
-        grid = [int(c) + T.vq_offset for c in codes]
-        return ([T.boi] + tk.add_break_line(grid, h, w, T.newline) + [T.eoi])
+        return AVQ.amused_img_span(self._encode, self.vq_cfg, img,
+                                   self.tokens)
 
     def encode_img_with_paint(self, img, mask_h_ratio: float,
                               mask_w_ratio: float,

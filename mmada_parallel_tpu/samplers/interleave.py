@@ -251,8 +251,10 @@ generate_ti2ti_cached` (an opt-in approximation; the exact parity path is
     the exact sampler's.
 
     No ragged ``attn_mask`` support — serve cached requests unpadded.
-    Note the carried text logits are full-vocab ``[2B, max_seq, V]``
-    (~260 MB fp32 per row at the 8B vocab): budget HBM accordingly.
+    With ``refresh_on_image_steps=True`` the step AFTER each image step
+    also refreshes (``do_image`` rewrites the image span at the end of the
+    step, invalidating the cached k/v); ``False`` accepts that staleness
+    for more speed.
     """
     if opts.remasking == "random" and key is None:
         raise ValueError("remasking='random' requires a PRNG key")
@@ -291,7 +293,14 @@ generate_ti2ti_cached` (an opt-in approximation; the exact parity path is
         img_np = np.zeros(steps, bool)
         img_np[np.round(np.linspace(steps // 4, steps - 1,
                                     opts.image_steps)).astype(int)] = True
+        # refresh on the image step AND the step after it: do_image
+        # rewrites (nearly) the whole image span at the END of the step,
+        # invalidating the cached k/v — generate_ti2ti_cached refreshes
+        # post-image for the same reason.  refresh_on_image_steps=False
+        # accepts this staleness as part of the aggressive trade (the
+        # README agreement envelope is measured with it).
         refresh |= img_np
+        refresh[1:] |= img_np[:-1]
     refresh = jnp.asarray(refresh)
 
     text_pos = jnp.arange(ts, te, dtype=jnp.int32)          # static
@@ -302,8 +311,8 @@ generate_ti2ti_cached` (an opt-in approximation; the exact parity path is
         text_logits = llada_head(params, cfg, text_h)
         img_h = jax.lax.dynamic_slice_in_dim(hidden, ist, n_vq, axis=1)
         vq_logits = llada_head(params, cfg, img_h, vocab_slice=(tvs, cb))
-        return {"cache": cache, "text": text_logits.astype(jnp.float32),
-                "vq": vq_logits.astype(jnp.float32)}
+        return ({"cache": cache, "vq": vq_logits.astype(jnp.float32)},
+                text_logits.astype(jnp.float32))
 
     def partial_branch(ids2b, state):
         B2 = 2 * B
@@ -328,8 +337,8 @@ generate_ti2ti_cached` (an opt-in approximation; the exact parity path is
         expanded = jnp.take_along_axis(vq_sel.astype(state["vq"].dtype),
                                        inv[:, :, None], axis=1, mode="clip")
         vq = jnp.where(is_sel[:, :, None], expanded, state["vq"])
-        return {"cache": cache, "text": text_logits.astype(jnp.float32),
-                "vq": vq}
+        return ({"cache": cache, "vq": vq},
+                text_logits.astype(jnp.float32))
 
     def step_fn(carry, xs):
         ids, last_sampled, k, state = carry
@@ -340,11 +349,15 @@ generate_ti2ti_cached` (an opt-in approximation; the exact parity path is
         uncond_ids = jnp.concatenate(
             [uncond_prompt, ids[:, prompt_len:]], axis=1)
         both = jnp.concatenate([ids, uncond_ids], axis=0)
-        state = jax.lax.cond(refresh[step_idx], full_branch, partial_branch,
-                             both, state)
+        # text logits are a per-step OUTPUT of the cond, not carried state
+        # (both branches recompute the full text span every step; carrying
+        # the [2B, max_seq, V] fp32 buffer across the scan would waste
+        # ~260 MB/row of HBM at the 8B vocab)
+        state, text2 = jax.lax.cond(refresh[step_idx], full_branch,
+                                    partial_branch, both, state)
 
         ids, last_sampled = apply_updates(
-            ids, last_sampled, state["text"][:B], state["text"][B:],
+            ids, last_sampled, text2[:B], text2[B:],
             state["vq"][:B], state["vq"][B:], step_idx, budget, keys,
             have_key=k is not None)
         return (ids, last_sampled, next_key, state), None
@@ -355,7 +368,6 @@ generate_ti2ti_cached` (an opt-in approximation; the exact parity path is
                                  cfg.compute_dtype),
                   "v": jnp.zeros((cfg.n_layers, 2 * B, L, nkv, hd),
                                  cfg.compute_dtype)},
-        "text": jnp.zeros((2 * B, max_seq, cfg.emb_size), jnp.float32),
         "vq": jnp.zeros((2 * B, n_vq, cb), jnp.float32),
     }
 

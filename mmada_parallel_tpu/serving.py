@@ -419,17 +419,33 @@ class InterleaveServer(_BatchServerBase):
         T = self.tokens
         fn, layout = self._get_compiled(ilen)
 
-        # batch-encode any raw images on the device-owning thread
+        # batch-encode any raw images on the device-owning thread; a bad
+        # image request fails ONLY its own submitters, not the whole group
         to_encode = [p for p in group if p.payload["codes"] is None]
         if to_encode:
+            err = None
             if self.get_code is None:
-                raise ValueError("image= submitted but server has no "
-                                 "get_code encoder")
-            px = jnp.stack([jnp.asarray(p.payload["image"])
-                            for p in to_encode])
-            enc = np.asarray(self.get_code(px)) + T.vq_offset
-            for row, p in enumerate(to_encode):
-                p.payload["codes"] = enc[row]
+                err = ValueError("image= submitted but server has no "
+                                 "get_code encoder (pass get_code= / "
+                                 "--vq_checkpoint)")
+            else:
+                px = jnp.stack([jnp.asarray(p.payload["image"])
+                                for p in to_encode])
+                enc = np.asarray(self.get_code(px)) + T.vq_offset
+                if enc.shape[1] != self.num_vq_tokens:
+                    err = ValueError(
+                        f"encoder produced {enc.shape[1]} codes per image; "
+                        f"server expects num_vq_tokens={self.num_vq_tokens} "
+                        "(check --resolution vs --num_vq_tokens)")
+                else:
+                    for row, p in enumerate(to_encode):
+                        p.payload["codes"] = enc[row]
+            if err is not None:
+                for p in to_encode:
+                    p.error, _ = err, p.event.set()
+                group = [p for p in group if p.payload["codes"] is not None]
+                if not group:
+                    return
 
         L = layout.total_len
         ids = np.zeros((B, L), np.int32)
