@@ -27,6 +27,12 @@ connections by :mod:`mmada_parallel_tpu.serving`.
         (raw image; requires --vq_checkpoint — the worker thread
          batch-encodes images from co-batched requests through MagViT)
 
+    POST /t2i {"prompt"|"text_ids": ...} -> {"codes": [...]}
+        (variant m text-to-image via t2i_generate)
+    POST /mmu {"prompt_ids": [...]}
+    POST /mmu {"question": "...", "image_tokens": [...]} -> {"text": ...}
+        (variant m multimodal understanding via mmu_generate)
+
     GET  /stats -> {"requests": N, "batches": M, "batched_rows": K}
 
 ``--use_cache ratio,interval,warmup[,img]`` serves variant m through the
@@ -73,6 +79,9 @@ def build_parser():
     p.add_argument("--max_prompt_len", type=int, default=0,
                    help="0 = auto (1024, + the image span when "
                         "--vq_checkpoint enables server-side encoding)")
+    p.add_argument("--t2i_guidance", type=float, default=3.5)
+    p.add_argument("--mmu_max_new_tokens", type=int, default=128)
+    p.add_argument("--mmu_block_length", type=int, default=128)
     p.add_argument("--use_cache", type=str, default="",
                    help="variant m: serve through the cached sampler, "
                         "'ratio,interval,warmup[,img]' e.g. 0.95,4,0.25,1 "
@@ -122,6 +131,7 @@ def main(argv=None):
             p, quantize_head="bf16head" not in args.quant))(params)
 
     a_encode = None
+    t2i_server = mmu_server = None
     if args.variant == "a" and args.vq_checkpoint:
         from mmada_parallel_tpu.models import amused_vq as AVQ
         if args.vq_checkpoint == "tiny":    # debug/testing
@@ -205,6 +215,25 @@ def main(argv=None):
             batch_size=args.batch_size, max_wait_ms=args.max_wait_ms,
             tokenizer=tokenizer, get_code=get_code, tokens=T,
             use_cache=bool(args.use_cache), cache_kw=cache_kw)
+        # sibling endpoints over the same params: /t2i and /mmu
+        from mmada_parallel_tpu.samplers.t2i import T2IOptions
+        from mmada_parallel_tpu.samplers.mmu import MMUOptions
+        from mmada_parallel_tpu.serving import T2IServer, MMUServer
+        t2i_server = T2IServer(
+            params, cfg,
+            T2IOptions(guidance_scale=args.t2i_guidance,
+                       text_vocab_size=T.text_vocab_size,
+                       codebook_size=T.codebook_size, mask_token=T.mask),
+            num_vq_tokens=args.num_vq_tokens, batch_size=args.batch_size,
+            max_wait_ms=args.max_wait_ms, tokenizer=tokenizer, tokens=T)
+        mmu_server = MMUServer(
+            params, cfg,
+            MMUOptions(max_new_tokens=args.mmu_max_new_tokens,
+                       steps=args.mmu_max_new_tokens,
+                       block_length=args.mmu_block_length,
+                       mask_token=T.mask),
+            batch_size=args.batch_size, max_wait_ms=args.max_wait_ms,
+            tokenizer=tokenizer, tokens=T)
 
     if args.warmup:
         lens = [int(x) for x in args.warmup.split(",") if x]
@@ -290,6 +319,38 @@ def main(argv=None):
                     codes = np.asarray(req["image_tokens"],
                                        np.int32) + T.vq_offset
                     return self._respond(server.submit(iids, codes=codes))
+                if self.path == "/t2i" and args.variant == "m":
+                    tids = req.get("text_ids")
+                    if tids is None:
+                        if tokenizer is None:
+                            return self._json(400, {
+                                "error": "no tokenizer loaded; "
+                                         "send text_ids"})
+                        tids = tokenizer(req["prompt"])["input_ids"]
+                    out = t2i_server.submit([int(t) for t in tids])
+                    return self._json(200, {"codes": [int(c)
+                                                      for c in out["codes"]]})
+                if self.path == "/mmu" and args.variant == "m":
+                    if "prompt_ids" in req:
+                        pids = [int(t) for t in req["prompt_ids"]]
+                    else:
+                        if tokenizer is None:
+                            return self._json(400, {
+                                "error": "no tokenizer loaded; "
+                                         "send prompt_ids"})
+                        q = tk.normalize_text_ids(
+                            tokenizer(req["question"])["input_ids"],
+                            getattr(tokenizer, "bos_token_id", T.bos),
+                            getattr(tokenizer, "eos_token_id", T.eos),
+                            append_eos_always=False)
+                        pids = ([T.mmu, T.soi]
+                                + [int(t) + T.vq_offset
+                                   for t in req["image_tokens"]]
+                                + [T.eoi] + q)
+                    out = mmu_server.submit(pids)
+                    return self._json(200, {
+                        "text": out["text"] if isinstance(out["text"], str)
+                        else [int(t) for t in out["text_ids"]]})
                 return self._json(404, {"error": "unknown path for variant "
                                                  f"{args.variant!r}"})
             except Exception as e:
@@ -304,6 +365,9 @@ def main(argv=None):
         pass
     finally:
         server.close()
+        for s in (t2i_server, mmu_server):
+            if s is not None:
+                s.close()
 
 
 if __name__ == "__main__":

@@ -36,6 +36,7 @@ Design notes (TPU-first):
 from __future__ import annotations
 
 import dataclasses
+import functools
 import queue
 import threading
 import time
@@ -53,7 +54,8 @@ from mmada_parallel_tpu.samplers.parallel_ti2ti import (TI2TIOptions,
 from mmada_parallel_tpu.samplers.interleave import (InterleaveOptions,
                                                     interleave_generate)
 
-__all__ = ["ServeConfig", "TI2TIServer", "InterleaveServer"]
+__all__ = ["ServeConfig", "TI2TIServer", "InterleaveServer", "T2IServer",
+           "MMUServer"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -497,4 +499,187 @@ class InterleaveServer(_BatchServerBase):
                 text = self.tokenizer.decode(keep, skip_special_tokens=True)
             p.result = {"text_ids": text_ids, "codes": codes[i],
                         "text": text}
+            p.event.set()
+
+
+class T2IServer(_BatchServerBase):
+    """Variant-M text-to-image server over ``t2i_generate``.
+
+    ``submit(text_ids)`` returns ``{"codes"}`` (raw codebook indices).
+    Rows follow the ``UniversalPrompting.t2i_gen`` template
+    (``prompting_utils.py``): ``[<|t2i|>] bos text eos`` LEFT-padded with
+    ``ipad`` to the bucket (pads mask-hidden), then
+    ``[soi] MASK*n [eoi]``; the CFG negative is ``[<|t2i|>, bos, eos]``.
+    """
+
+    def __init__(self, params: Any, cfg: LLaDAConfig, opts: Any = None,
+                 num_vq_tokens: int = 1024,
+                 batch_size: int = 4, max_wait_ms: float = 50.0,
+                 bucket_quantum: int = 32, max_text_len: int = 512,
+                 tokenizer: Any = None,
+                 tokens: tk.VariantMTokens = tk.TOKENS_M,
+                 seed: int = 0):
+        from mmada_parallel_tpu.samplers.t2i import T2IOptions
+        self.params, self.cfg = params, cfg
+        self.opts = opts if opts is not None else T2IOptions()
+        self.num_vq_tokens = num_vq_tokens
+        self.bucket_quantum = bucket_quantum
+        self.max_text_len = max_text_len
+        self.tokenizer = tokenizer
+        self.tokens = tokens
+        self._compiled: Dict[int, Callable] = {}
+        self._deterministic = self.opts.temperature == 0.0
+        self._key = jax.random.key(seed)
+        _bos = getattr(tokenizer, "bos_token_id", None)
+        _eos = getattr(tokenizer, "eos_token_id", None)
+        self._bos = tokens.bos if _bos is None else int(_bos)
+        self._eos = tokens.eos if _eos is None else int(_eos)
+        super().__init__(batch_size, max_wait_ms)
+
+    def _temp(self, text_ids: Sequence[int]) -> List[int]:
+        """``[t2i] bos text eos`` (prompting.py t2i template)."""
+        ids = list(text_ids)
+        if not ids or ids[0] != self._bos:
+            ids = [self._bos] + ids
+        return [self.tokens.t2i] + ids + [self._eos]
+
+    def submit(self, text_ids: Sequence[int],
+               timeout: Optional[float] = None) -> Dict[str, Any]:
+        temp = self._temp(text_ids)
+        if len(temp) > self.max_text_len:
+            raise ValueError(f"templated prompt length {len(temp)} exceeds "
+                             f"max_text_len {self.max_text_len}")
+        return self._submit({"temp": temp}, timeout)
+
+    def _bucket_of(self, payload) -> int:
+        return _round_bucket(len(payload["temp"]), self.bucket_quantum,
+                             self.max_text_len)
+
+    def _get_compiled(self, plen: int):
+        hit = self._compiled.get(plen)
+        if hit is not None:
+            return hit
+        from mmada_parallel_tpu.samplers.t2i import t2i_generate
+        fn = jax.jit(lambda p, i, u, m, um, k, plen=plen: t2i_generate(
+            p, self.cfg, i, u, plen, self.num_vq_tokens, self.opts,
+            attn_mask=m, uncond_attn_mask=um, key=k))
+        self._compiled[plen] = fn
+        return fn
+
+    def _serve_group(self, plen: int, group: List[_Pending]) -> None:
+        B = self._batch_size
+        T = self.tokens
+        fn = self._get_compiled(plen)
+        tail = [T.soi] + [self.opts.mask_token] * self.num_vq_tokens + [T.eoi]
+        L = plen + len(tail)
+        un_temp = [T.t2i, self._bos, self._eos]
+        ids = np.zeros((B, L), np.int32)
+        un_ids = np.zeros((B, L), np.int32)
+        mask = np.zeros((B, L), bool)
+        un_mask = np.zeros((B, L), bool)
+        un_row = [T.ipad] * (plen - len(un_temp)) + un_temp + tail
+        for i in range(B):
+            p = group[min(i, len(group) - 1)]
+            temp = p.payload["temp"]
+            pad = plen - len(temp)
+            ids[i] = [T.ipad] * pad + temp + tail
+            mask[i, pad:] = True
+            un_ids[i] = un_row
+            un_mask[i, plen - len(un_temp):] = True
+        if self._deterministic:
+            sub = None
+        else:
+            self._key, sub = jax.random.split(self._key)
+        codes = np.asarray(fn(
+            self.params, jnp.asarray(ids), jnp.asarray(un_ids),
+            jnp.asarray(mask), jnp.asarray(un_mask), sub))
+        self._stats["requests"] += len(group)
+        self._stats["batches"] += 1
+        self._stats["batched_rows"] += B
+        for i, p in enumerate(group):
+            p.result = {"codes": codes[i]}
+            p.event.set()
+
+
+class MMUServer(_BatchServerBase):
+    """Variant-M multimodal-understanding server over ``mmu_generate``
+    (semi-AR block decoding).
+
+    ``submit(prompt_ids)`` takes the fully-assembled MMU prompt
+    (``[<|mmu|>][soi] image [eoi]`` + question, see
+    ``UniversalPrompting.mmu``) and returns ``{"text_ids", "text"}`` — the
+    generated answer span.  Ragged prompts bucket by length; pads are
+    hidden via the sampler's ``attn_mask`` path so each row equals its
+    unpadded solo run.
+    """
+
+    def __init__(self, params: Any, cfg: LLaDAConfig, opts: Any = None,
+                 batch_size: int = 4, max_wait_ms: float = 50.0,
+                 bucket_quantum: int = 64, max_prompt_len: int = 2048,
+                 tokenizer: Any = None,
+                 tokens: tk.VariantMTokens = tk.TOKENS_M,
+                 seed: int = 0):
+        from mmada_parallel_tpu.samplers.mmu import MMUOptions
+        self.params, self.cfg = params, cfg
+        self.opts = opts if opts is not None else MMUOptions()
+        self.bucket_quantum = bucket_quantum
+        self.max_prompt_len = max_prompt_len
+        self.tokenizer = tokenizer
+        self.tokens = tokens
+        self._compiled: Dict[int, Callable] = {}
+        self._deterministic = (self.opts.temperature == 0.0
+                               and self.opts.remasking != "random")
+        self._key = jax.random.key(seed)
+        super().__init__(batch_size, max_wait_ms)
+
+    def submit(self, prompt_ids: Sequence[int],
+               timeout: Optional[float] = None) -> Dict[str, Any]:
+        if len(prompt_ids) > self.max_prompt_len:
+            raise ValueError(f"prompt length {len(prompt_ids)} exceeds "
+                             f"max_prompt_len {self.max_prompt_len}")
+        return self._submit({"prompt": list(prompt_ids)}, timeout)
+
+    def _bucket_of(self, payload) -> int:
+        return _round_bucket(len(payload["prompt"]), self.bucket_quantum,
+                             self.max_prompt_len)
+
+    def _get_compiled(self, plen: int):
+        hit = self._compiled.get(plen)
+        if hit is not None:
+            return hit
+        from mmada_parallel_tpu.samplers.mmu import mmu_generate
+        fn = jax.jit(lambda p, i, m, k: mmu_generate(
+            p, self.cfg, i, self.opts, attn_mask=m, key=k))
+        self._compiled[plen] = fn
+        return fn
+
+    def _serve_group(self, plen: int, group: List[_Pending]) -> None:
+        B = self._batch_size
+        fn = self._get_compiled(plen)
+        ids = np.zeros((B, plen), np.int32)
+        mask = np.zeros((B, plen), bool)
+        for i in range(B):
+            p = group[min(i, len(group) - 1)]
+            prompt = p.payload["prompt"]
+            ids[i, :len(prompt)] = prompt
+            ids[i, len(prompt):] = self.tokens.eos
+            mask[i, :len(prompt)] = True
+        if self._deterministic:
+            sub = None
+        else:
+            self._key, sub = jax.random.split(self._key)
+        out = np.asarray(fn(self.params, jnp.asarray(ids),
+                            jnp.asarray(mask), sub))
+        self._stats["requests"] += len(group)
+        self._stats["batches"] += 1
+        self._stats["batched_rows"] += B
+        for i, p in enumerate(group):
+            text_ids = out[i, plen:]
+            text = text_ids
+            if self.tokenizer is not None and hasattr(self.tokenizer,
+                                                      "decode"):
+                keep = [int(t) for t in text_ids
+                        if int(t) != self.opts.mask_token]
+                text = self.tokenizer.decode(keep, skip_special_tokens=True)
+            p.result = {"text_ids": text_ids, "text": text}
             p.event.set()

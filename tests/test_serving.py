@@ -279,7 +279,8 @@ def test_http_serve_cli_variant_m(model, monkeypatch):
             "--batch_size", "2", "--num_vq_tokens", str(N_VQ),
             "--max_seq_length", str(MSL), "--text_steps", "8",
             "--image_steps", "4", "--text_cfg", "1.5", "--image_cfg", "2.0",
-            "--max_wait_ms", "50"]
+            "--max_wait_ms", "50", "--t2i_guidance", "1.5",
+            "--mmu_max_new_tokens", "8", "--mmu_block_length", "4"]
 
     from http.server import ThreadingHTTPServer
     started = {}
@@ -311,6 +312,13 @@ def test_http_serve_cli_variant_m(model, monkeypatch):
                                "image_tokens": [1, 5, 9, 2, 7, 3]})
     assert len(out["codes"]) == N_VQ
     assert len(out["text"]) == MSL
+    # sibling endpoints over the same params
+    out = post("/t2i", {"text_ids": list(range(10, 14))})
+    assert len(out["codes"]) == N_VQ
+    assert all(0 <= c < CB for c in out["codes"])
+    out = post("/mmu", {"prompt_ids": [TOK_M.soi] + [TVS + 1] * N_VQ
+                        + [TOK_M.eoi, TOK_M.bos, 12, TOK_M.eos]})
+    assert len(out["text"]) == 8        # --mmu_max_new_tokens below
     # wrong endpoint for the variant -> 404
     with pytest.raises(urllib.error.HTTPError):
         post("/edit", {"prompt_ids": [1, 2]})
@@ -491,5 +499,91 @@ def test_interleave_server_with_sharded_params(model):
         want_text, want_codes = _m_solo(cfg, params, instr, codes)
         np.testing.assert_array_equal(r["text_ids"], want_text)
         np.testing.assert_array_equal(r["codes"], want_codes)
+    finally:
+        server.close()
+
+
+# ---------------------------------------------------------------------------
+# T2IServer / MMUServer (variant M)
+# ---------------------------------------------------------------------------
+
+from mmada_parallel_tpu.samplers.t2i import T2IOptions, t2i_generate
+from mmada_parallel_tpu.samplers.mmu import MMUOptions, mmu_generate
+from mmada_parallel_tpu.serving import T2IServer, MMUServer
+
+
+def test_t2i_server_matches_solo(model):
+    """Ragged co-batched t2i requests equal their unpadded solo runs."""
+    cfg, params = model
+    opts = T2IOptions(timesteps=4, temperature=0.0, guidance_scale=1.5,
+                      text_vocab_size=TVS, codebook_size=CB, mask_token=MASK)
+    n_vq = 6
+    server = T2IServer(params, cfg, opts, num_vq_tokens=n_vq, batch_size=2,
+                       max_wait_ms=100.0, bucket_quantum=8, tokens=TOK_M)
+    try:
+        reqs = [list(range(10, 13)), list(range(30, 36))]
+        results = [None] * 2
+
+        def call(i):
+            results[i] = server.submit(reqs[i], timeout=300)
+
+        threads = [threading.Thread(target=call, args=(i,))
+                   for i in range(2)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+
+        for i, text in enumerate(reqs):
+            temp = [TOK_M.t2i, TOK_M.bos] + text + [TOK_M.eos]
+            tail = [TOK_M.soi] + [MASK] * n_vq + [TOK_M.eoi]
+            ids = np.asarray(temp + tail, np.int32)
+            un = np.asarray([TOK_M.t2i, TOK_M.bos, TOK_M.eos]
+                            + [TOK_M.eos] * (len(temp) - 3) + tail, np.int32)
+            um = np.ones(len(ids), bool)
+            um[3:len(temp)] = False
+            want = np.asarray(t2i_generate(
+                params, cfg, jnp.asarray(ids)[None], jnp.asarray(un)[None],
+                prompt_len=len(temp), num_vq_tokens=n_vq, opts=opts,
+                attn_mask=jnp.ones((1, len(ids)), bool),
+                uncond_attn_mask=jnp.asarray(um)[None], key=None))[0]
+            np.testing.assert_array_equal(results[i]["codes"], want,
+                                          err_msg=f"row {i}")
+        assert server.stats()["requests"] == 2
+    finally:
+        server.close()
+
+
+def test_mmu_server_matches_solo(model):
+    cfg, params = model
+    opts = MMUOptions(max_new_tokens=8, steps=8, block_length=4,
+                      temperature=0.0, cfg_scale=0.0, mask_token=MASK)
+    server = MMUServer(params, cfg, opts, batch_size=2, max_wait_ms=100.0,
+                       bucket_quantum=8, tokens=TOK_M)
+    try:
+        prompts = [
+            [TOK_M.mmu, TOK_M.soi] + list(range(TVS, TVS + 4))
+            + [TOK_M.eoi, TOK_M.bos, 11, 12, TOK_M.eos],
+            [TOK_M.mmu, TOK_M.soi] + list(range(TVS + 8, TVS + 12))
+            + [TOK_M.eoi, TOK_M.bos, 21, TOK_M.eos],
+        ]
+        results = [None] * 2
+
+        def call(i):
+            results[i] = server.submit(prompts[i], timeout=300)
+
+        threads = [threading.Thread(target=call, args=(i,))
+                   for i in range(2)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+
+        for i, prompt in enumerate(prompts):
+            want = np.asarray(mmu_generate(
+                params, cfg, jnp.asarray(prompt, np.int32)[None],
+                opts=opts, key=None))[0][len(prompt):]
+            np.testing.assert_array_equal(results[i]["text_ids"], want,
+                                          err_msg=f"row {i}")
     finally:
         server.close()
