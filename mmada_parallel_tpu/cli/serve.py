@@ -239,6 +239,10 @@ def main(argv=None):
         lens = [int(x) for x in args.warmup.split(",") if x]
         print(f"[serve] warming up buckets for prompt lens {lens} ...")
         server.warmup(lens)
+        if t2i_server is not None:
+            t2i_server.warmup(lens)
+        if mmu_server is not None:
+            mmu_server.warmup(lens)
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *a):  # quiet

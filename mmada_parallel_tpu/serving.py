@@ -36,7 +36,6 @@ Design notes (TPU-first):
 from __future__ import annotations
 
 import dataclasses
-import functools
 import queue
 import threading
 import time
@@ -538,10 +537,8 @@ class T2IServer(_BatchServerBase):
 
     def _temp(self, text_ids: Sequence[int]) -> List[int]:
         """``[t2i] bos text eos`` (prompting.py t2i template)."""
-        ids = list(text_ids)
-        if not ids or ids[0] != self._bos:
-            ids = [self._bos] + ids
-        return [self.tokens.t2i] + ids + [self._eos]
+        return [self.tokens.t2i] + tk.normalize_text_ids(
+            text_ids, self._bos, self._eos)
 
     def submit(self, text_ids: Sequence[int],
                timeout: Optional[float] = None) -> Dict[str, Any]:
@@ -565,6 +562,22 @@ class T2IServer(_BatchServerBase):
             attn_mask=m, uncond_attn_mask=um, key=k))
         self._compiled[plen] = fn
         return fn
+
+    def warmup(self, text_lens: Sequence[int]) -> None:
+        """AOT-compile the expected text-length buckets (lengths are
+        templated — +2/+3 tokens — before bucketing, matching ``submit``)."""
+        for n in text_lens:
+            plen = self._bucket_of({"temp": self._temp([0] * n)})
+            fn = self._get_compiled(plen)
+            if not hasattr(fn, "lower"):
+                continue
+            L = plen + self.num_vq_tokens + 2
+            ids_s = jax.ShapeDtypeStruct((self._batch_size, L), jnp.int32)
+            mask_s = jax.ShapeDtypeStruct((self._batch_size, L), jnp.bool_)
+            key_s = None if self._deterministic else jax.eval_shape(
+                lambda: jax.random.key(0))
+            self._compiled[plen] = fn.lower(self.params, ids_s, ids_s,
+                                            mask_s, mask_s, key_s).compile()
 
     def _serve_group(self, plen: int, group: List[_Pending]) -> None:
         B = self._batch_size
@@ -610,7 +623,9 @@ class MMUServer(_BatchServerBase):
     ``UniversalPrompting.mmu``) and returns ``{"text_ids", "text"}`` — the
     generated answer span.  Ragged prompts bucket by length; pads are
     hidden via the sampler's ``attn_mask`` path so each row equals its
-    unpadded solo run.
+    unpadded solo run.  With ``cfg_scale > 0`` the sampler's CFG path is
+    maskless (reference quirk), so requests group by EXACT prompt length
+    instead — no hidden padding ever reaches it.
     """
 
     def __init__(self, params: Any, cfg: LLaDAConfig, opts: Any = None,
@@ -640,6 +655,11 @@ class MMUServer(_BatchServerBase):
         return self._submit({"prompt": list(prompt_ids)}, timeout)
 
     def _bucket_of(self, payload) -> int:
+        if self.opts.cfg_scale > 0:
+            # mmu_generate's CFG path runs maskless (reference quirk,
+            # modeling_mmada.py:661) — group by EXACT length so bucket
+            # padding never becomes attended tokens
+            return len(payload["prompt"])
         return _round_bucket(len(payload["prompt"]), self.bucket_quantum,
                              self.max_prompt_len)
 
@@ -652,6 +672,21 @@ class MMUServer(_BatchServerBase):
             p, self.cfg, i, self.opts, attn_mask=m, key=k))
         self._compiled[plen] = fn
         return fn
+
+    def warmup(self, prompt_lens: Sequence[int]) -> None:
+        """AOT-compile the expected prompt-length buckets."""
+        for n in prompt_lens:
+            plen = self._bucket_of({"prompt": [0] * n})
+            fn = self._get_compiled(plen)
+            if not hasattr(fn, "lower"):
+                continue
+            ids_s = jax.ShapeDtypeStruct((self._batch_size, plen), jnp.int32)
+            mask_s = jax.ShapeDtypeStruct((self._batch_size, plen),
+                                          jnp.bool_)
+            key_s = None if self._deterministic else jax.eval_shape(
+                lambda: jax.random.key(0))
+            self._compiled[plen] = fn.lower(self.params, ids_s, mask_s,
+                                            key_s).compile()
 
     def _serve_group(self, plen: int, group: List[_Pending]) -> None:
         B = self._batch_size

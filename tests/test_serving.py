@@ -538,10 +538,13 @@ def test_t2i_server_matches_solo(model):
             temp = [TOK_M.t2i, TOK_M.bos] + text + [TOK_M.eos]
             tail = [TOK_M.soi] + [MASK] * n_vq + [TOK_M.eoi]
             ids = np.asarray(temp + tail, np.int32)
-            un = np.asarray([TOK_M.t2i, TOK_M.bos, TOK_M.eos]
-                            + [TOK_M.eos] * (len(temp) - 3) + tail, np.int32)
+            # uncond is LEFT-padded with ipad like the server/reference
+            # template (prompting_utils.py t2i_gen), pads mask-hidden
+            un = np.asarray([TOK_M.ipad] * (len(temp) - 3)
+                            + [TOK_M.t2i, TOK_M.bos, TOK_M.eos] + tail,
+                            np.int32)
             um = np.ones(len(ids), bool)
-            um[3:len(temp)] = False
+            um[:len(temp) - 3] = False
             want = np.asarray(t2i_generate(
                 params, cfg, jnp.asarray(ids)[None], jnp.asarray(un)[None],
                 prompt_len=len(temp), num_vq_tokens=n_vq, opts=opts,
