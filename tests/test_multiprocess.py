@@ -67,3 +67,109 @@ def test_two_process_rendezvous_and_allgather(tmp_path):
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc {pid} failed:\n{out}"
         assert "allgather ok" in out
+
+
+_CHILD_TRAIN = r"""
+import sys
+import numpy as np
+import jax
+jax.config.update("jax_platforms", "cpu")
+
+coordinator, pid = sys.argv[1], int(sys.argv[2])
+
+from mmada_parallel_tpu.parallel import init_distributed
+init_distributed(coordinator=coordinator, num_processes=2, process_id=pid)
+assert jax.process_count() == 2 and jax.device_count() == 8, (
+    jax.process_count(), jax.device_count())
+
+import jax.numpy as jnp
+from jax.sharding import NamedSharding
+from mmada_parallel_tpu.models import (LLaDAConfig, init_llada_params,
+                                       llada_forward, param_shardings)
+from mmada_parallel_tpu.parallel import (MeshConfig, make_mesh,
+                                         batch_sharding)
+from mmada_parallel_tpu.training.losses import m_interleave_loss
+from mmada_parallel_tpu.training.trainer import (OptimizerConfig,
+                                                 make_optimizer,
+                                                 make_train_step,
+                                                 create_sharded_state,
+                                                 state_shardings)
+
+mesh = make_mesh(MeshConfig(data=2, fsdp=2, tensor=2))  # global 8 devices
+msl, n_vq = 8, 8
+cfg = LLaDAConfig.tiny(d_model=64, n_heads=4, n_kv_heads=4,
+                       mlp_hidden_size=128, vocab_size=512)
+params = init_llada_params(jax.random.key(0), cfg)     # same on both procs
+opt = make_optimizer(OptimizerConfig(lr=1e-3), params)
+state, p_specs, o_specs = create_sharded_state(
+    params, opt, param_shardings(cfg), mesh, "full")
+
+def loss_fn(p, batch, key):
+    ids, labels, t = batch
+    logits = llada_forward(p, cfg, ids)
+    out = m_interleave_loss(logits, labels, t, msl, n_vq)
+    return out["loss"], {"text_loss": out["text_loss"],
+                         "image_loss": out["image_loss"]}
+
+out_sh = (state_shardings(state.params, state.opt_state, p_specs, o_specs,
+                          mesh), NamedSharding(mesh, jax.sharding.PartitionSpec()))
+step = jax.jit(make_train_step(loss_fn, opt, accum_steps=1),
+               out_shardings=out_sh)
+
+B, L = 8, 4 + n_vq + msl
+rng = np.random.default_rng(0)                         # same on both procs
+ids = rng.integers(0, 500, (B, L)).astype(np.int32)
+labels = np.where(rng.uniform(size=(B, L)) < 0.3,
+                  rng.integers(0, 500, (B, L)), -100).astype(np.int32)
+t = rng.uniform(0.1, 1.0, (B,)).astype(np.float32)
+
+bsh = batch_sharding(mesh)
+def put(a, sh):
+    return jax.make_array_from_callback(a.shape, sh, lambda idx: a[idx])
+batch = (put(ids, bsh), put(labels, bsh),
+         put(t, NamedSharding(mesh, jax.sharding.PartitionSpec(("data", "fsdp")))))
+
+new_state, metrics = step(state, batch, jax.random.key(1))
+loss = float(metrics["loss"])
+assert np.isfinite(loss), loss
+assert int(new_state.step) == 1
+
+# both processes must agree on the (fully-replicated) loss
+from jax.experimental import multihost_utils
+losses = multihost_utils.process_allgather(np.asarray([loss]))
+assert np.allclose(losses, losses[0]), losses
+print(f"proc {pid}: train step ok loss={loss:.4f}")
+"""
+
+
+def test_two_process_sharded_train_step(tmp_path):
+    """A FULL GSPMD train step (forward+loss+backward+optimizer) across 2
+    real processes x 4 virtual CPU devices each — the multi-host analogue
+    of ``__graft_entry__.dryrun_multichip`` (ref ``finetune.py:371-413``)."""
+    port = _free_port()
+    coordinator = f"127.0.0.1:{port}"
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    flags = [f for f in env.get("XLA_FLAGS", "").split()
+             if "host_platform_device_count" not in f]
+    env["XLA_FLAGS"] = " ".join(
+        flags + ["--xla_force_host_platform_device_count=4"])
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+
+    procs = [subprocess.Popen(
+        [sys.executable, "-c", _CHILD_TRAIN, coordinator, str(pid)],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        text=True) for pid in range(2)]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=300)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail("multi-process train step timed out")
+        outs.append(out)
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {pid} failed:\n{out}"
+        assert "train step ok" in out
