@@ -96,7 +96,7 @@ def write_grid_pickles(out_dir, n_items, rng):
 
 
 def run_demo_a(steps=600, batch=32, lr=3e-3, out_dir=None, seed=0,
-               log_every=50, work_dir=None):
+               log_every=50, work_dir=None, return_params=False):
     import jax
     import jax.numpy as jnp
     from mmada_parallel_tpu import tokens as tk
@@ -224,6 +224,8 @@ def run_demo_a(steps=600, batch=32, lr=3e-3, out_dir=None, seed=0,
                          os.path.join(out_dir, f"sample{r}_target.png"))
             render_codes(gen_codes[r],
                          os.path.join(out_dir, f"sample{r}_generated.png"))
+    if return_params:
+        return metrics, state.params, cfg, T, tokz
     return metrics
 
 
