@@ -460,6 +460,20 @@ def test_http_serve_cli_variant_a_image_b64(model, monkeypatch):
     assert "httpd" in started, "server did not start"
     port = started["httpd"].server_address[1]
 
+    # malformed requests (bad JSON, bad b64) get error statuses without
+    # wedging the worker...
+    for body in (b"{not json", json.dumps(
+            {"prompt_ids": [1, 2], "image_b64": "!!!notb64"}).encode()):
+        bad = urllib.request.Request(
+            f"http://127.0.0.1:{port}/edit", data=body,
+            headers={"Content-Type": "application/json"})
+        try:
+            urllib.request.urlopen(bad, timeout=60)
+            assert False, "expected an error status"
+        except urllib.error.HTTPError as e:
+            assert e.code in (400, 500)
+
+    # ...and the next valid request still serves
     buf = io.BytesIO()
     Image.new("RGB", (40, 40), (40, 120, 220)).save(buf, "PNG")
     req = urllib.request.Request(
