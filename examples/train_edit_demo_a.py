@@ -95,6 +95,23 @@ def write_grid_pickles(out_dir, n_items, rng):
     return items
 
 
+def assemble_eval_sequence(tokz, T, codes_in):
+    """Reference TI2TI inference template for one input grid; returns
+    ``(ids, layout, ans_len)`` — shared by the demo eval loop and
+    ``pararl_resteer_demo.py``."""
+    from mmada_parallel_tpu import tokens as tk
+    cond, _ = tk.make_ti2ti_prompt("shift the palette by", "edit")
+    prompt_ids = tokz(cond)["input_ids"]
+    end_ids = tokz("</answer>", add_special_tokens=False)["input_ids"]
+    ans_len = len(tokz("rotated colors done")["input_ids"])  # bos..eos
+    span = tk.add_break_line((np.asarray(codes_in) + TVS).tolist(), GRID,
+                             GRID, T.newline)
+    con = prompt_ids[:-1] + [T.boi] + span + [T.eoi] + prompt_ids[-1:]
+    ids, lay = tk.assemble_ti2ti_sequence(con, ans_len, GRID, GRID, end_ids,
+                                          tokens=T)
+    return ids, lay, ans_len
+
+
 def run_demo_a(steps=600, batch=32, lr=3e-3, out_dir=None, seed=0,
                log_every=50, work_dir=None, return_params=False):
     import jax
@@ -118,8 +135,9 @@ def run_demo_a(steps=600, batch=32, lr=3e-3, out_dir=None, seed=0,
                            mask_token_id=T.mask)
     params = init_llada_params(jax.random.key(seed), cfg)
 
+    import tempfile
     work = work_dir or (out_dir and os.path.join(out_dir, "grids")) \
-        or "/tmp/edit_demo_a_grids"
+        or tempfile.mkdtemp(prefix="edit_demo_a_grids_")  # per-run scratch
     rng = np.random.default_rng(seed)
     items = write_grid_pickles(work, 256, rng)
     proc = AItemProcessor(tokenizer=tokz, tokens=T, uncondition_prob=0.0,
@@ -170,10 +188,7 @@ def run_demo_a(steps=600, batch=32, lr=3e-3, out_dir=None, seed=0,
     train_s = time.time() - t0
 
     # ---- generation via the reference TI2TI template ----
-    cond, _ = tk.make_ti2ti_prompt("shift the palette by", "edit")
-    prompt_ids = tokz(cond)["input_ids"]
-    end_ids = tokz("</answer>", add_special_tokens=False)["input_ids"]
-    ans_len = len(tokz("rotated colors done")["input_ids"])  # bos..eos
+    _, _, ans_len = assemble_eval_sequence(tokz, T, np.zeros(N_VQ, int))
     opts = TI2TIOptions(text_steps=ans_len, timesteps=8, temperature=0.0,
                         text_temperature=0.0, cfg_scale=0.0, cfg_img=0.0,
                         text_vocab_size=TVS, codebook_size=CB,
@@ -183,12 +198,7 @@ def run_demo_a(steps=600, batch=32, lr=3e-3, out_dir=None, seed=0,
     accs, gen_codes, gen_texts, inputs = [], [], [], []
     for _ in range(4):
         codes_in = eval_rng.integers(0, CB, N_VQ)
-        span = tk.add_break_line((codes_in + TVS).tolist(), GRID, GRID,
-                                 T.newline)
-        con_prompt = (prompt_ids[:-1] + [T.boi] + span + [T.eoi]
-                      + prompt_ids[-1:])
-        ids, lay = tk.assemble_ti2ti_sequence(con_prompt, ans_len, GRID,
-                                              GRID, end_ids, tokens=T)
+        ids, lay, _ = assemble_eval_sequence(tokz, T, codes_in)
         fin, out_codes = generate_ti2ti(
             state.params, cfg, jnp.asarray(ids)[None], lay, opts)
         got = np.asarray(out_codes)[0]   # generate_ti2ti returns raw codes

@@ -39,7 +39,8 @@ def main(argv=None):
     from mmada_parallel_tpu.parallel import MeshConfig, make_mesh, shard_params
     from mmada_parallel_tpu.samplers.parallel_ti2ti import TI2TIOptions
     from mmada_parallel_tpu.training.pararl import (rollout_ti2ti,
-                                                    pararl_loss, RewardSpec)
+                                                    pararl_loss, RewardSpec,
+                                                    extract_image_codes)
     from mmada_parallel_tpu.training.trainer import (OptimizerConfig,
                                                      make_optimizer,
                                                      make_train_step,
@@ -138,9 +139,9 @@ def main(argv=None):
                               for j in range(args.rollouts_per_step)])
         key, k1, k2 = jax.random.split(key, 3)
         final_ids, traj = rollout(state.params, jnp.asarray(batch_ids), k1)
-        img_pos = layout.image_positions()
-        codes = jnp.clip(final_ids[:, img_pos] - T.text_vocab_size, 0,
-                         T.codebook_size - 1)
+        codes = extract_image_codes(final_ids, layout.image_positions(),
+                                    T.text_vocab_size, T.codebook_size,
+                                    opts.mask_token)
         rw = rewards(final_ids, codes)
         state, metrics = step(state, (traj, rw), k2)
         if it % 10 == 0:

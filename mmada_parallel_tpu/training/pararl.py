@@ -39,8 +39,8 @@ from mmada_parallel_tpu.samplers.parallel_ti2ti import (TI2TIOptions,
 from mmada_parallel_tpu.tokens import SequenceLayout
 
 __all__ = ["rollout_ti2ti", "trajectory_log_prob", "pararl_loss",
-           "RewardSpec", "code_diversity_reward", "make_target_match_reward",
-           "make_keyword_reward"]
+           "RewardSpec", "extract_image_codes", "code_diversity_reward",
+           "make_target_match_reward", "make_keyword_reward"]
 
 
 @dataclasses.dataclass
@@ -67,12 +67,32 @@ class RewardSpec:
 # ---------------------------------------------------------------------------
 
 
+def extract_image_codes(final_ids, image_positions, text_vocab_size: int,
+                        codebook_size: int, mask_token: int) -> jax.Array:
+    """Reward-side code extraction: ``[B, N_vq]`` raw codes with ``-1`` at
+    still-masked cells.
+
+    The sampler's re-mask can leave cells masked through the final step;
+    clipping ``mask_token - text_vocab_size`` into range would alias those
+    cells to a real code (0 at the usual offsets) and grant unearned
+    target-match reward for generating nothing.  ``-1`` never matches a
+    target and is excluded by :func:`code_diversity_reward`.
+    """
+    img_pos = jnp.asarray(image_positions, jnp.int32)
+    raw = final_ids[:, img_pos]
+    codes = jnp.clip(raw - text_vocab_size, 0, codebook_size - 1)
+    return jnp.where(raw == mask_token, -1, codes)
+
+
 def code_diversity_reward(final_ids, codes, meta=None) -> jax.Array:
     """Fraction of distinct codebook entries per image — penalizes the
-    collapsed-image failure mode."""
+    collapsed-image failure mode.  Cells marked ``-1`` (still masked, see
+    :func:`extract_image_codes`) count as neither a code nor a slot."""
+    valid = codes >= 0
     s = jnp.sort(codes, axis=-1)
     distinct = 1 + (jnp.diff(s, axis=-1) != 0).sum(axis=-1)
-    return distinct / codes.shape[-1]
+    distinct = distinct - (~valid).any(axis=-1).astype(distinct.dtype)
+    return distinct / jnp.maximum(valid.sum(axis=-1), 1)
 
 
 def make_target_match_reward(target_codes) -> Callable:
