@@ -76,3 +76,16 @@ def test_concrete_rewards_shapes():
     np.testing.assert_allclose(np.asarray(tm), [0.75, 0.0])
     kw = make_keyword_reward([10, 30], 1, 5)(ids, codes)
     np.testing.assert_allclose(np.asarray(kw), [0.5, 1.0])
+
+
+def test_train_pararl_cli_smoke(tmp_path):
+    """cli/train_pararl main runs end-to-end on the tiny default model
+    (covers the shared extract_image_codes wiring)."""
+    from mmada_parallel_tpu.cli import train_pararl
+
+    train_pararl.main([
+        "--output_dir", str(tmp_path), "--steps", "2",
+        "--rollouts_per_step", "2", "--text_steps", "4", "--timesteps", "2",
+        "--grid", "2", "--text_gen_length", "4", "--traj_subsample", "2",
+        "--lr", "1e-4"])
+    assert (tmp_path / "ckpt").is_dir()
