@@ -31,7 +31,7 @@ from mmada_parallel_tpu.models.llada import llada_head, llada_hidden
 from mmada_parallel_tpu.tokens import SequenceLayout
 
 __all__ = ["generate_ti2ti_stepwise", "decode_text_with_masks",
-           "t2i_generate_stepwise"]
+           "t2i_generate_stepwise", "interleave_generate_stepwise"]
 
 
 def decode_text_with_masks(ids: np.ndarray, layout: SequenceLayout,
@@ -263,3 +263,84 @@ def t2i_generate_stepwise(
         still = cur == opts.mask_token
         codes = np.clip(np.asarray(sampled)[0], 0, cb - 1)
         yield step + 1, codes, still
+
+
+def interleave_generate_stepwise(
+    params: Dict[str, Any],
+    cfg: LLaDAConfig,
+    input_ids: np.ndarray,
+    uncond_input_ids: np.ndarray,
+    layout: SequenceLayout,
+    opts: Any = None,
+    key: Optional[jax.Array] = None,
+    yield_every: int = 5,
+) -> Iterator[Tuple[int, np.ndarray, np.ndarray, np.ndarray]]:
+    """M-variant streaming generation: yields ``(step, ids, image_codes,
+    still_masked)`` per streamed step.
+
+    The step math is EXACTLY :func:`~mmada_parallel_tpu.samplers.\
+interleave.interleave_generate`'s (both consume ``_make_update_core``), so
+    at temperature 0 the final frame equals the fused sampler's output
+    token-for-token; only the driving loop differs (one dispatch per step —
+    the right shape for a human-latency demo stream).
+    """
+    from mmada_parallel_tpu.samplers.interleave import (InterleaveOptions,
+                                                        _make_update_core)
+    opts = opts if opts is not None else InterleaveOptions()
+    ids = jnp.asarray(input_ids)
+    if ids.ndim == 1:
+        ids = ids[None]
+    un = jnp.asarray(uncond_input_ids)
+    if un.ndim == 1:
+        un = un[None]
+    B, L = ids.shape
+    ts, te = layout.text_start, layout.text_end
+    ist, ien = layout.image_start, layout.image_end
+    n_vq = ien - ist
+    prompt_len = layout.code_start
+    tvs, cb = opts.text_vocab_size, opts.codebook_size
+
+    steps = opts.text_steps
+    sched = S.get_mask_schedule(opts.schedule)
+    ratios = (jnp.arange(steps, dtype=jnp.float32) + 1) / steps
+    mask_ratios = sched(ratios)
+    img_temps = opts.image_temperature * (1.0 - ratios)
+    img_step = S.image_step_mask(steps, opts.image_steps)
+    img_step_np = np.asarray(img_step)
+
+    masked0 = (ids[:, ts:te] == opts.mask_token).sum(axis=1)
+    budgets = S.get_num_transfer_tokens_frontloaded(masked0, steps)
+    uncond_prompt = un[:, :prompt_len]
+    apply_updates = _make_update_core(opts, layout, mask_ratios, img_temps,
+                                      img_step)
+
+    @jax.jit
+    def one_step(ids, last_sampled, step_idx, budget, k):
+        keys = jax.random.split(k, 5) if k is not None else (None,) * 5
+        uncond_ids = jnp.concatenate(
+            [uncond_prompt, ids[:, prompt_len:]], axis=1)
+        both = jnp.concatenate([ids, uncond_ids], axis=0)
+        hidden = llada_hidden(params, cfg, both)
+        text_h = jax.lax.dynamic_slice_in_dim(hidden, ts, te - ts, axis=1)
+        text_logits = llada_head(params, cfg, text_h)
+        img_h = jax.lax.dynamic_slice_in_dim(hidden, ist, n_vq, axis=1)
+        vq = llada_head(params, cfg, img_h, vocab_slice=(tvs, cb))
+        return apply_updates(ids, last_sampled, text_logits[:B],
+                             text_logits[B:], vq[:B], vq[B:], step_idx,
+                             budget, keys, have_key=k is not None)
+
+    last_sampled = jnp.zeros((B, n_vq), ids.dtype)
+    for step in range(steps):
+        if key is not None:
+            key, k1 = jax.random.split(key)
+        else:
+            k1 = None
+        ids, last_sampled = one_step(ids, last_sampled,
+                                     jnp.asarray(step), budgets[:, step], k1)
+        if (bool(img_step_np[step]) or step % yield_every == 0
+                or step == steps - 1):
+            ids_np = np.asarray(ids)[0]
+            img_tokens = ids_np[ist:ien]
+            still_masked = img_tokens == opts.mask_token
+            codes = np.asarray(jnp.clip(last_sampled[0], 0, cb - 1))
+            yield step + 1, ids_np, codes, still_masked

@@ -88,3 +88,24 @@ def test_cached_interleave_batched(model):
         np.testing.assert_array_equal(np.asarray(fin2)[r], np.asarray(f1)[0])
         np.testing.assert_array_equal(np.asarray(codes2)[r],
                                       np.asarray(c1)[0])
+
+
+def test_interleave_stepwise_matches_fused(model):
+    """The streaming M sampler's final frame equals the fused exact
+    sampler token-for-token (both consume _make_update_core)."""
+    from mmada_parallel_tpu.samplers.stepwise import (
+        interleave_generate_stepwise)
+
+    cfg, params = model
+    ids, un_ids, lay, opts = _setup()
+    want_ids, want_codes = interleave_generate(
+        params, cfg, jnp.asarray(ids)[None], jnp.asarray(un_ids)[None],
+        lay, opts, key=None)
+    frames = list(interleave_generate_stepwise(
+        params, cfg, ids, un_ids, lay, opts, key=None, yield_every=3))
+    assert frames[-1][0] == opts.text_steps
+    # a mid-trajectory frame still has masked cells; the final one decodes
+    # per the sampler contract (>=1 image cell may stay masked by design)
+    assert frames[0][3].any()
+    np.testing.assert_array_equal(frames[-1][1], np.asarray(want_ids)[0])
+    np.testing.assert_array_equal(frames[-1][2], np.asarray(want_codes)[0])
