@@ -231,7 +231,7 @@ class InterleavePipeline:
         elapsed = time.time() - t0
 
         text_ids = [int(t) for t in np.asarray(fin)[0][layout.text_start:]
-                    if int(t) != T.mask]
+                    if int(t) != self.tokens.mask]
         text = self.tokenizer.decode(text_ids, skip_special_tokens=True) \
             if hasattr(self.tokenizer, "decode") else text_ids
         px_out = np.asarray(self._decode(jnp.asarray(out_codes)))
