@@ -615,3 +615,35 @@ def test_t2i_matches_reference_method_code(ref_mmada, monkeypatch):
                            key=None)
         np.testing.assert_array_equal(np.asarray(got)[0],
                                       ref_codes.numpy()[0], err_msg=str(seed))
+
+
+def test_mmu_fast_matches_reference_method_code(ref_mmada):
+    """The reference's ``mmu_generate_fast`` eot early-exit loop
+    (``modeling_mmada.py:694-766``) vs the JAX while_loop variant — both
+    must agree token-exactly whether or not the early exit fires."""
+    from mmada_parallel_tpu.samplers.mmu import MMUOptions, mmu_generate_fast
+
+    cfg = LLaDAConfig.tiny(d_model=32, n_heads=2, n_kv_heads=2, n_layers=1,
+                           mlp_hidden_size=64, vocab_size=TVS_M + CB_M,
+                           mask_token_id=TOK_M.mask)
+    prompt = [TOK_M.mmu, TOK_M.soi, TVS_M + 3, TVS_M + 9, TOK_M.eoi,
+              TOK_M.bos, 41, 42, TOK_M.eos]
+    opts = MMUOptions(max_new_tokens=8, steps=8, block_length=4,
+                      temperature=0.0, cfg_scale=0.0, mask_token=TOK_M.mask)
+    for seed in (21, 23):
+        params = init_llada_params(jax.random.key(seed), cfg)
+        stub = _StubMMada(params, cfg, TOK_M.mask)
+        stub.device = "cpu"
+        # pick the first block's actual end token as eot for one seed so
+        # the early-exit path fires; an unused id for the other
+        for eot in (TOK_M.eos, 123):
+            ref_x = ref_mmada.MMadaModelLM.mmu_generate_fast(
+                stub, idx=torch.tensor([prompt], dtype=torch.long),
+                max_new_tokens=8, steps=8, block_length=4, temperature=0.0,
+                cfg_scale=0.0, mask_id=TOK_M.mask, eot_token=eot)
+            got = mmu_generate_fast(
+                params, cfg, jnp.asarray(prompt, jnp.int32)[None], opts,
+                eot_token=eot, key=None)
+            np.testing.assert_array_equal(np.asarray(got)[0],
+                                          ref_x.numpy()[0],
+                                          err_msg=f"seed={seed} eot={eot}")
