@@ -233,7 +233,7 @@ def run_demo(steps=1200, batch=32, lr=3e-3, out_dir=None, seed=0,
     metrics = {
         "task": "palette_shift (+1 mod codebook) edit",
         "steps": steps, "batch": batch, "train_seconds": round(train_s, 1),
-        "final_loss": curve[-1]["loss"],
+        "final_loss": curve[-1]["loss"] if curve else None,
         "eval_code_accuracy": round(float(np.mean(accs)), 4),
         "per_sample_accuracy": [round(a, 4) for a in accs],
         "generated_text": gen_texts,

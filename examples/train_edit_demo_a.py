@@ -135,9 +135,13 @@ def run_demo_a(steps=600, batch=32, lr=3e-3, out_dir=None, seed=0,
                            mask_token_id=T.mask)
     params = init_llada_params(jax.random.key(seed), cfg)
 
+    import atexit
+    import shutil
     import tempfile
-    work = work_dir or (out_dir and os.path.join(out_dir, "grids")) \
-        or tempfile.mkdtemp(prefix="edit_demo_a_grids_")  # per-run scratch
+    work = work_dir or (out_dir and os.path.join(out_dir, "grids"))
+    if not work:  # per-run scratch, removed at interpreter exit
+        work = tempfile.mkdtemp(prefix="edit_demo_a_grids_")
+        atexit.register(shutil.rmtree, work, ignore_errors=True)
     rng = np.random.default_rng(seed)
     items = write_grid_pickles(work, 256, rng)
     proc = AItemProcessor(tokenizer=tokz, tokens=T, uncondition_prob=0.0,
@@ -188,7 +192,7 @@ def run_demo_a(steps=600, batch=32, lr=3e-3, out_dir=None, seed=0,
     train_s = time.time() - t0
 
     # ---- generation via the reference TI2TI template ----
-    _, _, ans_len = assemble_eval_sequence(tokz, T, np.zeros(N_VQ, int))
+    ans_len = len(tokz("rotated colors done")["input_ids"])  # bos..eos
     opts = TI2TIOptions(text_steps=ans_len, timesteps=8, temperature=0.0,
                         text_temperature=0.0, cfg_scale=0.0, cfg_img=0.0,
                         text_vocab_size=TVS, codebook_size=CB,
@@ -213,7 +217,7 @@ def run_demo_a(steps=600, batch=32, lr=3e-3, out_dir=None, seed=0,
     metrics = {
         "task": "palette_shift (+1 mod codebook) edit, variant A",
         "steps": steps, "batch": batch, "train_seconds": round(train_s, 1),
-        "final_loss": curve[-1]["loss"],
+        "final_loss": curve[-1]["loss"] if curve else None,
         "eval_code_accuracy": round(float(np.mean(accs)), 4),
         "per_sample_accuracy": [round(a, 4) for a in accs],
         "generated_text": gen_texts,

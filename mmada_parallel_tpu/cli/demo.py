@@ -94,7 +94,11 @@ def run_stream_m(pipe, instruction: str, image, opts, seed: int,
 
     os.makedirs(output_dir, exist_ok=True)
     status = open(os.path.join(output_dir, "status.jsonl"), "w")
-    key = jax.random.key(seed) if seed else None
+    # seed=0 draws an OS-random key (InterleavePipeline.__call__ semantics:
+    # unseeded-but-stochastic, like the reference) instead of silently
+    # degrading temp>0 sampling to argmax
+    key = jax.random.key(seed if seed else
+                         int(np.random.randint(1, 2 ** 31)))
     for step, ids_np, codes, still_masked in interleave_generate_stepwise(
             pipe.llada_params, pipe.llada_cfg, ids, un_ids, layout, opts,
             key=key):
@@ -143,6 +147,9 @@ def main(argv=None):
     args = p.parse_args(argv)
 
     if args.variant == "m":
+        if args.serve:
+            print("[warn] --serve is not wired for --variant m yet; "
+                  "dumping frames instead")
         from PIL import Image
         from mmada_parallel_tpu.cli.infer_m import load_pipeline as load_m
         from mmada_parallel_tpu.samplers.interleave import InterleaveOptions

@@ -33,7 +33,7 @@ from mmada_parallel_tpu.ops import sampling as S
 from mmada_parallel_tpu.tokens import SequenceLayout
 
 __all__ = ["InterleaveOptions", "interleave_generate",
-           "interleave_generate_cached"]
+           "interleave_generate_cached", "make_interleave_heads"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -51,6 +51,25 @@ class InterleaveOptions:
     text_vocab_size: int = 126464         # len(text_tokenizer)
     codebook_size: int = 8192
     mask_token: int = 126336
+
+
+def make_interleave_heads(params, cfg, layout, opts, mask2b=None, pos2b=None):
+    """Batched cond+uncond forward -> (full-vocab text logits,
+    codebook-slice image logits) — the per-step forward shared by the
+    fused sampler and the streaming stepwise variant."""
+    ts, te = layout.text_start, layout.text_end
+    ist, ien = layout.image_start, layout.image_end
+    tvs, cb = opts.text_vocab_size, opts.codebook_size
+
+    def heads(ids2b):
+        hidden = llada_hidden(params, cfg, ids2b, mask2b, pos2b)
+        text_h = jax.lax.dynamic_slice_in_dim(hidden, ts, te - ts, axis=1)
+        text_logits = llada_head(params, cfg, text_h)
+        img_h = jax.lax.dynamic_slice_in_dim(hidden, ist, ien - ist, axis=1)
+        vq_logits = llada_head(params, cfg, img_h, vocab_slice=(tvs, cb))
+        return text_logits, vq_logits
+
+    return heads
 
 
 def _make_update_core(opts, layout, mask_ratios, img_temps, img_step):
@@ -183,15 +202,7 @@ def interleave_generate(
     else:
         mask2b = pos2b = None
 
-    def heads(ids2b):
-        """Batched cond+uncond forward -> full-vocab text logits and
-        codebook-slice image logits (positions the step consumes only)."""
-        hidden = llada_hidden(params, cfg, ids2b, mask2b, pos2b)
-        text_h = jax.lax.dynamic_slice_in_dim(hidden, ts, max_seq, axis=1)
-        text_logits = llada_head(params, cfg, text_h)       # [2B, max_seq, V]
-        img_h = jax.lax.dynamic_slice_in_dim(hidden, ist, n_vq, axis=1)
-        vq_logits = llada_head(params, cfg, img_h, vocab_slice=(tvs, cb))
-        return text_logits, vq_logits
+    heads = make_interleave_heads(params, cfg, layout, opts, mask2b, pos2b)
 
     apply_updates = _make_update_core(opts, layout, mask_ratios, img_temps,
                                       img_step)

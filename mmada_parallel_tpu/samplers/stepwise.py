@@ -285,8 +285,11 @@ interleave.interleave_generate`'s (both consume ``_make_update_core``), so
     the right shape for a human-latency demo stream).
     """
     from mmada_parallel_tpu.samplers.interleave import (InterleaveOptions,
-                                                        _make_update_core)
+                                                        _make_update_core,
+                                                        make_interleave_heads)
     opts = opts if opts is not None else InterleaveOptions()
+    if opts.remasking == "random" and key is None:
+        raise ValueError("remasking='random' requires a PRNG key")
     ids = jnp.asarray(input_ids)
     if ids.ndim == 1:
         ids = ids[None]
@@ -314,17 +317,15 @@ interleave.interleave_generate`'s (both consume ``_make_update_core``), so
     apply_updates = _make_update_core(opts, layout, mask_ratios, img_temps,
                                       img_step)
 
+    heads = make_interleave_heads(params, cfg, layout, opts)
+
     @jax.jit
     def one_step(ids, last_sampled, step_idx, budget, k):
         keys = jax.random.split(k, 5) if k is not None else (None,) * 5
         uncond_ids = jnp.concatenate(
             [uncond_prompt, ids[:, prompt_len:]], axis=1)
         both = jnp.concatenate([ids, uncond_ids], axis=0)
-        hidden = llada_hidden(params, cfg, both)
-        text_h = jax.lax.dynamic_slice_in_dim(hidden, ts, te - ts, axis=1)
-        text_logits = llada_head(params, cfg, text_h)
-        img_h = jax.lax.dynamic_slice_in_dim(hidden, ist, n_vq, axis=1)
-        vq = llada_head(params, cfg, img_h, vocab_slice=(tvs, cb))
+        text_logits, vq = heads(both)
         return apply_updates(ids, last_sampled, text_logits[:B],
                              text_logits[B:], vq[:B], vq[B:], step_idx,
                              budget, keys, have_key=k is not None)

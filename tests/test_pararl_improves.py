@@ -15,7 +15,7 @@ from mmada_parallel_tpu.models.llada import LLaDAConfig, init_llada_params
 from mmada_parallel_tpu.samplers.parallel_ti2ti import TI2TIOptions
 from mmada_parallel_tpu.training.pararl import (
     rollout_ti2ti, pararl_loss, RewardSpec, make_target_match_reward,
-    make_keyword_reward, code_diversity_reward)
+    make_keyword_reward, code_diversity_reward, extract_image_codes)
 from mmada_parallel_tpu.training.trainer import (
     OptimizerConfig, make_optimizer, make_train_step, TrainState)
 
@@ -56,7 +56,7 @@ def test_pararl_reward_improves():
     for _ in range(25):
         key, k1, k2 = jax.random.split(key, 3)
         fin, traj = rollout(state.params, batch_ids, k1)
-        codes = jnp.clip(fin[:, img_pos] - 256, 0, 31)
+        codes = extract_image_codes(fin, img_pos, 256, 32, 250)
         rw = reward(fin, codes)
         state, metrics = step(state, (traj, rw), k2)
         hist.append(float(metrics["reward_mean"]))
