@@ -647,3 +647,151 @@ def test_mmu_fast_matches_reference_method_code(ref_mmada):
             np.testing.assert_array_equal(np.asarray(got)[0],
                                           ref_x.numpy()[0],
                                           err_msg=f"seed={seed} eot={eot}")
+
+
+# ---------------------------------------------------------------------------
+# (d) M-variant forward_process_separate / _full_attn: the reference methods
+# (modeling_mmada.py:438-587) run against a mask-faithful stub model
+# ---------------------------------------------------------------------------
+
+
+class _MaskAwareStubMMada(_StubMMada):
+    """Stub ``self`` whose forward honors the 4-D ``attention_bias`` the
+    reference builds, by recovering its diagonal [B, L] padding mask (the
+    bias is always ``m[:, :, None] & m[:, None, :]``) and feeding it to the
+    same JAX forward the repo's loss functions use."""
+
+    def __call__(self, ids, attention_bias=None, **kw):
+        mask = None
+        if attention_bias is not None:
+            ab = attention_bias.bool()[:, 0]          # [B, L, L]
+            mask = jnp.asarray(
+                ab.diagonal(dim1=-2, dim2=-1).cpu().numpy())
+        logits = np.asarray(llada_forward(
+            self.params, self.cfg, jnp.asarray(ids.cpu().numpy()), mask))
+        return SimpleNamespace(logits=torch.from_numpy(logits))
+
+
+def _separate_task_batches(rng, mask_token, msl):
+    """Random per-task batches with ragged padding + masked positions."""
+    def ids_with_masks(B, L, n_pad):
+        ids = rng.integers(0, 200, (B, L))
+        for b in range(B):
+            lo = rng.integers(1, L - 4)
+            ids[b, lo:lo + 3] = mask_token
+        att = np.ones((B, L), np.int64)
+        att[:, L - n_pad:] = 0
+        labels = np.where(rng.uniform(size=(B, L)) < 0.6,
+                          rng.integers(0, 200, (B, L)), -100)
+        return ids.astype(np.int64), labels.astype(np.int64), att
+
+    t2i_ids, t2i_lab, t2i_att = ids_with_masks(2, msl + 1 + 6, 2)
+    lm_ids, lm_lab, lm_att = ids_with_masks(2, 12, 3)
+    mmu_ids, mmu_lab, mmu_att = ids_with_masks(2, 14, 4)
+    p_lm = rng.uniform(0.2, 0.9, lm_ids.shape)
+    p_mmu = rng.uniform(0.2, 0.9, mmu_ids.shape)
+    al_mmu = rng.integers(1, 8, mmu_ids.shape).astype(np.float64)
+    return ((t2i_ids, t2i_lab, t2i_att), (lm_ids, lm_lab, lm_att, p_lm),
+            (mmu_ids, mmu_lab, mmu_att, p_mmu, al_mmu))
+
+
+@pytest.mark.parametrize("full_attn", [False, True])
+def test_forward_process_separate_matches_reference(ref_mmada, full_attn):
+    """Both separate-flavor loss stacks vs the reference's actual methods:
+    ``forward_process_separate`` (per-task pairwise masks, t2i tail CE,
+    ref :438-516) and ``forward_process_separate_full_attn`` (maskless,
+    whole-sequence t2i CE, ref :518-587)."""
+    from mmada_parallel_tpu.training import m_tasks as MT
+
+    msl = 8
+    cfg = LLaDAConfig.tiny(d_model=32, n_heads=2, n_kv_heads=2, n_layers=1,
+                           mlp_hidden_size=64, vocab_size=TVS_M + CB_M,
+                           mask_token_id=TOK_M.mask)
+    params = init_llada_params(jax.random.key(31), cfg)
+    stub = _MaskAwareStubMMada(params, cfg, TOK_M.mask)
+    stub.device = torch.device("cpu")
+
+    rng = np.random.default_rng(7)
+    (t2i_ids, t2i_lab, t2i_att), (lm_ids, lm_lab, lm_att, p_lm), \
+        (mmu_ids, mmu_lab, mmu_att, p_mmu, al_mmu) = \
+        _separate_task_batches(rng, TOK_M.mask, msl)
+
+    method = (ref_mmada.MMadaModelLM.forward_process_separate_full_attn
+              if full_attn else
+              ref_mmada.MMadaModelLM.forward_process_separate)
+    _, ref_t2i, ref_lm, ref_mmu = method(
+        stub,
+        input_ids_t2i=torch.from_numpy(t2i_ids),
+        labels_t2i=torch.from_numpy(t2i_lab),
+        t2i_masks=torch.from_numpy(t2i_att),
+        input_ids_lm=torch.from_numpy(lm_ids),
+        labels_lm=torch.from_numpy(lm_lab),
+        p_mask_lm=torch.from_numpy(p_lm),
+        attention_mask_lm=torch.from_numpy(lm_att),
+        input_ids_mmu=torch.from_numpy(mmu_ids),
+        labels_mmu=torch.from_numpy(mmu_lab),
+        p_mask_mmu=torch.from_numpy(p_mmu),
+        attention_mask_mmu=torch.from_numpy(mmu_att),
+        answer_lengths_mmu=torch.from_numpy(al_mmu),
+        max_seq_length=msl)
+
+    fn = (MT.forward_process_separate_full_attn if full_attn
+          else MT.forward_process_separate)
+    got = fn(
+        params, cfg, msl,
+        t2i={"input_ids": jnp.asarray(t2i_ids),
+             "labels": jnp.asarray(t2i_lab),
+             "t2i_masks": jnp.asarray(t2i_att)},
+        lm={"input_ids": jnp.asarray(lm_ids),
+            "labels": jnp.asarray(lm_lab),
+            "p_mask": jnp.asarray(p_lm),
+            "attention_mask": jnp.asarray(lm_att)},
+        mmu={"input_ids": jnp.asarray(mmu_ids),
+             "labels": jnp.asarray(mmu_lab),
+             "p_mask": jnp.asarray(p_mmu),
+             "attention_mask": jnp.asarray(mmu_att),
+             "answer_lengths": jnp.asarray(al_mmu)})
+
+    np.testing.assert_allclose(float(got["loss_t2i"]), float(ref_t2i),
+                               rtol=2e-5, atol=1e-6)
+    np.testing.assert_allclose(float(got["loss_lm"]), float(ref_lm),
+                               rtol=2e-5, atol=1e-6)
+    np.testing.assert_allclose(float(got["loss_mmu"]), float(ref_mmu),
+                               rtol=2e-5, atol=1e-6)
+
+
+def test_forward_process_separate_lm_with_answer_lengths(ref_mmada):
+    """The lm branch's ``answer_lengths_lm is not None`` normalization
+    (sum(raw/al)/bs, ref :485-488) must also agree — the parametrized test
+    above exercises the ``None`` (sum/(bs*L)) branch."""
+    from mmada_parallel_tpu.training import m_tasks as MT
+
+    cfg = LLaDAConfig.tiny(d_model=32, n_heads=2, n_kv_heads=2, n_layers=1,
+                           mlp_hidden_size=64, vocab_size=TVS_M + CB_M,
+                           mask_token_id=TOK_M.mask)
+    params = init_llada_params(jax.random.key(33), cfg)
+    stub = _MaskAwareStubMMada(params, cfg, TOK_M.mask)
+    stub.device = torch.device("cpu")
+
+    rng = np.random.default_rng(9)
+    ids = rng.integers(0, 200, (2, 10))
+    ids[:, 3:6] = TOK_M.mask
+    labels = rng.integers(0, 200, (2, 10))
+    att = np.ones((2, 10), np.int64)
+    att[:, 8:] = 0
+    p = rng.uniform(0.3, 0.9, ids.shape)
+    al = rng.integers(1, 6, ids.shape).astype(np.float64)
+
+    _, _, ref_lm, _ = ref_mmada.MMadaModelLM.forward_process_separate(
+        stub, input_ids_lm=torch.from_numpy(ids),
+        labels_lm=torch.from_numpy(labels),
+        p_mask_lm=torch.from_numpy(p),
+        attention_mask_lm=torch.from_numpy(att),
+        answer_lengths_lm=torch.from_numpy(al), max_seq_length=4)
+    got = MT.forward_process_separate(
+        params, cfg, 4,
+        lm={"input_ids": jnp.asarray(ids), "labels": jnp.asarray(labels),
+            "p_mask": jnp.asarray(p), "attention_mask": jnp.asarray(att),
+            "answer_lengths": jnp.asarray(al)})
+    np.testing.assert_allclose(float(got["loss_lm"]), float(ref_lm),
+                               rtol=2e-5, atol=1e-6)
