@@ -35,6 +35,10 @@ DEFAULTS = {
     },
     "mesh": {"fsdp": 1, "tensor": 1},
     "tiny_debug": False,
+    # tracker surface of train_interleave.py:179-201 — set a project name
+    # to mirror scalars/validation images into wandb when it is installed;
+    # TensorBoard/jsonl/PNG sinks are always on regardless
+    "wandb": {"project": None, "run_name": None},
 }
 
 
@@ -266,7 +270,6 @@ def main(argv=None):
     from mmada_parallel_tpu.utils.logging import MetricLogger, ScalarWriter
     from mmada_parallel_tpu.data.prompting import UniversalPrompting
     from mmada_parallel_tpu.tokens import TOKENS_M
-    from mmada_parallel_tpu import tokens as TK
 
     argv = list(sys.argv[1:] if argv is None else argv)
     path = None
@@ -346,8 +349,12 @@ def main(argv=None):
     if restored is not None:
         state = restored
         print(f"[resume] step {last}")
+    wandb_cfg = cfg.get("wandb", {}) or {}
     writer = ScalarWriter(os.path.join(cfg.output_dir, "tb"),
-                          is_main=jax.process_index() == 0)
+                          is_main=jax.process_index() == 0,
+                          wandb_project=wandb_cfg.get("project"),
+                          wandb_run_name=wandb_cfg.get("run_name"),
+                          wandb_config=dict(cfg))
     logger = MetricLogger()
     bsh = batch_sharding(mesh)
     up = UniversalPrompting(tokenizer, max_text_len=msl) if tokenizer else None
@@ -372,27 +379,7 @@ def main(argv=None):
                 yield buf
                 buf = []
 
-    def encode_out_text(texts):
-        """Output-text rows, normalized like train_interleave.py:735-747:
-        bos-prefixed, eos-suffixed, eos fill; truncation keeps a final eos
-        (``ids[:msl-1] + [eos]``) so the trained layout always matches the
-        inference template (bos at position 0, eos-terminated)."""
-        _bos = getattr(tokenizer, "bos_token_id", None)
-        _eos = getattr(tokenizer, "eos_token_id", None)
-        bos = TOKENS_M.bos if _bos is None else int(_bos)
-        eos = TOKENS_M.eos if _eos is None else int(_eos)
-        out = np.full((len(texts), msl), eos, np.int64)
-        out[:, 0] = bos
-        if tokenizer is None:
-            return out
-        for i, t in enumerate(texts):
-            ids = TK.normalize_text_ids(
-                list(tokenizer(t)["input_ids"]) if t else [],
-                bos, eos, append_eos_always=False)
-            if len(ids) > msl:
-                ids = ids[:msl - 1] + [eos]
-            out[i, :len(ids)] = np.asarray(ids, np.int64)
-        return out
+    from mmada_parallel_tpu.data.prompting import encode_output_texts
 
     key = jax.random.key(tr.seed)
     global_step = int(state.step)
@@ -408,7 +395,8 @@ def main(argv=None):
             codes_in = np.asarray(get_code(px_in)) + TOKENS_M.vq_offset
             codes_out = np.asarray(get_code(px_out)) + TOKENS_M.vq_offset
             texts_in = [g["instruction"] for g in group]
-            out_text_ids = encode_out_text([g["output_text"] for g in group])
+            out_text_ids, out_text_lens = encode_output_texts(
+                tokenizer, [g["output_text"] for g in group], msl)
             key, k1 = jax.random.split(key)
             noisy_img, img_lab, noisy_txt, txt_lab, t = interleave_noising(
                 k1, jnp.asarray(codes_out), jnp.asarray(out_text_ids),
@@ -419,6 +407,7 @@ def main(argv=None):
                     np.asarray(noisy_txt), np.asarray(txt_lab),
                     cond_dropout_prob=tr.cond_dropout_prob,
                     output_image_labels=np.asarray(img_lab),
+                    output_text_lengths=out_text_lens,
                     is_text_only=[g["is_text_only"] for g in group])
             else:  # tiny debug path without a tokenizer
                 seq = np.concatenate([codes_in, np.asarray(noisy_img),

@@ -31,9 +31,42 @@ import numpy as np
 
 from mmada_parallel_tpu.tokens import TOKENS_M, VariantMTokens
 
-__all__ = ["UniversalPrompting"]
+__all__ = ["UniversalPrompting", "encode_output_texts"]
 
 IGNORE = -100
+
+
+def encode_output_texts(tokenizer: Any, texts: Sequence[str], msl: int,
+                        tokens: VariantMTokens = TOKENS_M
+                        ) -> Tuple[np.ndarray, np.ndarray]:
+    """Output-text rows normalized like ``train_interleave.py:735-747``:
+    bos-prefixed, eos-suffixed (only when not already present), eos fill;
+    truncation keeps a final eos (``ids[:msl-1] + [eos]``) so the trained
+    layout always matches the inference template.
+
+    Returns ``(padded_ids [B, msl], lengths [B])`` where ``lengths`` are the
+    pre-padding lengths the reference uses to build the output padding
+    attention mask (``train_interleave.py:741-745``).
+    """
+    from mmada_parallel_tpu.tokens import normalize_text_ids
+    _bos = getattr(tokenizer, "bos_token_id", None)
+    _eos = getattr(tokenizer, "eos_token_id", None)
+    bos = tokens.bos if _bos is None else int(_bos)
+    eos = tokens.eos if _eos is None else int(_eos)
+    out = np.full((len(texts), msl), eos, np.int64)
+    out[:, 0] = bos
+    lengths = np.full(len(texts), 2, np.int64)  # bare [bos, eos]
+    if tokenizer is None:
+        return out, lengths
+    for i, t in enumerate(texts):
+        ids = normalize_text_ids(
+            list(tokenizer(t)["input_ids"]) if t else [],
+            bos, eos, append_eos_always=False)
+        if len(ids) > msl:
+            ids = ids[:msl - 1] + [eos]
+        out[i, :len(ids)] = np.asarray(ids, np.int64)
+        lengths[i] = len(ids)
+    return out, lengths
 
 
 @dataclasses.dataclass

@@ -51,9 +51,9 @@ def mask_codes(key: jax.Array, codes: jax.Array, schedule: str = "cosine",
     if force_full_below > 0 and L <= force_full_below:
         ratio = jnp.ones_like(ratio)
     num = jnp.maximum((L * ratio).astype(jnp.int32), 1)
-    randperm_rank = jnp.argsort(jax.random.uniform(k2, (B, L)), axis=-1)
-    rank = jnp.argsort(randperm_rank, axis=-1)
-    mask = rank < num[:, None]
+    # uniform random size-num subset via a random permutation threshold
+    # (equivalent to the reference's random.sample draw)
+    mask = jnp.argsort(jax.random.uniform(k2, (B, L)), axis=-1) < num[:, None]
     masked = jnp.where(mask, mask_token, codes)
     labels = jnp.where(mask, codes, -100)
     return masked, labels
@@ -103,9 +103,11 @@ def mask_tokens_schedule(
                 & (cols >= tx[:, None, None]) & (cols < (tx + w)[:, None, None]))
         mask = grid.reshape(B, res * res)[:, :L]
     else:
-        rank = jnp.argsort(jnp.argsort(jax.random.uniform(k2, (B, L)),
-                                       axis=-1), axis=-1)
-        mask = rank < num[:, None]
+        # the reference's single-argsort draw (utils.py:115-116):
+        # mask position j iff randperm[j] < num — draw-exact given the
+        # same uniforms, and a uniform size-num subset either way
+        mask = (jnp.argsort(jax.random.uniform(k2, (B, L)), axis=-1)
+                < num[:, None])
 
     if noise_type == "mask":
         input_ids = jnp.where(mask, mask_token, image_tokens)
@@ -144,9 +146,10 @@ def interleave_noising(
     mask_prob = jnp.cos(jnp.clip(schedule(t), eps, None) * math.pi * 0.5)
 
     num = jnp.clip(jnp.round(N * mask_prob).astype(jnp.int32), 1, None)
-    rank = jnp.argsort(jnp.argsort(jax.random.uniform(k2, (B, N)), axis=-1),
-                       axis=-1)
-    img_mask = rank < num[:, None]
+    # single-argsort permutation threshold, draw-exact vs the reference's
+    # `torch.rand(...).argsort(-1) < num` (train_interleave.py:661-662)
+    img_mask = (jnp.argsort(jax.random.uniform(k2, (B, N)), axis=-1)
+                < num[:, None])
     noisy_img = jnp.where(img_mask, mask_token, output_image_tokens)
     img_labels = jnp.where(img_mask, output_image_tokens, -100)
 

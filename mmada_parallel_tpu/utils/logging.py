@@ -141,13 +141,24 @@ class MetricLogger:
 
 
 class ScalarWriter:
-    """TensorBoard + jsonl scalar sink (``finetune.py:121-125,530-536``)."""
+    """TensorBoard + jsonl scalar sink (``finetune.py:121-125,530-536``),
+    with an optional wandb backend covering the M trainer's tracker
+    surface (``train_interleave.py:179-201`` init/config logging,
+    ``:953-964`` validation-image tables).
+
+    wandb is not a baked-in dependency: when ``wandb_project`` is given
+    but the package is missing, the writer degrades to TensorBoard/jsonl
+    (and the PNG dumps the trainers already write) without failing.
+    """
 
     def __init__(self, log_dir: str, use_tensorboard: bool = True,
-                 is_main: bool = True):
+                 is_main: bool = True, wandb_project: Optional[str] = None,
+                 wandb_run_name: Optional[str] = None,
+                 wandb_config: Optional[Dict] = None):
         self.is_main = is_main
         self.log_dir = log_dir
         self.tb = None
+        self.wandb = None
         if is_main:
             os.makedirs(log_dir, exist_ok=True)
             if use_tensorboard:
@@ -156,6 +167,14 @@ class ScalarWriter:
                     self.tb = SummaryWriter(log_dir)
                 except Exception:
                     self.tb = None
+            if wandb_project:
+                try:
+                    import wandb
+                    wandb.init(project=wandb_project, name=wandb_run_name,
+                               config=wandb_config or {}, dir=log_dir)
+                    self.wandb = wandb
+                except Exception:
+                    self.wandb = None
             self.jsonl = open(os.path.join(log_dir, "log.txt"), "a")
 
     def write(self, step: int, scalars: Dict[str, float]):
@@ -164,13 +183,38 @@ class ScalarWriter:
         if self.tb is not None:
             for k, v in scalars.items():
                 self.tb.add_scalar(k, v, step)
+        if self.wandb is not None:
+            self.wandb.log({k: float(v) for k, v in scalars.items()},
+                           step=step)
         self.jsonl.write(json.dumps({"step": step, **{k: float(v) for k, v
                                                       in scalars.items()}})
                          + "\n")
         self.jsonl.flush()
 
+    def write_images(self, step: int, tag: str, images,
+                     captions: Optional[Iterable[str]] = None):
+        """Validation-image logging (the wandb-table surface of
+        ``train_interleave.py:953-964``).  ``images``: iterable of HWC
+        uint8 arrays.  Logged to TensorBoard and (when live) wandb; the
+        trainers' on-disk PNG dumps are unaffected."""
+        if not self.is_main:
+            return
+        images = list(images)
+        caps = list(captions) if captions is not None \
+            else [f"{tag}/{i}" for i in range(len(images))]
+        if self.tb is not None:
+            for i, img in enumerate(images):
+                self.tb.add_image(f"{tag}/{i}", np.asarray(img), step,
+                                  dataformats="HWC")
+        if self.wandb is not None:
+            self.wandb.log(
+                {tag: [self.wandb.Image(np.asarray(img), caption=c)
+                       for img, c in zip(images, caps)]}, step=step)
+
     def close(self):
         if self.tb is not None:
             self.tb.close()
+        if self.wandb is not None:
+            self.wandb.finish()
         if self.is_main:
             self.jsonl.close()

@@ -86,6 +86,44 @@ def test_scalar_writer_jsonl(tmp_path):
     assert not os.path.exists(tmp_path / "x" / "log.txt")
 
 
+def test_scalar_writer_wandb_surface(tmp_path):
+    """wandb tracker surface: a fake wandb module records init/log/finish
+    (the real package is not installed here); write_images degrades
+    cleanly when neither TB nor wandb is live."""
+    import types as _types
+
+    calls = []
+    fake = _types.SimpleNamespace(
+        init=lambda **kw: calls.append(("init", kw)),
+        log=lambda d, step=None: calls.append(("log", d, step)),
+        finish=lambda: calls.append(("finish",)),
+        Image=lambda arr, caption=None: ("img", caption))
+    import sys as _sys
+    _sys.modules["wandb"] = fake
+    try:
+        w = ScalarWriter(str(tmp_path / "w"), use_tensorboard=False,
+                         is_main=True, wandb_project="proj",
+                         wandb_run_name="run", wandb_config={"a": 1})
+        w.write(3, {"loss": 0.5})
+        w.write_images(3, "val", [np.zeros((4, 4, 3), np.uint8)],
+                       captions=["c0"])
+        w.close()
+    finally:
+        del _sys.modules["wandb"]
+    kinds = [c[0] for c in calls]
+    assert kinds == ["init", "log", "log", "finish"]
+    assert calls[0][1]["project"] == "proj"
+    assert calls[1][1] == {"loss": 0.5} and calls[1][2] == 3
+    assert calls[2][1]["val"] == [("img", "c0")]
+    # without wandb installed: project requested -> silent degrade
+    w2 = ScalarWriter(str(tmp_path / "nw"), use_tensorboard=False,
+                      is_main=True, wandb_project="proj")
+    assert w2.wandb is None
+    w2.write(1, {"x": 1.0})
+    w2.write_images(1, "val", [np.zeros((2, 2, 3), np.uint8)])
+    w2.close()
+
+
 def test_step_timer():
     t = StepTimer()
     time.sleep(0.01)

@@ -795,3 +795,157 @@ def test_forward_process_separate_lm_with_answer_lengths(ref_mmada):
             "answer_lengths": jnp.asarray(al)})
     np.testing.assert_allclose(float(got["loss_lm"]), float(ref_lm),
                                rtol=2e-5, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# (e) M-variant interleave trainer input prep: the reference's nested
+# prepare_inputs_and_labels_for_interleave_data (train_interleave.py:613-799)
+# lifted textually from the source and executed against replayed draws
+# ---------------------------------------------------------------------------
+
+
+def _lift_reference_interleave_prep():
+    """AST-extract the nested function from the reference trainer source
+    (it is defined inside ``main`` so it cannot be imported) and exec it
+    with the closure names (``vq_model``/``mask_schedule``/
+    ``reserved_token_mapping``) as injectable globals."""
+    import ast
+    import textwrap
+
+    path = os.path.join(REF_M, "training", "train_interleave.py")
+    with open(path) as f:
+        source = f.read()
+    tree = ast.parse(source)
+    node = next(n for n in ast.walk(tree)
+                if isinstance(n, ast.FunctionDef)
+                and n.name == "prepare_inputs_and_labels_for_interleave_data")
+    lines = source.splitlines()[node.lineno - 1:node.end_lineno]
+    func_src = textwrap.dedent("\n".join(lines))
+    ns = {}
+    return func_src, ns
+
+
+class _ReplayRand:
+    """Replaces ``torch.rand`` with an exact replay of the uniforms the JAX
+    pipeline consumed, shape-checked per call."""
+
+    def __init__(self, draws):
+        self.draws = [torch.from_numpy(np.asarray(d, np.float32))
+                      for d in draws]
+
+    def __call__(self, *sizes, device=None, **kw):
+        if len(sizes) == 1 and isinstance(sizes[0], (tuple, list)):
+            sizes = tuple(sizes[0])
+        d = self.draws.pop(0)
+        assert tuple(d.shape) == tuple(sizes), (d.shape, sizes)
+        return d
+
+
+class _ListTokenizer:
+    """Tokenizer stub: maps each text to a pre-chosen id list."""
+
+    bos_token_id = TOK_M.bos
+    eos_token_id = TOK_M.eos
+
+    def __init__(self, table):
+        self.table = table
+
+    def __len__(self):
+        return TVS_M
+
+    def __call__(self, texts, **kw):
+        # HF convention: flat ids for a single string, nested for a list
+        if isinstance(texts, str):
+            return {"input_ids": list(self.table[texts])}
+        return {"input_ids": [list(self.table[t]) for t in texts]}
+
+
+def test_interleave_input_prep_matches_reference_code(monkeypatch):
+    """Run the reference's ACTUAL interleave input-prep code (textually
+    lifted, since it is nested in main) and assert the full
+    (sequence, labels, attention_mask, t) parity with the repo pipeline:
+    encode_output_texts + interleave_noising + UniversalPrompting.interleave
+    — the double-cosine image masking, Bernoulli text masking, dropout draw
+    ordering, bos/eos normalization and sequence assembly all in one shot."""
+    from mmada_parallel_tpu.data.prompting import (UniversalPrompting,
+                                                   encode_output_texts)
+    from mmada_parallel_tpu.training.masking import interleave_noising
+    from mmada_parallel_tpu.ops import sampling as S
+
+    B, N_in, N_out, msl = 4, 6, 6, 7
+    eps, drop_p = 1e-3, 0.5
+    rng = np.random.default_rng(3)
+    codes_in = rng.integers(0, CB_M, (B, N_in))
+    codes_out = rng.integers(0, CB_M, (B, N_out))
+    # text table: short (pad branch), exact-fit, too-long (truncate
+    # branch), empty; output texts likewise varied
+    in_texts = ["short", "fit", "toolong", ""]
+    out_texts = ["o-short", "o-long", "", "o-mid"]
+    table = {
+        "short": [11, 12],
+        "fit": [21, 22, 23, 24, 25],
+        "toolong": [31, 32, 33, 34, 35, 36, 37, 38],
+        "": [],
+        "o-short": [41, 42],
+        "o-long": [51, 52, 53, 54, 55, 56, 57, 58, 59],
+        "o-mid": [61, 62, 63],
+    }
+    tok = _ListTokenizer(table)
+    is_text_only = [False, True, False, False]
+
+    # --- repo pipeline (mirrors cli/train_m.py's batch assembly) ---------
+    off_in = codes_in + TVS_M
+    off_out = codes_out + TVS_M
+    out_ids, out_lens = encode_output_texts(tok, out_texts, msl)
+    key = jax.random.key(17)
+    noisy_img, img_lab, noisy_txt, txt_lab, t_got = interleave_noising(
+        jax.random.split(key, 2)[1], jnp.asarray(off_out),
+        jnp.asarray(out_ids), eps=eps, mask_token=TOK_M.mask)
+    up = UniversalPrompting(tok, tokens=TOK_M,
+                            rng=np.random.default_rng(99))
+    seq, labels, mask = up.interleave(
+        off_in, in_texts, np.asarray(noisy_img), np.asarray(noisy_txt),
+        np.asarray(txt_lab), cond_dropout_prob=drop_p,
+        output_image_labels=np.asarray(img_lab),
+        output_text_lengths=out_lens, is_text_only=is_text_only)
+
+    # --- recover the exact uniforms the JAX pipeline consumed ------------
+    k1, k2, k3 = jax.random.split(jax.random.split(key, 2)[1], 3)
+    u_t = np.asarray(jax.random.uniform(k1, (B,)))
+    u_img = np.asarray(jax.random.uniform(k2, (B, N_out)))
+    u_txt = np.asarray(jax.random.uniform(k3, (B, msl)))
+    drop_rng = np.random.default_rng(99)
+    u_drop_text = drop_rng.random(B)
+    u_drop_img = drop_rng.random(B)
+
+    # --- reference code under replayed draws -----------------------------
+    func_src, ns = _lift_reference_interleave_prep()
+    ns.update({
+        "torch": torch, "math": __import__("math"),
+        "Union": __import__("typing").Union, "AutoTokenizer": object,
+        "vq_model": SimpleNamespace(get_code=lambda px: px.clone()),
+        "mask_schedule": lambda t: torch.cos(
+            t * __import__("math").pi * 0.5),
+        "reserved_token_mapping": {
+            "<|soi|>": TOK_M.soi, "<|eoi|>": TOK_M.eoi,
+            "<|interleave|>": TOK_M.interleave, "<t2it>": TOK_M.t2it},
+    })
+    exec(compile(func_src, "<ref_interleave_prep>", "exec"), ns)
+    ref_fn = ns["prepare_inputs_and_labels_for_interleave_data"]
+
+    monkeypatch.setattr(
+        torch, "rand",
+        _ReplayRand([u_t, u_img, u_txt, u_drop_text, u_drop_img]))
+    ref_seq, ref_lab, ref_mask, ref_t = ref_fn(
+        input_pixel_values=torch.from_numpy(codes_in),
+        input_text=in_texts,
+        output_pixel_values=torch.from_numpy(codes_out),
+        output_text=out_texts,
+        eps=eps, text_tokenizer=tok, mask_id=TOK_M.mask,
+        is_text_only_mask=torch.tensor(is_text_only),
+        cond_dropout_prob=drop_p, max_text_len=msl)
+
+    np.testing.assert_allclose(np.asarray(t_got), ref_t.numpy(), rtol=1e-6)
+    np.testing.assert_array_equal(seq, ref_seq.numpy())
+    np.testing.assert_array_equal(labels, ref_lab.numpy())
+    np.testing.assert_array_equal(mask, ref_mask.numpy())
