@@ -949,3 +949,131 @@ def test_interleave_input_prep_matches_reference_code(monkeypatch):
     np.testing.assert_array_equal(seq, ref_seq.numpy())
     np.testing.assert_array_equal(labels, ref_lab.numpy())
     np.testing.assert_array_equal(mask, ref_mask.numpy())
+
+
+# ---------------------------------------------------------------------------
+# (f) 8B converter name audit without weights: the reference models
+# instantiated at FULL scale on torch's meta device; the converters must
+# consume EXACTLY the reference parameter name set
+# ---------------------------------------------------------------------------
+
+_LLADA_8B_HF = dict(d_model=4096, n_heads=32, n_kv_heads=32, n_layers=32,
+                    mlp_hidden_size=12288, vocab_size=126464,
+                    embedding_size=134656, max_sequence_length=8192,
+                    rope_theta=500000.0, rms_norm_eps=1e-5,
+                    layer_norm_type="rms", include_bias=False,
+                    block_type="llama", activation_type="silu",
+                    input_emb_norm=False, scale_logits=False)
+
+
+class _TrackingTensors:
+    """Duck-typed state dict for the converters: knows the reference's
+    parameter names (from a meta-device ``named_parameters``), records every
+    key the converter reads, and hands back rank-preserving tiny dummies so
+    the full 8B never materializes."""
+
+    def __init__(self, shapes):
+        self.shapes = shapes
+        self.consumed = set()
+
+    def __contains__(self, k):
+        return k in self.shapes
+
+    def __len__(self):
+        return len(self.shapes)
+
+    def __getitem__(self, k):
+        self.consumed.add(k)
+        return np.zeros(tuple(min(2, int(s)) for s in self.shapes[k]),
+                        np.float32)
+
+
+@pytest.mark.parametrize("weight_tying,qkv_bias",
+                         [(False, False), (False, True), (True, False)])
+def test_converter_name_audit_8b_llada_a(ref_a_model, weight_tying,
+                                         qkv_bias):
+    """A-variant LLaDAModelLM at the real 8B config on meta
+    (``modeling_llada.py:1096-1131``): ``llada_params_from_torch`` must
+    consume exactly its parameter name set — tied/untied head and qkv-bias
+    variants — and produce the same pytree structure as
+    ``init_llada_params``."""
+    kw = dict(_LLADA_8B_HF, weight_tying=weight_tying,
+              include_qkv_bias=qkv_bias)
+    ref_cfg = ref_a_model.LLaDAConfig(
+        **kw, rope=True, flash_attention=False, attention_dropout=0.0,
+        residual_dropout=0.0, embedding_dropout=0.0, init_device="meta")
+    # LLaDAModelLM.__init__ force-overrides init_device to "cpu"
+    # (modeling_llada.py:1456-1458) which would materialize 8B fp32 on the
+    # host; build the inner LLaDAModel on meta and hand it to the wrapper
+    model_config = ref_a_model.create_model_config_from_pretrained_config(
+        ref_cfg)
+    model_config.init_device = "meta"
+    core = ref_a_model.LLaDAModel(model_config, init_params=False)
+    ref_lm = ref_a_model.LLaDAModelLM(ref_cfg, model=core)
+    assert all(p.device.type == "meta" for p in ref_lm.parameters())
+    shapes = {k: tuple(v.shape) for k, v in ref_lm.named_parameters()}
+    assert len(shapes) >= 290  # 32 layers x 9 tensors + embeddings/norms
+
+    my_cfg = cv.llada_config_from_hf(kw, compute_dtype=jnp.float32)
+    tracker = _TrackingTensors(shapes)
+    params = cv.llada_params_from_torch(tracker, my_cfg)
+    missing = set(shapes) - tracker.consumed
+    assert not missing, f"converter never read: {sorted(missing)[:8]}"
+
+    # converted tree structure == init tree structure at the same flags
+    tiny = LLaDAConfig.tiny(weight_tying=weight_tying,
+                            include_qkv_bias=qkv_bias)
+    want = jax.tree_util.tree_structure(
+        init_llada_params(jax.random.key(0), tiny))
+    got = jax.tree_util.tree_structure(
+        jax.tree_util.tree_map(jnp.asarray, params))
+    assert got == want
+
+
+def test_converter_name_audit_8b_llada_m():
+    """M-variant backbone (``ref_m_models.modeling_llada``) at the real
+    MMaDA config (vocab 134,656) on meta; MMadaModelLM adds no parameters
+    over LLaDAModelLM (``modeling_mmada.py:106-115``), so the core model's
+    name set (under the HF ``model.`` prefix) is the checkpoint contract."""
+    _synthetic_pkg("ref_m_models", os.path.join(REF_M, "models"))
+    _stub_m_support_modules()
+    ml = importlib.import_module("ref_m_models.modeling_llada")
+
+    kw = dict(_LLADA_8B_HF, vocab_size=134656, embedding_size=134656,
+              weight_tying=False, include_qkv_bias=False)
+    hf_cfg = ml.LLaDAConfig(
+        **kw, rope=True, flash_attention=False, attention_dropout=0.0,
+        residual_dropout=0.0, embedding_dropout=0.0, init_device="meta")
+    model_config = ml.create_model_config_from_pretrained_config(hf_cfg)
+    model_config.init_device = "meta"
+    core = ml.LLaDAModel(model_config, init_params=False)
+    assert all(p.device.type == "meta" for p in core.parameters())
+    shapes = {"model." + k: tuple(v.shape)
+              for k, v in core.named_parameters()}
+    assert len(shapes) >= 290
+
+    my_cfg = cv.llada_config_from_hf(kw, compute_dtype=jnp.float32)
+    tracker = _TrackingTensors(shapes)
+    cv.llada_params_from_torch(tracker, my_cfg)
+    missing = set(shapes) - tracker.consumed
+    assert not missing, f"converter never read: {sorted(missing)[:8]}"
+
+
+def test_converter_name_audit_magvit_full(ref_magvit):
+    """The full showlab/magvitv2-shape MAGVITv2 facade on meta: encoder,
+    decoder and LFQ buffers; ``magvit_params_from_torch`` at the default
+    ``MagvitConfig`` must consume exactly the parameter name set (the LFQ
+    codebook is a fixed bit-pattern buffer, not a parameter)."""
+    from mmada_parallel_tpu.models.magvit2 import MagvitConfig
+
+    with torch.device("meta"):
+        facade = ref_magvit.MAGVITv2()
+    shapes = {k: tuple(v.shape) for k, v in facade.named_parameters()}
+    assert len(shapes) > 100
+
+    tracker = _TrackingTensors(shapes)
+    cv.magvit_params_from_torch(tracker, MagvitConfig())
+    missing = set(shapes) - tracker.consumed
+    extra = tracker.consumed - set(shapes)
+    assert not missing, f"converter never read: {sorted(missing)[:8]}"
+    assert not extra, f"converter invented: {sorted(extra)[:8]}"
