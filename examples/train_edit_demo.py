@@ -153,7 +153,7 @@ def eval_palette_model(params, cfg, T, tokz, seed=0, n_samples=4,
     return accs, gen_codes, gen_texts, codes_in, want
 
 
-def run_demo(steps=1200, batch=32, lr=3e-3, out_dir=None, seed=0,
+def run_demo(steps=1200, batch=32, lr=1.5e-3, out_dir=None, seed=0,
              log_every=50, return_params=False):
     """Train, checkpoint, restore, generate.  Returns the metrics dict."""
     import jax
@@ -181,7 +181,15 @@ def run_demo(steps=1200, batch=32, lr=3e-3, out_dir=None, seed=0,
                             rng=np.random.default_rng(seed))
     # up pads text to max_text_len+1 == MSL (prompting_utils.py:78 parity)
 
-    opt = make_optimizer(OptimizerConfig(lr=lr, weight_decay=0.0), params)
+    # linear warmup stabilizes the hot lr: without it roughly half of the
+    # random streams spike around step 300-400 and plateau (observed r3
+    # while changing the masking RNG draw pattern) — the committed-artifact
+    # run was a lucky stream
+    from mmada_parallel_tpu.training.lr_schedules import get_scheduler
+    sched = get_scheduler("constant_with_warmup", lr,
+                          warmup_steps=min(100, steps // 4))
+    opt = make_optimizer(OptimizerConfig(lr=lr, weight_decay=0.0,
+                                         schedule=sched), params)
     state = TrainState.create(params, opt)
 
     def loss_fn(p, b, key):
@@ -218,9 +226,13 @@ def run_demo(steps=1200, batch=32, lr=3e-3, out_dir=None, seed=0,
         mngr = CheckpointManager(ckpt_dir)
         mngr.save(steps, state, metadata={"task": "palette_shift_demo"})
         mngr.wait()
-        fresh = TrainState.create(init_llada_params(jax.random.key(99), cfg),
-                                  make_optimizer(OptimizerConfig(lr=lr),
-                                                 params))
+        # the fresh optimizer must rebuild the SAME opt-state tree the
+        # training one saved (the warmup schedule adds a schedule-count
+        # state node that a constant-lr adamw does not have)
+        fresh = TrainState.create(
+            init_llada_params(jax.random.key(99), cfg),
+            make_optimizer(OptimizerConfig(lr=lr, weight_decay=0.0,
+                                           schedule=sched), params))
         restored, meta, last = CheckpointManager(ckpt_dir).restore(fresh)
         assert restored is not None and last == steps, "restore failed"
         assert meta["task"] == "palette_shift_demo"
@@ -262,7 +274,7 @@ if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=1200)
     ap.add_argument("--batch", type=int, default=32)
-    ap.add_argument("--lr", type=float, default=3e-3)
+    ap.add_argument("--lr", type=float, default=1.5e-3)
     ap.add_argument("--out", default="results_ti2ti/edit_demo")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (axon registers TPU at boot)")

@@ -112,6 +112,45 @@ def assemble_eval_sequence(tokz, T, codes_in):
     return ids, lay, ans_len
 
 
+def eval_a_model(params, cfg, T, tokz, seed=0, use_cached=False,
+                 **cache_kw):
+    """Shared eval protocol for the trained A demo model: 4 seeded palette
+    edits through the reference TI2TI template; returns ``(accs, codes,
+    texts, inputs)``.  ``use_cached=True`` routes through the opt-in
+    ``generate_ti2ti_cached`` (the README approximation-envelope protocol:
+    every opt-in path is judged by the accuracy delta on this task)."""
+    import jax.numpy as jnp
+    from mmada_parallel_tpu.samplers.parallel_ti2ti import (
+        TI2TIOptions, generate_ti2ti, generate_ti2ti_cached)
+
+    ans_len = len(tokz("rotated colors done")["input_ids"])  # bos..eos
+    opts = TI2TIOptions(text_steps=ans_len, timesteps=8, temperature=0.0,
+                        text_temperature=0.0, cfg_scale=0.0, cfg_img=0.0,
+                        text_vocab_size=TVS, codebook_size=CB,
+                        mask_token=T.mask)
+
+    eval_rng = np.random.default_rng(seed + 1234)
+    accs, gen_codes, gen_texts, inputs = [], [], [], []
+    for _ in range(4):
+        codes_in = eval_rng.integers(0, CB, N_VQ)
+        ids, lay, _ = assemble_eval_sequence(tokz, T, codes_in)
+        if use_cached:
+            fin, out_codes = generate_ti2ti_cached(
+                params, cfg, jnp.asarray(ids)[None], lay, opts, **cache_kw)
+        else:
+            fin, out_codes = generate_ti2ti(
+                params, cfg, jnp.asarray(ids)[None], lay, opts)
+        got = np.asarray(out_codes)[0]   # raw codes
+        want = (codes_in + 1) % CB
+        accs.append(float((got == want).mean()))
+        inputs.append(codes_in)
+        gen_codes.append(got)
+        gen_texts.append(tokz.decode(
+            [t for t in np.asarray(fin)[0][lay.text_start:lay.text_end]
+             if int(t) < TVS]))
+    return accs, gen_codes, gen_texts, inputs
+
+
 def run_demo_a(steps=600, batch=32, lr=3e-3, out_dir=None, seed=0,
                log_every=50, work_dir=None, return_params=False):
     import jax
@@ -125,9 +164,6 @@ def run_demo_a(steps=600, batch=32, lr=3e-3, out_dir=None, seed=0,
                                                      make_optimizer,
                                                      make_train_step,
                                                      TrainState)
-    from mmada_parallel_tpu.samplers.parallel_ti2ti import (TI2TIOptions,
-                                                            generate_ti2ti)
-
     T = demo_tokens()
     tokz = WordTokA()
     cfg = LLaDAConfig.tiny(d_model=128, n_heads=4, n_kv_heads=4,
@@ -192,27 +228,8 @@ def run_demo_a(steps=600, batch=32, lr=3e-3, out_dir=None, seed=0,
     train_s = time.time() - t0
 
     # ---- generation via the reference TI2TI template ----
-    ans_len = len(tokz("rotated colors done")["input_ids"])  # bos..eos
-    opts = TI2TIOptions(text_steps=ans_len, timesteps=8, temperature=0.0,
-                        text_temperature=0.0, cfg_scale=0.0, cfg_img=0.0,
-                        text_vocab_size=TVS, codebook_size=CB,
-                        mask_token=T.mask)
-
-    eval_rng = np.random.default_rng(seed + 1234)
-    accs, gen_codes, gen_texts, inputs = [], [], [], []
-    for _ in range(4):
-        codes_in = eval_rng.integers(0, CB, N_VQ)
-        ids, lay, _ = assemble_eval_sequence(tokz, T, codes_in)
-        fin, out_codes = generate_ti2ti(
-            state.params, cfg, jnp.asarray(ids)[None], lay, opts)
-        got = np.asarray(out_codes)[0]   # generate_ti2ti returns raw codes
-        want = (codes_in + 1) % CB
-        accs.append(float((got == want).mean()))
-        inputs.append(codes_in)
-        gen_codes.append(got)
-        gen_texts.append(tokz.decode(
-            [t for t in np.asarray(fin)[0][lay.text_start:lay.text_end]
-             if int(t) < TVS]))
+    accs, gen_codes, gen_texts, inputs = eval_a_model(
+        state.params, cfg, T, tokz, seed=seed)
 
     metrics = {
         "task": "palette_shift (+1 mod codebook) edit, variant A",

@@ -731,5 +731,12 @@ def param_shardings(cfg: LLaDAConfig, fsdp_axis: str = "fsdp",
         "blocks": blocks,
     }
     if not cfg.weight_tying:
-        specs["head"] = P(fs, tp)
+        # vocab over BOTH axes, d_model replicated: the head GEMM contracts
+        # d_model, so a d-sharded head (P(fs, tp)) makes GSPMD psum the
+        # full per-shard logits over fsdp (~700 MB f32 at 8B dims) and
+        # all-gather them again in the backward.  P(None, (fs, tp)) keeps
+        # the same per-chip weight memory (vocab / (fsdp*tensor)) with NO
+        # head collectives: logits stay vocab-sharded, the head gradient
+        # lands pre-sharded, and the CE reductions psum only [B, L].
+        specs["head"] = P(None, (fs, tp))
     return specs

@@ -1,0 +1,456 @@
+"""Multi-chip scaling analysis at REAL 8B dimensions, without 8 chips.
+
+AOT-compiles (lower + compile, never execute) the GSPMD-sharded edit
+forward and interleave train step at the full LLaDA-8B width — d_model
+4096, vocab 134,656, mlp 12,288 — over an 8-device virtual CPU mesh,
+walks the compiled HLO for collective ops, and combines the per-chip
+wire bytes with a v5e ICI bandwidth model into a predicted 8-chip
+scaling efficiency.  This replaces the "ASSUMES linear v5e-8 scaling"
+term in the bench headline with a modeled figure, and exercises the
+GSPMD partitioner at the dimensions the real deployment would use
+(vocab 134,656 over the tensor axis, head_dim 128, mlp 12,288) instead
+of toy dryrun dims.
+
+Counting model
+--------------
+The compiled HLO contains each collective instruction once even when it
+sits inside a ``while`` loop (a ``lax.scan`` body).  In the graphs
+compiled here every while is a scan over transformer layers (grad
+accumulation is fixed at 1), so collectives are attributed:
+
+* in the ``ENTRY`` computation -> executed once per call;
+* in any nested computation    -> executed once per layer (x depth).
+
+Compiling at reduced depth (2 layers) is exact for this census: the scan
+body is depth-independent and the entry census does not change with
+depth (verified by ``tests/test_multichip_model.py`` compiling two
+depths).
+
+Wire model (ring collectives, per chip, bytes ``S`` = HLO result bytes):
+
+* all-reduce        ``2 * S * (g-1)/g``
+* all-gather        ``S * (g-1)/g``          (S = gathered result)
+* reduce-scatter    ``S * (g-1)``            (S = scattered result)
+* collective-permute ``S``
+* all-to-all        ``S * (g-1)/g``
+
+v5e ICI: 4.5e10 B/s per link per direction (public "How to Scale Your
+Model" book figures); a torus axis ring uses both directions ->
+``W = 9e10`` B/s per chip per axis.  A group spanning the full 8-chip
+slice (2x4 torus) can run multi-axis algorithms over both axes ->
+``2 * 9e10``; smaller groups are charged one axis.  The CPU backend's
+float-normalization pass promotes bf16 all-reduces to f32 (reduction
+computations named ``*_promoted``); TPUs reduce bf16 natively, so those
+are counted at half width (``assume_tpu_bf16``, recorded in the output).
+The headline prediction assumes NO compute/comm overlap (a floor — XLA's
+async collectives overlap what the dependency chain allows); the
+full-overlap ceiling ``max(t_comp, t_comm)`` is also reported.
+
+Reference counterpart: the reason the reference ships FSDP at all
+(``MMaDA-Parallel-A/xllm/solvers/finetune.py:371-413``); the reference
+has no analogue of this analysis.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import re
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+V5E_ICI_AXIS_BW = 9.0e10   # bytes/s per chip, bidirectional ring on one axis
+V5E_BF16_PEAK = 1.97e14
+
+_DTYPE_BYTES = {"f64": 8, "f32": 4, "bf16": 2, "f16": 2, "s64": 8,
+                "s32": 4, "u32": 4, "s16": 2, "u16": 2, "s8": 1, "u8": 1,
+                "pred": 1, "u64": 8, "c64": 8, "c128": 16}
+
+_KINDS = ("all-reduce", "all-gather", "reduce-scatter", "collective-permute",
+          "all-to-all")
+
+
+@dataclasses.dataclass
+class Collective:
+    kind: str
+    bytes: int            # summed result bytes (tuple results summed)
+    group_size: int
+    in_entry: bool
+    promoted: bool = False  # CPU float-normalization bf16->f32 promotion
+
+    def wire_bytes_per_chip(self, assume_tpu_bf16: bool = True) -> float:
+        g = max(self.group_size, 1)
+        if g == 1:
+            return 0.0
+        b = self.bytes / 2 if (self.promoted and assume_tpu_bf16) \
+            else float(self.bytes)
+        if self.kind == "all-reduce":
+            return 2.0 * b * (g - 1) / g
+        if self.kind == "all-gather":
+            return b * (g - 1) / g
+        if self.kind == "reduce-scatter":
+            return b * (g - 1)
+        if self.kind == "collective-permute":
+            return b
+        return b * (g - 1) / g  # all-to-all
+
+
+_SHAPE_RE = re.compile(r"(\w+)\[([0-9,]*)\]")
+_RESULT_RE = re.compile(
+    r"^\s*(?:ROOT\s+)?%?\S+\s*=\s*(\(?[^)=]*\)?)\s*"
+    r"(all-reduce|all-gather|reduce-scatter|collective-permute|all-to-all)"
+    r"(?:-start)?\(")
+_GROUPS_LIST_RE = re.compile(r"replica_groups=\{\{([0-9,]+)\}")
+_GROUPS_IOTA_RE = re.compile(r"replica_groups=\[(\d+),(\d+)\]")
+
+
+def _shape_bytes(shapes_text: str) -> int:
+    total = 0
+    for dtype, dims in _SHAPE_RE.findall(shapes_text):
+        if dtype not in _DTYPE_BYTES:
+            continue
+        n = 1
+        for d in dims.split(","):
+            if d:
+                n *= int(d)
+        total += n * _DTYPE_BYTES[dtype]
+    return total
+
+
+def parse_collectives(hlo_text: str) -> List[Collective]:
+    """Walk optimized HLO text; one :class:`Collective` per instruction.
+
+    ``ENTRY`` attribution: HLO prints computations sequentially with the
+    entry computation introduced by ``ENTRY``; instructions until the
+    closing brace belong to it.
+    """
+    out: List[Collective] = []
+    in_entry = False
+    for line in hlo_text.splitlines():
+        s = line.rstrip()
+        if s.startswith("ENTRY "):
+            in_entry = True
+            continue
+        if in_entry and s == "}":
+            in_entry = False
+            continue
+        m = _RESULT_RE.match(s)
+        if not m:
+            continue
+        shapes, kind = m.group(1), m.group(2)
+        b = _shape_bytes(shapes)
+        g = 1
+        mg = _GROUPS_LIST_RE.search(s)
+        if mg:
+            g = len(mg.group(1).split(","))
+        else:
+            mg = _GROUPS_IOTA_RE.search(s)
+            if mg:  # replica_groups=[n_groups,group_size]<=[...]
+                g = int(mg.group(2))
+        if kind == "collective-permute" and "source_target_pairs" in s:
+            g = 2  # point-to-point; wire cost = full buffer
+        out.append(Collective(kind=kind, bytes=b, group_size=g,
+                              in_entry=in_entry,
+                              promoted="promoted" in s))
+    return out
+
+
+def _group_bw(group_size: int, n_devices: int,
+              axis_bw: float = V5E_ICI_AXIS_BW) -> float:
+    """Groups spanning the whole 2D slice ride both torus axes."""
+    return 2.0 * axis_bw if group_size >= n_devices and n_devices >= 8 \
+        else axis_bw
+
+
+def comm_summary(collectives: Sequence[Collective], per_layer_trip: int,
+                 n_devices: int = 8,
+                 assume_tpu_bf16: bool = True) -> Dict[str, Any]:
+    """Per-execution totals: entry collectives once, nested ones x trips."""
+    entry_bytes = entry_s = layer_bytes = layer_s = 0.0
+    for c in collectives:
+        w = c.wire_bytes_per_chip(assume_tpu_bf16)
+        t = w / _group_bw(c.group_size, n_devices)
+        if c.in_entry:
+            entry_bytes += w
+            entry_s += t
+        else:
+            layer_bytes += w
+            layer_s += t
+    total_b = entry_bytes + layer_bytes * per_layer_trip
+    total_s = entry_s + layer_s * per_layer_trip
+    return {
+        "n_collectives_static": len(collectives),
+        "assume_tpu_bf16": assume_tpu_bf16,
+        "entry_wire_bytes": int(entry_bytes),
+        "per_layer_wire_bytes": int(layer_bytes),
+        "wire_bytes_per_call": int(total_b),
+        "comm_seconds_per_call": total_s,
+    }
+
+
+# ---------------------------------------------------------------------------
+# AOT compilation of the sharded 8B graphs
+# ---------------------------------------------------------------------------
+
+
+def _abstract_sharded(tree, specs, mesh):
+    import jax
+    from jax.sharding import NamedSharding
+
+    def f(s, sp):
+        return jax.ShapeDtypeStruct(
+            s.shape, s.dtype, sharding=NamedSharding(mesh, sp))
+
+    return jax.tree_util.tree_map(f, tree, specs)
+
+
+def compile_edit_forward_8b(mesh, n_layers: int = 2, seq: int = 2424,
+                            batch: int = 2):
+    """AOT-compile the sharded denoise-step forward (the edit hot path) at
+    full 8B width.  Returns ``(compiled, cfg)``; nothing is executed."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from mmada_parallel_tpu.models import (LLaDAConfig, init_llada_params,
+                                           llada_forward, param_shardings)
+
+    cfg = LLaDAConfig.llada_8b(n_layers=n_layers, param_dtype=jnp.bfloat16,
+                               compute_dtype=jnp.bfloat16)
+    ab_params = _abstract_sharded(
+        jax.eval_shape(lambda k: init_llada_params(k, cfg),
+                       jax.random.key(0)),
+        param_shardings(cfg), mesh)
+    ids = jax.ShapeDtypeStruct((batch, seq), jnp.int32,
+                               sharding=NamedSharding(mesh, P("data")))
+
+    def fn(params, input_ids):
+        logits = llada_forward(params, cfg, input_ids)
+        # the sampler's per-step vocab reductions (confidence/argmax) ride
+        # the same sharded-logits layout; include one so the census covers
+        # the vocab-axis reduction collective
+        return jnp.argmax(logits, axis=-1)
+
+    return jax.jit(fn).lower(ab_params, ids).compile(), cfg
+
+
+def compile_train_step_8b(mesh, n_layers: int = 2, msl: int = 256,
+                          n_vq: int = 1024, batch_per_device: int = 1):
+    """AOT-compile the sharded interleave train step (forward + loss +
+    backward + optimizer) at full 8B width, grad accumulation 1."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from mmada_parallel_tpu.models import (LLaDAConfig, init_llada_params,
+                                           llada_forward, param_shardings)
+    from mmada_parallel_tpu.parallel import batch_sharding, opt_state_specs
+    from mmada_parallel_tpu.training.losses import m_interleave_loss
+    from mmada_parallel_tpu.training.trainer import (OptimizerConfig,
+                                                     make_optimizer,
+                                                     make_train_step,
+                                                     TrainState)
+
+    cfg = LLaDAConfig.llada_8b(n_layers=n_layers, param_dtype=jnp.float32,
+                               compute_dtype=jnp.bfloat16,
+                               remat="whole_layer")
+    specs = param_shardings(cfg)
+    ab_params = _abstract_sharded(
+        jax.eval_shape(lambda k: init_llada_params(k, cfg),
+                       jax.random.key(0)), specs, mesh)
+    opt = make_optimizer(OptimizerConfig(lr=1e-4), ab_params)
+    ab_opt = jax.eval_shape(opt.init, ab_params)
+    ab_opt = _abstract_sharded(
+        ab_opt, opt_state_specs(ab_opt, ab_params, specs), mesh)
+    nsh = lambda sp: NamedSharding(mesh, sp)
+    ab_state = TrainState(
+        step=jax.ShapeDtypeStruct((), jnp.int32, sharding=nsh(P())),
+        params=ab_params, opt_state=ab_opt)
+
+    def loss_fn(p, batch, key):
+        ids, labels, t = batch
+        logits = llada_forward(p, cfg, ids)
+        out = m_interleave_loss(logits, labels, t, msl, n_vq)
+        return out["loss"], {"text_loss": out["text_loss"]}
+
+    step = make_train_step(loss_fn, opt, accum_steps=1)
+    B = batch_per_device * mesh.shape["data"] * mesh.shape["fsdp"]
+    L = 8 + 1 + n_vq + 1 + msl
+    bsh = batch_sharding(mesh)
+    ab_batch = (jax.ShapeDtypeStruct((B, L), jnp.int32, sharding=bsh),
+                jax.ShapeDtypeStruct((B, L), jnp.int32, sharding=bsh),
+                jax.ShapeDtypeStruct((B,), jnp.float32, sharding=bsh))
+    import jax.random as jrandom
+    ab_key = jax.ShapeDtypeStruct((), jrandom.key(0).dtype,
+                                  sharding=nsh(P()))
+    return jax.jit(step).lower(ab_state, ab_batch, ab_key).compile(), cfg
+
+
+def analyze_8b(n_devices: int = 8, n_layers_compile: int = 2,
+               full_depth: int = 32,
+               edit_meshes: Optional[Sequence[Tuple[int, int, int]]] = None,
+               train_mesh: Tuple[int, int, int] = (2, 2, 2),
+               n_text_forwards: int = 128,
+               n_image_forwards: int = 64) -> Dict[str, Any]:
+    """Full analysis: compile the edit forward under candidate inference
+    meshes + the train step, census collectives, model comm seconds.
+
+    The A edit at reference defaults is 128 batch-1 text-step forwards
+    (``cfg_scale=0`` — no text uncond branch) + 64 batch-2 image-step
+    forwards (cond + img-CFG uncond batched), so both batch shapes are
+    compiled per mesh and combined.  Requires ``n_devices`` visible JAX
+    devices (use the virtual CPU platform).
+    """
+    import jax
+    from mmada_parallel_tpu.parallel import MeshConfig, make_mesh
+
+    if len(jax.devices()) < n_devices:
+        raise RuntimeError(
+            f"need {n_devices} devices, have {len(jax.devices())}; run "
+            "under XLA_FLAGS=--xla_force_host_platform_device_count="
+            f"{n_devices} with the CPU platform")
+    devices = jax.devices()[:n_devices]
+    out: Dict[str, Any] = {"n_devices": n_devices,
+                           "compiled_depth": n_layers_compile,
+                           "modeled_depth": full_depth,
+                           "ici_axis_bw_bytes_s": V5E_ICI_AXIS_BW,
+                           "n_text_forwards": n_text_forwards,
+                           "n_image_forwards": n_image_forwards}
+
+    edit_meshes = list(edit_meshes or [(1, 1, 8), (2, 1, 4)])
+    edits = {}
+    for (d, f, t) in edit_meshes:
+        mesh = make_mesh(MeshConfig(data=d, fsdp=f, tensor=t), devices)
+        per_batch = {}
+        for B, n_fwd in ((1, n_text_forwards), (2, n_image_forwards)):
+            if B < d:   # batch can't split across a wider data axis
+                per_batch[B] = None
+                continue
+            compiled, _ = compile_edit_forward_8b(
+                mesh, n_layers_compile, batch=B)
+            s = comm_summary(parse_collectives(compiled.as_text()),
+                             full_depth, n_devices)
+            per_batch[B] = s
+        if per_batch[1] is None:
+            # batch-1 text forwards run with the data axis idle: comm as
+            # B=1 on the tensor-only part; approximate with the B=2 census
+            # (activation ARs halve with per-chip batch, so this is an
+            # upper bound on the text-phase comm)
+            per_batch[1] = per_batch[2]
+        comm_edit = (per_batch[1]["comm_seconds_per_call"] * n_text_forwards
+                     + per_batch[2]["comm_seconds_per_call"]
+                     * n_image_forwards)
+        bytes_edit = (per_batch[1]["wire_bytes_per_call"] * n_text_forwards
+                      + per_batch[2]["wire_bytes_per_call"]
+                      * n_image_forwards)
+        edits[f"data{d}_fsdp{f}_tensor{t}"] = {
+            "text_forward": per_batch[1],
+            "image_forward": per_batch[2],
+            "comm_seconds_per_edit": comm_edit,
+            "wire_bytes_per_edit": int(bytes_edit),
+            "data_idle_on_text_steps": bool(d > 1),
+        }
+    out["edit"] = edits
+
+    d, f, t = train_mesh
+    mesh = make_mesh(MeshConfig(data=d, fsdp=f, tensor=t), devices)
+    compiled, _ = compile_train_step_8b(mesh, n_layers_compile)
+    out["train_step"] = comm_summary(
+        parse_collectives(compiled.as_text()), full_depth, n_devices)
+    out["train_step"]["mesh"] = f"data{d}_fsdp{f}_tensor{t}"
+    return out
+
+
+def predict_edit_scaling(analysis: Dict[str, Any], t_1chip_s: float,
+                         n_devices: int = 8) -> Dict[str, Any]:
+    """Best-mesh predicted 8-chip edit time from a measured (depth-fit)
+    1-chip edit time.
+
+    Compute model per mesh: batch-B forwards use ``data*tensor`` chips
+    when ``B >= data`` else only the tensor group (data idle), with the
+    1-chip time split over forwards proportionally to batch FLOPs.
+    No-overlap floor ``t = t_comp + t_comm``; full-overlap ceiling
+    ``max(t_comp, t_comm)``.
+    """
+    nt = analysis["n_text_forwards"]
+    ni = analysis["n_image_forwards"]
+    units = nt + 2 * ni                 # batch-1-equivalent forwards
+    best = None
+    for name, s in analysis["edit"].items():
+        d = int(name.split("_")[0][len("data"):])
+        t_axis = int(name.split("tensor")[1])
+        text_chips = t_axis if d > 1 else n_devices
+        img_chips = min(d, 2) * t_axis
+        t_unit = t_1chip_s / units      # 1-chip seconds per batch-1 fwd
+        t_comp = nt * t_unit / text_chips + ni * 2 * t_unit / img_chips
+        t_comm = s["comm_seconds_per_edit"]
+        floor = t_comp + t_comm
+        cand = {
+            "mesh": name,
+            "t_edit_s_no_overlap": floor,
+            "t_edit_s_full_overlap": max(t_comp, t_comm),
+            "t_compute_s": t_comp,
+            "t_comm_s": t_comm,
+            "efficiency_no_overlap": (t_1chip_s / n_devices) / floor,
+            "wire_bytes_per_edit": s["wire_bytes_per_edit"],
+        }
+        if best is None or floor < best["t_edit_s_no_overlap"]:
+            best = cand
+    return best
+
+
+def run_in_subprocess(t_1chip_s: Optional[float] = None,
+                      n_devices: int = 8, depth: int = 2,
+                      timeout: int = 900) -> Dict[str, Any]:
+    """Run :func:`analyze_8b` (+ the edit prediction when ``t_1chip_s`` is
+    given) in a clean child process on an ``n_devices``-wide virtual CPU
+    platform — usable from a process already attached to the TPU backend
+    (bench.py) exactly like ``__graft_entry__.dryrun_multichip``'s
+    bootstrap."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    env = dict(os.environ)
+    flags = [f for f in env.get("XLA_FLAGS", "").split()
+             if "xla_force_host_platform_device_count" not in f]
+    flags.append(f"--xla_force_host_platform_device_count={n_devices}")
+    env["XLA_FLAGS"] = " ".join(flags)
+    env["JAX_PLATFORMS"] = "cpu"
+    args = f"--devices {n_devices} --depth {depth}"
+    if t_1chip_s is not None:
+        args += f" --t1 {t_1chip_s}"
+    code = (
+        "import jax; jax.config.update('jax_platforms', 'cpu'); "
+        "from mmada_parallel_tpu.parallel import multichip_model as m; "
+        f"m.main({args.split()!r})"
+    )
+    proc = subprocess.run([sys.executable, "-c", code], env=env, cwd=repo,
+                          capture_output=True, text=True, timeout=timeout)
+    if proc.returncode != 0:
+        raise RuntimeError(
+            f"multichip analysis subprocess failed (rc={proc.returncode}): "
+            f"{proc.stderr[-2000:]}")
+    return json.loads(proc.stdout.strip().splitlines()[-1])
+
+
+def main(argv=None):
+    """CLI: print the analysis as one JSON line (bench.py runs this in a
+    virtual-CPU subprocess via :func:`run_in_subprocess`)."""
+    import argparse
+    p = argparse.ArgumentParser()
+    p.add_argument("--devices", type=int, default=8)
+    p.add_argument("--depth", type=int, default=2)
+    p.add_argument("--full-depth", type=int, default=32)
+    p.add_argument("--t1", type=float, default=None,
+                   help="measured/fit 1-chip seconds per edit")
+    args = p.parse_args(argv)
+    out = analyze_8b(args.devices, args.depth, args.full_depth)
+    if args.t1 is not None:
+        out["prediction"] = predict_edit_scaling(out, args.t1,
+                                                 args.devices)
+        out["prediction"]["t_1chip_s"] = args.t1
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

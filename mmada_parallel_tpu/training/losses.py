@@ -58,12 +58,20 @@ def masking_loss_weight(t: jax.Array, mask: jax.Array,
 
 
 def token_cross_entropy(logits: jax.Array, labels: jax.Array) -> jax.Array:
-    """Per-token CE ``[B, L]`` with ``-100`` ignored (0 there), fp32."""
+    """Per-token CE ``[B, L]`` with ``-100`` ignored (0 there), fp32.
+
+    The label-logit selection is a masked reduction over the vocab axis
+    (fused by XLA, never materialized) rather than ``take_along_axis``:
+    a gather over a tensor-sharded vocab axis makes GSPMD all-gather the
+    full logits (~700 MB/shard at 8B dims), while a reduction partitions
+    into a local reduce + a [B, L] psum.
+    """
     valid = labels != -100
     safe = jnp.where(valid, labels, 0)
     logits = logits.astype(jnp.float32)
     lse = jax.nn.logsumexp(logits, axis=-1)
-    sel = jnp.take_along_axis(logits, safe[..., None], axis=-1)[..., 0]
+    vocab = jnp.arange(logits.shape[-1], dtype=safe.dtype)
+    sel = jnp.sum(jnp.where(safe[..., None] == vocab, logits, 0.0), axis=-1)
     return jnp.where(valid, lse - sel, 0.0)
 
 

@@ -29,8 +29,13 @@ def trained_m(tmp_path_factory):
     from train_edit_demo import run_demo
 
     out = tmp_path_factory.mktemp("edit_demo")
+    # lr 1.5e-3 + warmup + 800 steps: converges to accuracy 1.0 on every
+    # seed tried (0-3).  The old 3e-3/400 recipe was stream-lucky — about
+    # half of random streams spiked around step 300-400 and plateaued
+    # (surfaced in r3 when the masking draw pattern changed to the
+    # reference's single-argsort form, which reshuffled the stream)
     metrics, params, cfg, T, tokz = run_demo(
-        steps=400, batch=32, lr=3e-3, out_dir=str(out), log_every=200,
+        steps=800, batch=32, lr=1.5e-3, out_dir=str(out), log_every=200,
         return_params=True)
     return metrics, params, cfg, T, tokz, out
 
@@ -82,14 +87,41 @@ def test_cached_sampler_preserves_trained_task_accuracy(trained_m):
         assert "rotated" in texts[0], (kw, texts)
 
 
-def test_edit_demo_a_learns_and_generates(tmp_path):
+@pytest.fixture(scope="module")
+def trained_a(tmp_path_factory):
+    from train_edit_demo_a import run_demo_a
+
+    work = tmp_path_factory.mktemp("edit_demo_a")
+    m, params, cfg, T, tokz = run_demo_a(
+        steps=800, batch=32, lr=3e-3, out_dir=None, log_every=400,
+        work_dir=str(work / "grids"), return_params=True)
+    return m, params, cfg, T, tokz
+
+
+def test_edit_demo_a_learns_and_generates(trained_a):
     """A-variant closure: AItemProcessor/a_variant_losses training agrees
     with the assemble_ti2ti_sequence/generate_ti2ti inference template.
     Ceiling is 15/16 (one leftover-masked cell, deterministic 0 fill —
     see the demo docstring), so the bar is 0.85."""
-    from train_edit_demo_a import run_demo_a
-
-    m = run_demo_a(steps=800, batch=32, lr=3e-3, out_dir=None,
-                   log_every=400, work_dir=str(tmp_path / "grids"))
+    m = trained_a[0]
     assert m["eval_code_accuracy"] >= 0.85, m
     assert m["generated_text"][0] == "rotated colors done"
+
+
+def test_a_cached_sampler_preserves_trained_task_accuracy(trained_a):
+    """generate_ti2ti_cached (real cache schedule) on the trained A model
+    keeps the edit-task accuracy — the same protocol as the M cached /
+    int8 quality tests, so the README envelope table is one comparable
+    column of trained-demo accuracy deltas."""
+    from train_edit_demo_a import eval_a_model
+
+    m, params, cfg, T, tokz = trained_a
+    for kw in ({"cache_ratio": 0.5, "refresh_interval": 3,
+                "warmup_ratio": 0.25},
+               {"cache_ratio": 0.3, "refresh_interval": 4,
+                "warmup_ratio": 0.25}):
+        accs, _, texts, _ = eval_a_model(params, cfg, T, tokz,
+                                         use_cached=True, **kw)
+        assert float(np.mean(accs)) >= m["eval_code_accuracy"] - 0.1, (
+            kw, accs, m["eval_code_accuracy"])
+        assert "rotated" in texts[0], (kw, texts)
