@@ -112,7 +112,8 @@ def bench_m(depths, quant):
     for L in depths:
         cfg = LLaDAConfig.llada_8b(n_layers=L, param_dtype=jnp.bfloat16,
                                    compute_dtype=jnp.bfloat16)
-        params = init_llada_params(jax.random.key(0), cfg)
+        params = jax.jit(lambda k, cfg=cfg: init_llada_params(k, cfg))(
+            jax.random.key(0))
         if quant.startswith("int8"):
             from mmada_parallel_tpu.ops.quant import quantize_llada_params
             params = jax.jit(lambda p: quantize_llada_params(
@@ -128,7 +129,10 @@ def bench_m(depths, quant):
 
         curve[L] = time_best3(run_once, f"M {L} layers", err)
         err(f"[M {L} layers] interleave time: {curve[L]:.2f}s")
-        del params
+        del params, run
+        import gc
+        jax.clear_caches()
+        gc.collect()
 
     # cond+uncond = batch 2 per forward, text_steps forwards
     n_fwd = InterleaveOptions().text_steps
@@ -292,7 +296,11 @@ def main():
     for L in depths:
         cfg = LLaDAConfig.llada_8b(n_layers=L, param_dtype=jnp.bfloat16,
                                    compute_dtype=jnp.bfloat16)
-        params = init_llada_params(jax.random.key(0), cfg)
+        # jit the init: fuses normal->scale->bf16 cast so no f32 param
+        # tensor ever materializes (eager init OOMs at 16 layers after the
+        # shallower depths' compile caches have fragmented HBM)
+        params = jax.jit(lambda k, cfg=cfg: init_llada_params(k, cfg))(
+            jax.random.key(0))
         if quant.startswith("int8"):
             from mmada_parallel_tpu.ops.quant import quantize_llada_params
             qh = "bf16head" not in quant
@@ -309,7 +317,10 @@ def main():
         curve[L] = time_best3(run_once, f"{L} layers", err)
         err(f"[{L} layers] edit time: {curve[L]:.2f}s; "
             f"{n_forwards / curve[L]:.1f} denoise steps/s/chip")
-        del params
+        del params, run
+        import gc
+        jax.clear_caches()
+        gc.collect()
 
     f_tok_layer = backbone_flops_per_token(4096, 12288, 1, 1.0, seq)
     t_8b_1chip, method, m_per_layer = extrapolate_depth(curve)
