@@ -141,20 +141,56 @@ def bench_m(depths, quant):
     L0 = min(curve)
     sustained = f_tok_layer * L0 * seq * 2 * n_fwd / curve[L0]
     err(f"[M] sustained at {L0} layers: {sustained / 1e12:.0f} TFLOP/s; "
-        f"8B-extrapolated {t_8b:.2f}s/gen 1-chip, {t_8b / 8:.2f}s on v5e-8")
+        f"8B-extrapolated {t_8b:.2f}s/gen 1-chip")
+
+    # same modeled v5e-8 scaling as the A headline: every M forward is
+    # batch-2 (cond+uncond always batched), text_steps + image_steps total
+    scaling = None
+    if os.environ.get("BENCH_MULTICHIP", "1") != "0":
+        try:
+            from mmada_parallel_tpu.parallel.multichip_model import (
+                run_in_subprocess)
+            o = InterleaveOptions()
+            analysis = run_in_subprocess(
+                t_1chip_s=t_8b, seq=seq, n_text_forwards=0,
+                n_image_forwards=o.text_steps + o.image_steps)
+            scaling = analysis["prediction"]
+        except Exception as e:
+            err(f"[M] multichip analysis failed ({e!r})")
+    if scaling is not None:
+        t_8chip = scaling["t_edit_s_no_overlap"]
+        note = ("v5e-8 modeled from HLO collective census + ICI bandwidth,"
+                " no-overlap floor")
+        err(f"[M] modeled v5e-8: {t_8chip:.2f}s no-overlap / "
+            f"{scaling['t_edit_s_full_overlap']:.2f}s full-overlap "
+            f"({100 * scaling['efficiency_no_overlap']:.0f}% floor)")
+    else:
+        t_8chip = t_8b / 8
+        note = "ASSUMES linear v5e-8 scaling"
     tag = f" W8A8-{quant}" if quant.startswith("int8") else ""
+    diagnostics = {
+        "depth_curve_s": {str(k): round(v, 3) for k, v in curve.items()},
+        "sustained_tflops_min_depth": round(sustained / 1e12, 1),
+        "seq_len": seq,
+        "t_8b_1chip_s": round(t_8b, 3),
+    }
+    if scaling is not None:
+        diagnostics["multichip"] = {
+            "mesh": scaling["mesh"],
+            "comm_seconds_per_gen": round(scaling["t_comm_s"], 3),
+            "predicted_scaling_efficiency":
+                round(scaling["efficiency_no_overlap"], 3),
+            "t_gen_s_full_overlap":
+                round(scaling["t_edit_s_full_overlap"], 3),
+        }
     print(json.dumps({
         "metric": "sec per 512x512 interleave generation, 128 text + 30 "
                   f"image steps{tag} (variant M; 8B depth from "
-                  f"{method}; ASSUMES linear v5e-8 scaling)",
-        "value": round(t_8b / 8, 3),
+                  f"{method}; {note})",
+        "value": round(t_8chip, 3),
         "unit": "s",
         "vs_baseline": None,
-        "diagnostics": {
-            "depth_curve_s": {str(k): round(v, 3) for k, v in curve.items()},
-            "sustained_tflops_min_depth": round(sustained / 1e12, 1),
-            "seq_len": seq,
-        },
+        "diagnostics": diagnostics,
     }))
 
 

@@ -288,7 +288,8 @@ def analyze_8b(n_devices: int = 8, n_layers_compile: int = 2,
                edit_meshes: Optional[Sequence[Tuple[int, int, int]]] = None,
                train_mesh: Tuple[int, int, int] = (2, 2, 2),
                n_text_forwards: int = 128,
-               n_image_forwards: int = 64) -> Dict[str, Any]:
+               n_image_forwards: int = 64,
+               seq: int = 2424) -> Dict[str, Any]:
     """Full analysis: compile the edit forward under candidate inference
     meshes + the train step, census collectives, model comm seconds.
 
@@ -320,11 +321,15 @@ def analyze_8b(n_devices: int = 8, n_layers_compile: int = 2,
         mesh = make_mesh(MeshConfig(data=d, fsdp=f, tensor=t), devices)
         per_batch = {}
         for B, n_fwd in ((1, n_text_forwards), (2, n_image_forwards)):
+            if n_fwd == 0:
+                per_batch[B] = {"comm_seconds_per_call": 0.0,
+                                "wire_bytes_per_call": 0}
+                continue
             if B < d:   # batch can't split across a wider data axis
                 per_batch[B] = None
                 continue
             compiled, _ = compile_edit_forward_8b(
-                mesh, n_layers_compile, batch=B)
+                mesh, n_layers_compile, seq=seq, batch=B)
             s = comm_summary(parse_collectives(compiled.as_text()),
                              full_depth, n_devices)
             per_batch[B] = s
@@ -398,7 +403,9 @@ def predict_edit_scaling(analysis: Dict[str, Any], t_1chip_s: float,
 
 def run_in_subprocess(t_1chip_s: Optional[float] = None,
                       n_devices: int = 8, depth: int = 2,
-                      timeout: int = 900) -> Dict[str, Any]:
+                      timeout: int = 900, seq: int = 2424,
+                      n_text_forwards: int = 128,
+                      n_image_forwards: int = 64) -> Dict[str, Any]:
     """Run :func:`analyze_8b` (+ the edit prediction when ``t_1chip_s`` is
     given) in a clean child process on an ``n_devices``-wide virtual CPU
     platform — usable from a process already attached to the TPU backend
@@ -416,7 +423,9 @@ def run_in_subprocess(t_1chip_s: Optional[float] = None,
     flags.append(f"--xla_force_host_platform_device_count={n_devices}")
     env["XLA_FLAGS"] = " ".join(flags)
     env["JAX_PLATFORMS"] = "cpu"
-    args = f"--devices {n_devices} --depth {depth}"
+    args = (f"--devices {n_devices} --depth {depth} --seq {seq} "
+            f"--text-forwards {n_text_forwards} "
+            f"--image-forwards {n_image_forwards}")
     if t_1chip_s is not None:
         args += f" --t1 {t_1chip_s}"
     code = (
@@ -441,10 +450,15 @@ def main(argv=None):
     p.add_argument("--devices", type=int, default=8)
     p.add_argument("--depth", type=int, default=2)
     p.add_argument("--full-depth", type=int, default=32)
+    p.add_argument("--seq", type=int, default=2424)
+    p.add_argument("--text-forwards", type=int, default=128)
+    p.add_argument("--image-forwards", type=int, default=64)
     p.add_argument("--t1", type=float, default=None,
                    help="measured/fit 1-chip seconds per edit")
     args = p.parse_args(argv)
-    out = analyze_8b(args.devices, args.depth, args.full_depth)
+    out = analyze_8b(args.devices, args.depth, args.full_depth,
+                     n_text_forwards=args.text_forwards,
+                     n_image_forwards=args.image_forwards, seq=args.seq)
     if args.t1 is not None:
         out["prediction"] = predict_edit_scaling(out, args.t1,
                                                  args.devices)
