@@ -41,7 +41,9 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import PartitionSpec as P
 
-from mmada_parallel_tpu.ops.attention import dot_product_attention
+from mmada_parallel_tpu.ops.attention import (dot_product_attention,
+                                              rope_attention)
+from mmada_parallel_tpu.ops.rope_attention import apply_rope, _rotate_half
 
 __all__ = [
     "LLaDAConfig",
@@ -318,28 +320,9 @@ def _rope_sin_cos(seq_len: int, head_dim: int, theta: float) -> Tuple[jax.Array,
     return jnp.sin(emb), jnp.cos(emb)
 
 
-def _rotate_half(x: jax.Array) -> jax.Array:
-    x1, x2 = jnp.split(x, 2, axis=-1)
-    return jnp.concatenate([-x2, x1], axis=-1)
-
-
-def _apply_rope(q: jax.Array, k: jax.Array, sin: jax.Array, cos: jax.Array,
-                full_precision: bool) -> Tuple[jax.Array, jax.Array]:
-    """Apply RoPE to ``[B, L, H, hd]`` q/k (fp32 rotation per
-    ``modeling_llada.py:412-435`` when ``rope_full_precision``).
-
-    ``sin``/``cos`` are ``[L, hd]`` (shared positions) or ``[B, L, hd]``
-    (per-row positions, the ragged-batch serving path)."""
-    og_q, og_k = q.dtype, k.dtype
-    if full_precision:
-        q, k = q.astype(jnp.float32), k.astype(jnp.float32)
-    if sin.ndim == 2:
-        sin, cos = sin[None], cos[None]
-    sin = sin[:, :, None, :].astype(q.dtype)
-    cos = cos[:, :, None, :].astype(q.dtype)
-    q = q * cos + _rotate_half(q) * sin
-    k = k * cos + _rotate_half(k) * sin
-    return q.astype(og_q), k.astype(og_k)
+# fp32 Neox rotation, single-sourced with the fused-rope Pallas kernel
+# (ops/rope_attention.py); cache/partial paths below call these directly.
+_apply_rope = apply_rope
 
 
 def _activation(x: jax.Array, kind: str) -> jax.Array:
@@ -399,14 +382,13 @@ def _block(x: jax.Array, lp: Dict[str, jax.Array], cfg: LLaDAConfig,
             k = k + lp["k_bias"].astype(cdt)
             v = v + lp["v_bias"].astype(cdt)
 
-    q = q.reshape(B, L, nh, hd)
-    k = k.reshape(B, L, nkv, hd)
-    v = v.reshape(B, L, nkv, hd)
-    q, k = _apply_rope(q, k, sin, cos, cfg.rope_full_precision)
-
-    att = dot_product_attention(q, k, v, bias=attn_bias,
-                                impl=cfg.attention_impl)
-    att = att.reshape(B, L, D)
+    # q/k/v stay in the packed [B, L, H*hd] projection layout: on TPU the
+    # fused-rope Pallas kernel consumes it directly (no BLHD relayouts);
+    # elsewhere rope_attention runs the unpacked reshape->rope->attn chain.
+    att = rope_attention(q, k, v, sin, cos, bias=attn_bias,
+                         n_heads=nh, n_kv_heads=nkv,
+                         full_precision=cfg.rope_full_precision,
+                         impl=cfg.attention_impl)
     x = x + _pmm(att, lp["attn_out"])
 
     h = _norm(x, lp["ff_norm"], cfg)

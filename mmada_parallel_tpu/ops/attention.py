@@ -18,12 +18,13 @@ optional ``[B, 1, L, L]`` additive bias.
 
 from __future__ import annotations
 
+import functools
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
 
-__all__ = ["dot_product_attention"]
+__all__ = ["dot_product_attention", "rope_attention"]
 
 
 def _xla_attention(q: jax.Array, k: jax.Array, v: jax.Array,
@@ -44,6 +45,34 @@ def _xla_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     return jnp.einsum("bhqk,bkhd->bqhd", probs, v)
 
 
+@functools.lru_cache(maxsize=None)
+def _flash_diff_fn(interpret: bool = False):
+    """BLHD Pallas flash forward with an XLA-recompute backward.
+
+    ``pallas_call`` is not reverse-differentiable (Pallas AD asserts — a
+    bare ``jax.grad`` through the kernel fails on TPU), so training through
+    the fast path needs an explicit VJP: the backward recomputes attention
+    with the einsum path (whose grads XLA derives and fuses) — the standard
+    flash-attention recompute-in-backward trade, with XLA doing the bwd
+    kernel instead of a hand-written one."""
+
+    @jax.custom_vjp
+    def f(q, k, v, bias):
+        from mmada_parallel_tpu.ops.flash_attention import flash_attention
+        return flash_attention(q, k, v, bias=bias, interpret=interpret)
+
+    def fwd(q, k, v, bias):
+        return f(q, k, v, bias), (q, k, v, bias)
+
+    def bwd(res, g):
+        q, k, v, bias = res
+        _, vjp = jax.vjp(_xla_attention, q, k, v, bias)
+        return vjp(g)
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
 def dot_product_attention(q: jax.Array, k: jax.Array, v: jax.Array,
                           bias: Optional[jax.Array] = None,
                           impl: str = "auto") -> jax.Array:
@@ -54,10 +83,90 @@ def dot_product_attention(q: jax.Array, k: jax.Array, v: jax.Array,
         on_tpu = jax.devices()[0].platform == "tpu"
         if impl == "pallas" or on_tpu:
             try:
-                from mmada_parallel_tpu.ops.flash_attention import flash_attention
-                return flash_attention(q, k, v, bias=bias)
+                return _flash_diff_fn()(q, k, v, bias)
             except (ImportError, NotImplementedError):
                 if impl == "pallas":
                     raise
         return _xla_attention(q, k, v, bias)
     raise ValueError(f"unknown attention impl: {impl}")
+
+
+# ---------------------------------------------------------------------------
+# Packed-layout attention with fused RoPE (the TPU fast path)
+# ---------------------------------------------------------------------------
+
+
+def _packed_reference(q, k, v, sin, cos, bias, H: int, KV: int):
+    """The packed chain spelled out in XLA: reshape -> fp32 rope -> einsum
+    attention -> reshape.  Semantics oracle for the fused kernel and the
+    backward implementation of its custom VJP."""
+    from mmada_parallel_tpu.ops.rope_attention import apply_rope
+    B, L, HD = q.shape
+    D = HD // H
+    q4 = q.reshape(B, L, H, D)
+    k4 = k.reshape(B, k.shape[1], KV, D)
+    v4 = v.reshape(B, v.shape[1], KV, D)
+    q4, k4 = apply_rope(q4, k4, sin, cos, True)
+    return _xla_attention(q4, k4, v4, bias).reshape(B, L, HD)
+
+
+@functools.lru_cache(maxsize=None)
+def _packed_diff_fn(H: int, KV: int, interpret: bool = False):
+    @jax.custom_vjp
+    def f(q, k, v, sin, cos, bias):
+        from mmada_parallel_tpu.ops.rope_attention import flash_attention_rope
+        return flash_attention_rope(q, k, v, sin, cos, bias,
+                                    n_heads=H, n_kv_heads=KV,
+                                    interpret=interpret)
+
+    def fwd(q, k, v, sin, cos, bias):
+        return f(q, k, v, sin, cos, bias), (q, k, v, sin, cos, bias)
+
+    def bwd(res, g):
+        q, k, v, sin, cos, bias = res
+        _, vjp = jax.vjp(
+            lambda *a: _packed_reference(*a, H=H, KV=KV),
+            q, k, v, sin, cos, bias)
+        return vjp(g)
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
+def rope_attention(q: jax.Array, k: jax.Array, v: jax.Array,
+                   sin: jax.Array, cos: jax.Array,
+                   bias: Optional[jax.Array] = None, *,
+                   n_heads: int, n_kv_heads: Optional[int] = None,
+                   full_precision: bool = True,
+                   impl: str = "auto") -> jax.Array:
+    """RoPE + bidirectional attention on *packed* ``[B, L, H*hd]`` q/k/v.
+
+    The packed layout is what the projection GEMMs naturally produce; on TPU
+    both the 4-D reshape and the BLHD->BHLD transpose around the plain flash
+    kernel are physical retilings worth ~1.3-2 ms/layer at the 8B edit shape
+    (README "Performance analysis").  When the shape qualifies (TPU, head_dim
+    a lane multiple, MHA, fp32 rope, modest L) this dispatches to the fused
+    Pallas kernel in :mod:`mmada_parallel_tpu.ops.rope_attention`; otherwise
+    it runs the unpacked chain so every backend/shape keeps working.
+
+    ``sin``/``cos``: fp32 Neox tables ``[L, hd]`` or ``[B, L, hd]`` (ragged
+    positions).  Differentiable on every path (the kernel carries an
+    XLA-recompute custom VJP)."""
+    B, L, HD = q.shape
+    H = n_heads
+    KV = n_kv_heads if n_kv_heads is not None else H
+    D = HD // H
+    if impl in ("auto", "pallas"):
+        on_tpu = jax.devices()[0].platform == "tpu"
+        # VMEM bound: the single-full-K-pass kernel keeps [L, G*D] K/V blocks
+        # + an f32 [block_q, L] score row resident; ~4k keys is the safe cap.
+        if (on_tpu and full_precision and D % 128 == 0 and H == KV
+                and k.shape[1] <= 4096):
+            return _packed_diff_fn(H, KV)(q, k, v, sin, cos, bias)
+    from mmada_parallel_tpu.ops.rope_attention import apply_rope
+    q4 = q.reshape(B, L, H, D)
+    k4 = k.reshape(B, k.shape[1], KV, D)
+    v4 = v.reshape(B, v.shape[1], KV, D)
+    q4, k4 = apply_rope(q4, k4, sin, cos, full_precision)
+    return dot_product_attention(q4, k4, v4, bias,
+                                 impl=impl).reshape(B, L, HD)

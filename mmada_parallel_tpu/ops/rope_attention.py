@@ -1,0 +1,256 @@
+"""Packed-layout Pallas flash attention with fused RoPE.
+
+The round-2 analysis (README "Performance analysis") measured ~1.3-2 ms/layer
+of pure layout movement around the BLHD flash kernel: the projection GEMMs
+produce ``[B, L, H*D]``, and both the ``[B,L,H*D] -> [B,L,H,D]`` reshape and
+the ``BLHD -> BHLD`` transpose are physical retilings on TPU (an (8,128)
+tiling over the last two axes changes meaning at every step), which XLA
+cannot fuse through the opaque kernel call.
+
+This kernel removes the relayouts entirely by keeping the *packed*
+``[B, L, H*D]`` layout end to end — head ``h`` is the 128-lane slice
+``[h*D, (h+1)*D)``, which is tile-aligned for ``D % 128 == 0`` — and fusing
+the Neox-style RoPE rotation (``models/llada.py:_apply_rope``, fp32 math)
+into the kernel prologue:
+
+* grid ``(B, n_groups, n_q)`` — ``G`` heads per grid step; the K/V blocks'
+  index maps are constant across the innermost ``n_q`` sweep, so Pallas
+  fetches them once per (batch, group);
+* K's rotation is computed once per (batch, group) into VMEM scratch at
+  ``qi == 0`` and reused across all q blocks (the innermost two grid axes
+  are "arbitrary" = sequential, which makes the reuse sound);
+* a single full-K pass per head (no online-softmax rescale chain): scores
+  ``[block_q, L_k]`` live only in VMEM/registers;
+* optional additive bias ``[B, 1, L_q, L_k]`` (padding/task masks from
+  :mod:`mmada_parallel_tpu.ops.masks`) streams ``[block_q, L_k]`` blocks;
+* GQA folds into a lane slice of a full-KV block (q head ``h`` reads kv
+  lanes ``(h // rep) * D``), as the BLHD kernel does via its index maps.
+
+Measured on v5e at the A-variant edit shape (L=2424, H=32, D=128), against
+the previous chain (reshape -> fp32 RoPE -> BLHD flash -> reshape), bitwise
+identical outputs: B=2 3.99 ms vs 5.94 ms, B=1 3.27 ms vs 3.88 ms per call.
+
+Replaces (tpu-natively) the reference's flash-attn/SDPA dispatch with the
+rotary embedding applied outside (``MMaDA-Parallel-A/model/modeling_llada.py:
+412-435,643-679``); always bidirectional (``is_causal=False``).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["flash_attention_rope", "apply_rope"]
+
+NEG_INF = -1e30
+
+
+def _rotate_half(x: jax.Array) -> jax.Array:
+    x1, x2 = jnp.split(x, 2, axis=-1)
+    return jnp.concatenate([-x2, x1], axis=-1)
+
+
+def apply_rope(q: jax.Array, k: jax.Array, sin: jax.Array, cos: jax.Array,
+               full_precision: bool):
+    """Apply Neox RoPE to ``[B, L, H, hd]`` q/k (fp32 rotation per
+    ``modeling_llada.py:412-435`` when ``full_precision``).
+
+    ``sin``/``cos`` are ``[L, hd]`` (shared positions) or ``[B, L, hd]``
+    (per-row positions, the ragged-batch serving path).  This is the single
+    source of the rope math — the fused kernel below and the model both
+    follow it."""
+    og_q, og_k = q.dtype, k.dtype
+    if full_precision:
+        q, k = q.astype(jnp.float32), k.astype(jnp.float32)
+    if sin.ndim == 2:
+        sin, cos = sin[None], cos[None]
+    sin = sin[:, :, None, :].astype(q.dtype)
+    cos = cos[:, :, None, :].astype(q.dtype)
+    q = q * cos + _rotate_half(q) * sin
+    k = k * cos + _rotate_half(k) * sin
+    return q.astype(og_q), k.astype(og_k)
+
+
+def _rope_rows(x: jax.Array, sin: jax.Array, cos: jax.Array) -> jax.Array:
+    """fp32 Neox rotate-half on ``[rows, D]`` (matches ``_apply_rope``)."""
+    D = x.shape[-1]
+    xf = x.astype(jnp.float32)
+    x1 = xf[:, : D // 2]
+    x2 = xf[:, D // 2:]
+    rot = jnp.concatenate([-x2, x1], axis=1)
+    return (xf * cos + rot * sin).astype(x.dtype)
+
+
+def _kernel(q_ref, k_ref, v_ref, sq_ref, cq_ref, sk_ref, ck_ref, bias_ref,
+            o_ref, krot_scr, *, scale, kv_len, G, D, rep):
+    qi = pl.program_id(2)
+    g = pl.program_id(1)
+    Lpk = k_ref.shape[1]
+    bq = q_ref.shape[1]
+
+    @pl.when(qi == 0)
+    def _rope_k():
+        sk = sk_ref[0, :, :] if sk_ref.ndim == 3 else sk_ref[:, :]
+        ck = ck_ref[0, :, :] if ck_ref.ndim == 3 else ck_ref[:, :]
+        if rep == 1:
+            for h in range(G):
+                krot_scr[:, h * D:(h + 1) * D] = _rope_rows(
+                    k_ref[0, :, h * D:(h + 1) * D], sk, ck)
+        else:
+            # full-KV block: rotate every kv head once
+            n_kv = krot_scr.shape[1] // D
+            for h in range(n_kv):
+                krot_scr[:, h * D:(h + 1) * D] = _rope_rows(
+                    k_ref[0, :, h * D:(h + 1) * D], sk, ck)
+
+    sq = sq_ref[0, :, :] if sq_ref.ndim == 3 else sq_ref[:, :]
+    cq = cq_ref[0, :, :] if cq_ref.ndim == 3 else cq_ref[:, :]
+    if bias_ref is None and kv_len != Lpk:
+        col = jax.lax.broadcasted_iota(jnp.int32, (bq, Lpk), 1)
+    for h in range(G):
+        q = _rope_rows(q_ref[0, :, h * D:(h + 1) * D], sq, cq)
+        if rep == 1:
+            kh, vh = h, h
+            k = krot_scr[:, kh * D:(kh + 1) * D]
+            v = v_ref[0, :, vh * D:(vh + 1) * D]
+        else:
+            # global q head -> kv head, dynamic lane offset (D-aligned)
+            kv = (g * G + h) // rep
+            k = krot_scr[:, pl.dslice(kv * D, D)]
+            v = v_ref[0, :, pl.dslice(kv * D, D)]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        if bias_ref is not None:
+            s = s + bias_ref[0, 0, :, :].astype(jnp.float32)
+        elif kv_len != Lpk:
+            s = jnp.where(col < kv_len, s, NEG_INF)
+        m = jnp.max(s, axis=1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=1, keepdims=True)
+        l = jnp.where(l == 0.0, 1.0, l)  # fully-masked row -> zeros
+        o = jax.lax.dot_general(p.astype(v.dtype), v,
+                                (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        o_ref[0, :, h * D:(h + 1) * D] = (o / l).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_heads", "n_kv_heads", "heads_per_step", "block_q",
+                     "interpret"))
+def flash_attention_rope(q: jax.Array, k: jax.Array, v: jax.Array,
+                         sin: jax.Array, cos: jax.Array,
+                         bias: Optional[jax.Array] = None,
+                         *, n_heads: int, n_kv_heads: Optional[int] = None,
+                         heads_per_step: int = 2, block_q: int = 128,
+                         interpret: bool = False) -> jax.Array:
+    """``[B, L, H*D] x [B, L, KV*D] -> [B, L, H*D]`` pre-RoPE in, attn out.
+
+    ``sin``/``cos`` are the fp32 Neox tables ``[L, D]`` (shared positions) or
+    ``[B, L, D]`` (per-row positions, the ragged serving path).  ``bias`` is
+    an optional additive ``[B, 1, L, L]``.  Rotation is applied to q and k
+    inside the kernel in fp32 exactly as ``models/llada.py:_apply_rope``
+    with ``rope_full_precision=True``.
+
+    ``heads_per_step`` (G) trades VMEM for pipeline occupancy; G=2 measured
+    best on v5e (G=8 exceeds the 16 MB scoped-VMEM limit at L≈2.4k).
+    """
+    B, Lq, HD = q.shape
+    H = n_heads
+    KV = n_kv_heads if n_kv_heads is not None else H
+    D = HD // H
+    if HD % H:
+        raise ValueError("packed width must be a multiple of n_heads")
+    if H % KV:
+        raise ValueError("n_heads must be a multiple of n_kv_heads")
+    rep = H // KV
+    Lk = k.shape[1]
+    scale = D ** -0.5
+    G = min(heads_per_step, H)
+    while H % G:
+        G -= 1
+    nG = H // G
+
+    block_q = min(block_q, max(128, 1 << (Lq - 1).bit_length()))
+    Lp_q = -(-Lq // block_q) * block_q
+    Lp_k = -(-Lk // 128) * 128
+    if Lp_q != Lq:
+        q = jnp.pad(q, ((0, 0), (0, Lp_q - Lq), (0, 0)))
+    if Lp_k != Lk:
+        k = jnp.pad(k, ((0, 0), (0, Lp_k - Lk), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, Lp_k - Lk), (0, 0)))
+    if bias is not None and (Lp_q != Lq or Lp_k != Lk):
+        bias = jnp.pad(bias,
+                       ((0, 0), (0, 0), (0, Lp_q - Lq), (0, Lp_k - Lk)),
+                       constant_values=NEG_INF)
+
+    f32 = jnp.float32
+    ragged = sin.ndim == 3
+    pad_q = ((0, 0), (0, Lp_q - Lq), (0, 0)) if ragged else \
+        ((0, Lp_q - Lq), (0, 0))
+    pad_k = ((0, 0), (0, Lp_k - Lk), (0, 0)) if ragged else \
+        ((0, Lp_k - Lk), (0, 0))
+    sin_q = jnp.pad(sin.astype(f32), pad_q)
+    cos_q = jnp.pad(cos.astype(f32), pad_q)
+    if Lq == Lk:
+        sin_k, cos_k = (sin_q, cos_q) if Lp_q == Lp_k else (
+            jnp.pad(sin.astype(f32), pad_k), jnp.pad(cos.astype(f32), pad_k))
+    else:
+        sin_k = jnp.pad(sin.astype(f32), pad_k)
+        cos_k = jnp.pad(cos.astype(f32), pad_k)
+
+    n_q = Lp_q // block_q
+    grid = (B, nG, n_q)
+    kv_lanes = G * D if rep == 1 else KV * D
+
+    def kv_index(b, g, qi):
+        return (b, 0, g) if rep == 1 else (b, 0, 0)
+
+    if ragged:
+        sq_spec = pl.BlockSpec((1, block_q, D), lambda b, g, qi: (b, qi, 0))
+        sk_spec = pl.BlockSpec((1, Lp_k, D), lambda b, g, qi: (b, 0, 0))
+    else:
+        sq_spec = pl.BlockSpec((block_q, D), lambda b, g, qi: (qi, 0))
+        sk_spec = pl.BlockSpec((Lp_k, D), lambda b, g, qi: (0, 0))
+
+    in_specs = [
+        pl.BlockSpec((1, block_q, G * D), lambda b, g, qi: (b, qi, g)),
+        pl.BlockSpec((1, Lp_k, kv_lanes), kv_index),
+        pl.BlockSpec((1, Lp_k, kv_lanes), kv_index),
+        sq_spec, sq_spec,
+        sk_spec, sk_spec,
+    ]
+    args = [q, k, v, sin_q, cos_q, sin_k, cos_k]
+    kern = functools.partial(_kernel, scale=scale, kv_len=Lk, G=G, D=D,
+                             rep=rep)
+    if bias is not None:
+        in_specs.append(pl.BlockSpec((1, 1, block_q, Lp_k),
+                                     lambda b, g, qi: (b, 0, qi, 0)))
+        args.append(bias)
+    else:
+        kern = functools.partial(
+            lambda qr, kr, vr, sq, cq, sk, ck, o, scr, **kw: _kernel(
+                qr, kr, vr, sq, cq, sk, ck, None, o, scr, **kw),
+            scale=scale, kv_len=Lk, G=G, D=D, rep=rep)
+
+    out = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, block_q, G * D),
+                               lambda b, g, qi: (b, qi, g)),
+        out_shape=jax.ShapeDtypeStruct((B, Lp_q, HD), q.dtype),
+        scratch_shapes=[pltpu.VMEM((Lp_k, kv_lanes), k.dtype)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary", "arbitrary")),
+        interpret=interpret,
+    )(*args)
+    if Lp_q != Lq:
+        out = out[:, :Lq]
+    return out

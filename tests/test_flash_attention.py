@@ -50,6 +50,117 @@ def test_flash_bias_padding_mask():
                                rtol=1e-4)
 
 
+def _rope_tables(L, D, theta=10000.0):
+    from mmada_parallel_tpu.models.llada import _rope_sin_cos
+    return _rope_sin_cos(L, D, theta)
+
+
+class TestPackedRope:
+    """Fused-RoPE packed-layout kernel (ops/rope_attention.py) vs the
+    unpacked reshape->rope->einsum chain it replaces."""
+
+    def _reference(self, q, k, v, sin, cos, bias, H, KV):
+        from mmada_parallel_tpu.ops.attention import _packed_reference
+        return _packed_reference(q, k, v, sin, cos, bias, H, KV)
+
+    @pytest.mark.parametrize("L", [128, 300])
+    def test_matches_reference_mha(self, L):
+        from mmada_parallel_tpu.ops.rope_attention import flash_attention_rope
+        B, H, D = 2, 4, 128
+        q, k, v = (_rand((B, L, H * D), 0), _rand((B, L, H * D), 1),
+                   _rand((B, L, H * D), 2))
+        sin, cos = _rope_tables(L, D)
+        got = np.asarray(flash_attention_rope(
+            q, k, v, sin, cos, n_heads=H, interpret=True))
+        want = np.asarray(self._reference(q, k, v, sin, cos, None, H, H))
+        np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
+
+    def test_matches_reference_gqa(self):
+        from mmada_parallel_tpu.ops.rope_attention import flash_attention_rope
+        B, L, H, KV, D = 1, 128, 8, 2, 128
+        q = _rand((B, L, H * D), 3)
+        k, v = _rand((B, L, KV * D), 4), _rand((B, L, KV * D), 5)
+        sin, cos = _rope_tables(L, D)
+        got = np.asarray(flash_attention_rope(
+            q, k, v, sin, cos, n_heads=H, n_kv_heads=KV, interpret=True))
+        want = np.asarray(self._reference(q, k, v, sin, cos, None, H, KV))
+        np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
+
+    def test_bias_and_ragged_positions(self):
+        from mmada_parallel_tpu.ops.rope_attention import flash_attention_rope
+        B, L, H, D = 2, 200, 2, 128
+        q, k, v = (_rand((B, L, H * D), 6), _rand((B, L, H * D), 7),
+                   _rand((B, L, H * D), 8))
+        mask = np.ones((B, L), bool)
+        mask[0, 150:] = False
+        mask[1, 100:] = False
+        pair = (mask[:, :, None] & mask[:, None, :])[:, None]
+        bias = jnp.asarray(np.where(pair, 0.0, -1e30), jnp.float32)
+        # per-row positions = rank among real tokens (the serving path)
+        pos = np.maximum(np.cumsum(mask, axis=1) - 1, 0)
+        sin, cos = _rope_tables(L, D)
+        sin_b = jnp.take(sin, jnp.asarray(pos), axis=0)
+        cos_b = jnp.take(cos, jnp.asarray(pos), axis=0)
+        got = np.array(flash_attention_rope(
+            q, k, v, sin_b, cos_b, bias, n_heads=H, interpret=True))
+        want = np.array(self._reference(q, k, v, sin_b, cos_b, bias, H, H))
+        got[~mask] = 0
+        want[~mask] = 0
+        np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
+
+    def test_fully_masked_rows_are_finite(self):
+        from mmada_parallel_tpu.ops.rope_attention import flash_attention_rope
+        B, L, H, D = 1, 128, 1, 128
+        q, k, v = (_rand((B, L, H * D), 9), _rand((B, L, H * D), 10),
+                   _rand((B, L, H * D), 11))
+        bias = jnp.full((B, 1, L, L), -1e30, jnp.float32)
+        sin, cos = _rope_tables(L, D)
+        got = np.asarray(flash_attention_rope(
+            q, k, v, sin, cos, bias, n_heads=H, interpret=True))
+        assert np.isfinite(got).all()
+
+    def test_grad_through_custom_vjp(self):
+        """Training differentiates through the kernel: the custom VJP's
+        XLA-recompute backward must match grads of the reference chain."""
+        from mmada_parallel_tpu.ops.attention import (_packed_diff_fn,
+                                                      _packed_reference)
+        B, L, H, D = 1, 128, 2, 128
+        q, k, v = (_rand((B, L, H * D), 12), _rand((B, L, H * D), 13),
+                   _rand((B, L, H * D), 14))
+        sin, cos = _rope_tables(L, D)
+        f = _packed_diff_fn(H, H, True)
+
+        def loss_fused(q, k, v):
+            return (f(q, k, v, sin, cos, None) ** 2).sum()
+
+        def loss_ref(q, k, v):
+            return (_packed_reference(q, k, v, sin, cos, None, H, H)
+                    ** 2).sum()
+
+        gq, gk, gv = jax.grad(loss_fused, argnums=(0, 1, 2))(q, k, v)
+        wq, wk, wv = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+        np.testing.assert_allclose(np.asarray(gq), np.asarray(wq),
+                                   atol=2e-3, rtol=1e-3)
+        np.testing.assert_allclose(np.asarray(gk), np.asarray(wk),
+                                   atol=2e-3, rtol=1e-3)
+        np.testing.assert_allclose(np.asarray(gv), np.asarray(wv),
+                                   atol=2e-3, rtol=1e-3)
+
+
+def test_flash_grad_through_custom_vjp():
+    """jax.grad through the BLHD flash path (dot_product_attention on TPU)
+    must work — pallas_call itself is not reverse-differentiable."""
+    from mmada_parallel_tpu.ops.attention import _flash_diff_fn, _xla_attention
+    B, L, H, D = 1, 128, 2, 128
+    q, k, v = (_rand((B, L, H, D), 15), _rand((B, L, H, D), 16),
+               _rand((B, L, H, D), 17))
+    f = _flash_diff_fn(True)
+    gq = jax.grad(lambda q: (f(q, k, v, None) ** 2).sum())(q)
+    wq = jax.grad(lambda q: (_xla_attention(q, k, v, None) ** 2).sum())(q)
+    np.testing.assert_allclose(np.asarray(gq), np.asarray(wq),
+                               atol=2e-3, rtol=1e-3)
+
+
 def test_flash_block_sparse_bias():
     """A fully-masked key block must not poison the online softmax."""
     B, L, H, D = 1, 256, 1, 128
