@@ -114,7 +114,16 @@ def _packed_reference(q, k, v, sin, cos, bias, H: int, KV: int):
 def _packed_diff_fn(H: int, KV: int, interpret: bool = False):
     @jax.custom_vjp
     def f(q, k, v, sin, cos, bias):
-        from mmada_parallel_tpu.ops.rope_attention import flash_attention_rope
+        from mmada_parallel_tpu.ops.rope_attention import (
+            flash_attention_rope, partitioned_flash_rope)
+        if len(jax.devices()) > 1:
+            # multi-chip: route through custom_partitioning so GSPMD shards
+            # the kernel (batch by data axes, heads by the TP lane shard)
+            # instead of all-gathering around an opaque custom call.
+            fn = partitioned_flash_rope(H, KV, bias is not None,
+                                        sin.ndim == 3, interpret)
+            args = (q, k, v, sin, cos) + ((bias,) if bias is not None else ())
+            return fn(*args)
         return flash_attention_rope(q, k, v, sin, cos, bias,
                                     n_heads=H, n_kv_heads=KV,
                                     interpret=interpret)

@@ -173,3 +173,57 @@ def test_flash_block_sparse_bias():
                                      block_k=128, interpret=True))
     want = np.asarray(_xla_attention(q, k, v, bias))
     np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
+
+
+class TestPartitionedRope:
+    """custom_partitioning rule for the packed kernel: per-shard lowering
+    with local head counts must reproduce the global computation on the
+    8-virtual-device CPU mesh (interpret-mode Pallas)."""
+
+    def _run(self, tensor_axis_size, H, shard_heads=True):
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+        from mmada_parallel_tpu.ops.rope_attention import partitioned_flash_rope
+        from mmada_parallel_tpu.ops.attention import _packed_reference
+        B, L, D = 2, 128, 128
+        q, k, v = (_rand((B, L, H * D), 20), _rand((B, L, H * D), 21),
+                   _rand((B, L, H * D), 22))
+        from mmada_parallel_tpu.models.llada import _rope_sin_cos
+        sin, cos = _rope_sin_cos(L, D, 10000.0)
+        devs = np.array(jax.devices()[:tensor_axis_size]).reshape(
+            1, tensor_axis_size)
+        mesh = Mesh(devs, ("data", "tensor"))
+        sh = NamedSharding(mesh, P("data", None, "tensor" if shard_heads
+                                   else None))
+        qs, ks, vs = (jax.device_put(a, sh) for a in (q, k, v))
+        fn = partitioned_flash_rope(H, H, False, interpret=True)
+        out = jax.jit(fn, out_shardings=sh)(qs, ks, vs, sin, cos)
+        want = _packed_reference(q, k, v, sin, cos, None, H, H)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(want),
+                                   atol=2e-5, rtol=1e-4)
+
+    def test_heads_sharded_tp4(self):
+        self._run(4, 8)
+
+    def test_heads_not_divisible_falls_back(self):
+        # H=2 over tensor=4: rule must replicate heads instead of crashing
+        self._run(4, 2)
+
+    def test_unsharded_heads(self):
+        self._run(2, 4, shard_heads=False)
+
+    def test_dispatch_routes_multidevice(self):
+        """_packed_diff_fn must route through the partitioned wrapper when
+        more than one device exists (the CPU test env has 8) and still
+        match the reference."""
+        from mmada_parallel_tpu.ops.attention import (_packed_diff_fn,
+                                                      _packed_reference)
+        from mmada_parallel_tpu.models.llada import _rope_sin_cos
+        assert len(jax.devices()) > 1
+        B, L, H, D = 1, 128, 2, 128
+        q, k, v = (_rand((B, L, H * D), 23), _rand((B, L, H * D), 24),
+                   _rand((B, L, H * D), 25))
+        sin, cos = _rope_sin_cos(L, D, 10000.0)
+        got = _packed_diff_fn(H, H, True)(q, k, v, sin, cos, None)
+        want = _packed_reference(q, k, v, sin, cos, None, H, H)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-5, rtol=1e-4)
