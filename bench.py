@@ -146,17 +146,21 @@ def bench_m(depths, quant):
     # same modeled v5e-8 scaling as the A headline: every M forward is
     # batch-2 (cond+uncond always batched), text_steps + image_steps total
     scaling = None
-    if os.environ.get("BENCH_MULTICHIP", "1") != "0":
-        try:
-            from mmada_parallel_tpu.parallel.multichip_model import (
-                run_in_subprocess)
-            o = InterleaveOptions()
-            analysis = run_in_subprocess(
-                t_1chip_s=t_8b, seq=seq, n_text_forwards=0,
-                n_image_forwards=o.text_steps + o.image_steps)
-            scaling = analysis["prediction"]
-        except Exception as e:
-            err(f"[M] multichip analysis failed ({e!r})")
+    mc = os.environ.get("BENCH_MULTICHIP", "1")
+    if mc != "0":
+        from mmada_parallel_tpu.parallel.multichip_model import (
+            run_in_subprocess)
+        o = InterleaveOptions()
+        for be in (["cpu"] if mc == "cpu" else ["tpu", "cpu"]):
+            try:
+                analysis = run_in_subprocess(
+                    t_1chip_s=t_8b, seq=seq, n_text_forwards=0,
+                    n_image_forwards=o.text_steps + o.image_steps,
+                    backend=be, timeout=2400)
+                scaling = analysis["prediction"]
+                break
+            except Exception as e:
+                err(f"[M] multichip analysis [{be}] failed ({e!r})")
     if scaling is not None:
         t_8chip = scaling["t_edit_s_no_overlap"]
         note = ("v5e-8 modeled from HLO collective census + ICI bandwidth,"
@@ -378,26 +382,39 @@ def main():
     # BENCH_MULTICHIP=0 skips the analysis (falls back to the r2-style
     # "assume linear" label).
     scaling = None
-    if os.environ.get("BENCH_MULTICHIP", "1") != "0":
-        try:
-            from mmada_parallel_tpu.parallel.multichip_model import (
-                run_in_subprocess)
-            t0 = time.time()
-            analysis = run_in_subprocess(t_1chip_s=t_8b_1chip)
-            scaling = analysis["prediction"]
-            scaling["train_step_comm"] = analysis["train_step"]
-            err(f"multichip HLO census ({time.time() - t0:.0f}s): "
-                f"best mesh {scaling['mesh']}; per-edit wire "
-                f"{scaling['wire_bytes_per_edit'] / 1e9:.0f} GB -> "
-                f"comm {scaling['t_comm_s']:.2f}s; modeled v5e-8 edit "
-                f"{scaling['t_edit_s_no_overlap']:.2f}s no-overlap / "
-                f"{scaling['t_edit_s_full_overlap']:.2f}s full-overlap "
-                f"({100 * scaling['efficiency_no_overlap']:.0f}% scaling "
-                f"efficiency floor)")
-        except Exception as e:  # keep the bench alive without the model
-            err(f"multichip analysis failed ({e!r}); falling back to "
-                "linear assumption")
-            scaling = None
+    census_backend = None
+    mc = os.environ.get("BENCH_MULTICHIP", "1")
+    if mc != "0":
+        from mmada_parallel_tpu.parallel.multichip_model import (
+            run_in_subprocess)
+        # Prefer the real-target census: AOT-compile for the v5e:2x4
+        # topology on the TPU backend (bf16-native collectives + the
+        # compiler's own compute-scaling cycle ratios); fall back to the
+        # virtual-CPU census, then to the linear assumption.
+        backends = ["cpu"] if mc == "cpu" else ["tpu", "cpu"]
+        for be in backends:
+            try:
+                t0 = time.time()
+                analysis = run_in_subprocess(t_1chip_s=t_8b_1chip,
+                                             backend=be, timeout=2400)
+                scaling = analysis["prediction"]
+                scaling["train_step_comm"] = analysis["train_step"]
+                census_backend = be
+                err(f"multichip HLO census [{be}] "
+                    f"({time.time() - t0:.0f}s): "
+                    f"best mesh {scaling['mesh']}; per-edit wire "
+                    f"{scaling['wire_bytes_per_edit'] / 1e9:.0f} GB -> "
+                    f"comm {scaling['t_comm_s']:.2f}s; compute model "
+                    f"{scaling.get('compute_model', 'linear')} "
+                    f"{scaling.get('compute_ratios')}; modeled v5e-8 edit "
+                    f"{scaling['t_edit_s_no_overlap']:.2f}s no-overlap / "
+                    f"{scaling['t_edit_s_full_overlap']:.2f}s full-overlap "
+                    f"({100 * scaling['efficiency_no_overlap']:.0f}% "
+                    "scaling efficiency floor)")
+                break
+            except Exception as e:  # keep the bench alive without the model
+                err(f"multichip analysis [{be}] failed ({e!r})")
+                scaling = None
 
     if scaling is not None:
         t_8b_8chip = scaling["t_edit_s_no_overlap"]
@@ -440,10 +457,17 @@ def main():
             "train_step_comm_seconds":
                 round(scaling["train_step_comm"]["comm_seconds_per_call"],
                       3),
-            "model": "HLO collective census at real 8B dims on 8-device "
-                     "virtual mesh; ring collectives over v5e ICI "
-                     "(9e10 B/s/axis, 2 axes for 8-wide groups); "
-                     "bf16-native TPU all-reduce; no compute/comm overlap",
+            "compute_model": scaling.get("compute_model", "linear"),
+            "compute_ratios": scaling.get("compute_ratios"),
+            "model": (
+                "HLO collective census at real 8B dims "
+                + ("AOT-compiled for the v5e:2x4 topology (real TPU "
+                   "backend; compute scaled by the compiler's per-layer "
+                   "cycle ratio)" if census_backend == "tpu" else
+                   "on 8-device virtual mesh")
+                + "; ring collectives over v5e ICI (9e10 B/s/axis, 2 axes "
+                  "for 8-wide groups); bf16-native TPU all-reduce; no "
+                  "compute/comm overlap"),
         }
     print(json.dumps({
         "metric": f"sec per 512x512 edit, 64 img + 128 text steps{tag} "

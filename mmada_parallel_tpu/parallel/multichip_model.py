@@ -95,8 +95,10 @@ class Collective:
 
 
 _SHAPE_RE = re.compile(r"(\w+)\[([0-9,]*)\]")
+# the shapes group is lazy (.*?) so TPU layout annotations with parens
+# ({2,1,0:T(8,128)(2,1)S(1)}) don't break the match
 _RESULT_RE = re.compile(
-    r"^\s*(?:ROOT\s+)?%?\S+\s*=\s*(\(?[^)=]*\)?)\s*"
+    r"^\s*(?:ROOT\s+)?%?\S+\s*=\s*(.*?)\s*"
     r"(all-reduce|all-gather|reduce-scatter|collective-permute|all-to-all)"
     r"(?:-start)?\(")
 _GROUPS_LIST_RE = re.compile(r"replica_groups=\{\{([0-9,]+)\}")
@@ -187,6 +189,44 @@ def comm_summary(collectives: Sequence[Collective], per_layer_trip: int,
     }
 
 
+_CYCLES_RE = re.compile(r'"estimated_cycles":"(\d+)"')
+
+
+def parse_cycles(hlo_text: str,
+                 drop_pattern: Optional[str] = None) -> Tuple[int, int]:
+    """Sum the TPU compiler's per-instruction ``estimated_cycles`` (present
+    in real-TPU compiled modules' ``backend_config``) per computation.
+
+    Returns ``(body_cycles, entry_cycles)``: entry = the ``main``
+    computation, body = the largest non-main computation (the layer-scan
+    while body in the graphs compiled here).  CPU-backend HLO carries no
+    estimates -> ``(0, 0)``.  ``drop_pattern``: instructions matching the
+    regex (searched up to the metadata field) are excluded — e.g.
+    ``"2424,2424"`` drops the attention-score fusions for a GEMM-only
+    sensitivity ratio."""
+    drop = re.compile(drop_pattern) if drop_pattern else None
+    sums: Dict[str, int] = {}
+    cur = None
+    for line in hlo_text.splitlines():
+        if (line.startswith("%") or line.startswith("ENTRY")) and "{" in line:
+            name = (line.split()[1] if line.startswith("ENTRY")
+                    else line.split()[0])
+            cur = name.lstrip("%").split("(")[0]
+            sums[cur] = 0
+        elif cur is not None and line.strip().startswith(("%", "ROOT")):
+            m = _CYCLES_RE.search(line)
+            if m:
+                if drop is not None and drop.search(
+                        line.split("metadata")[0]):
+                    continue
+                sums[cur] += int(m.group(1))
+    entry = max((v for k, v in sums.items() if k.startswith("main")),
+                default=0)
+    body = max((v for k, v in sums.items() if not k.startswith("main")),
+               default=0)
+    return body, entry
+
+
 # ---------------------------------------------------------------------------
 # AOT compilation of the sharded 8B graphs
 # ---------------------------------------------------------------------------
@@ -213,8 +253,14 @@ def compile_edit_forward_8b(mesh, n_layers: int = 2, seq: int = 2424,
     from mmada_parallel_tpu.models import (LLaDAConfig, init_llada_params,
                                            llada_forward, param_shardings)
 
+    # attention_impl pinned to "xla": the census cares about collectives,
+    # which are identical (attention stays head-local under the TP lane
+    # sharding on both paths), and the AOT topology compile service cannot
+    # emit the Pallas path's custom_partitioning python callback
+    # ("Custom emitter for CustomSPMDPartitioning not found").
     cfg = LLaDAConfig.llada_8b(n_layers=n_layers, param_dtype=jnp.bfloat16,
-                               compute_dtype=jnp.bfloat16)
+                               compute_dtype=jnp.bfloat16,
+                               attention_impl="xla")
     ab_params = _abstract_sharded(
         jax.eval_shape(lambda k: init_llada_params(k, cfg),
                        jax.random.key(0)),
@@ -250,7 +296,8 @@ def compile_train_step_8b(mesh, n_layers: int = 2, msl: int = 256,
 
     cfg = LLaDAConfig.llada_8b(n_layers=n_layers, param_dtype=jnp.float32,
                                compute_dtype=jnp.bfloat16,
-                               remat="whole_layer")
+                               remat="whole_layer",
+                               attention_impl="xla")  # see note above
     specs = param_shardings(cfg)
     ab_params = _abstract_sharded(
         jax.eval_shape(lambda k: init_llada_params(k, cfg),
@@ -363,6 +410,125 @@ def analyze_8b(n_devices: int = 8, n_layers_compile: int = 2,
     return out
 
 
+def _tpu_topology_mesh(shape: Tuple[int, int, int]):
+    """Mesh over compile-only devices of a real ``v5e:2x4`` topology
+    (AOT: lower+compile for the actual 8-chip target, no chips needed)."""
+    import numpy as np
+    from jax.experimental import topologies
+    from jax.sharding import Mesh
+
+    topo = topologies.get_topology_desc("v5e:2x4", "tpu")
+    return Mesh(np.array(topo.devices).reshape(shape),
+                ("data", "fsdp", "tensor"))
+
+
+def analyze_8b_tpu(n_layers_compile: int = 2, full_depth: int = 32,
+                   edit_meshes: Optional[Sequence[Tuple[int, int, int]]] = None,
+                   train_mesh: Tuple[int, int, int] = (2, 2, 2),
+                   n_text_forwards: int = 128,
+                   n_image_forwards: int = 64,
+                   seq: int = 2424) -> Dict[str, Any]:
+    """The census of :func:`analyze_8b`, upgraded to compile for the REAL
+    v5e-8 target via the AOT topology API (``v5e:2x4``), plus a
+    compute-scaling term from the TPU compiler's own cost model.
+
+    Runs in a process attached to the TPU backend (bench.py).  Two upgrades
+    over the virtual-CPU census:
+
+    * the partitioner, layouts, fusions and collective emission are the real
+      TPU backend's — bf16 all-reduces natively (no ``*_promoted`` f32
+      correction), real replica groups;
+    * every compute fusion carries ``estimated_cycles``; the ratio
+      ``body_cycles(8 chips) / body_cycles(1 chip)`` of the same program is
+      the compiler's own estimate of per-layer compute scaling (captures
+      shard-size GEMM inefficiency the linear /8 assumption ignores),
+      measured per batch size and fed to :func:`predict_edit_scaling`.
+    """
+    import jax
+    n_dev = 8
+    out: Dict[str, Any] = {"n_devices": n_dev, "backend": "tpu-aot",
+                           "compiled_depth": n_layers_compile,
+                           "modeled_depth": full_depth,
+                           "ici_axis_bw_bytes_s": V5E_ICI_AXIS_BW,
+                           "n_text_forwards": n_text_forwards,
+                           "n_image_forwards": n_image_forwards}
+
+    # 1-chip cycle baselines on the attached real device (same program)
+    from jax.sharding import Mesh
+    import numpy as np
+    mesh1 = Mesh(np.array(jax.devices()[:1]).reshape(1, 1, 1),
+                 ("data", "fsdp", "tensor"))
+    base_cycles: Dict[int, int] = {}
+    base_ex: Dict[int, int] = {}
+    attn_pat = f"{seq},{seq}"   # attention-score result shapes
+    needed = ({1} if n_text_forwards else set()) | \
+        ({2} if n_image_forwards else set())
+    for B in sorted(needed):
+        compiled, _ = compile_edit_forward_8b(mesh1, n_layers_compile,
+                                              seq=seq, batch=B)
+        txt1 = compiled.as_text()
+        base_cycles[B] = parse_cycles(txt1)[0]
+        base_ex[B] = parse_cycles(txt1, attn_pat)[0]
+    out["cycles_1chip_body"] = dict(base_cycles)
+
+    edit_meshes = list(edit_meshes or [(1, 1, 8), (2, 1, 4)])
+    edits = {}
+    for (d, f, t) in edit_meshes:
+        mesh = _tpu_topology_mesh((d, f, t))
+        per_batch = {}
+        ratios = {}
+        for B, n_fwd in ((1, n_text_forwards), (2, n_image_forwards)):
+            if n_fwd == 0:
+                per_batch[B] = {"comm_seconds_per_call": 0.0,
+                                "wire_bytes_per_call": 0}
+                continue
+            if B < d:
+                per_batch[B] = None
+                continue
+            compiled, _ = compile_edit_forward_8b(
+                mesh, n_layers_compile, seq=seq, batch=B)
+            txt = compiled.as_text()
+            s = comm_summary(parse_collectives(txt), full_depth, n_dev)
+            body, _ = parse_cycles(txt)
+            if base_cycles.get(B) and 0 < body < base_cycles[B]:
+                s["compute_ratio"] = body / base_cycles[B]
+                ratios[B] = s["compute_ratio"]
+                # sensitivity bound: ratio with the (perfectly head-local,
+                # hence perfectly scaling) attention fusions excluded —
+                # the census program uses the einsum attention, which
+                # over-weights that perfectly-scaling fraction vs the
+                # production Pallas path
+                body_ex = parse_cycles(txt, attn_pat)[0]
+                if base_ex.get(B) and 0 < body_ex:
+                    s["compute_ratio_ex_attention"] = body_ex / base_ex[B]
+            per_batch[B] = s
+        if per_batch.get(1) is None:
+            per_batch[1] = per_batch[2]
+        comm_edit = (per_batch[1]["comm_seconds_per_call"] * n_text_forwards
+                     + per_batch[2]["comm_seconds_per_call"]
+                     * n_image_forwards)
+        bytes_edit = (per_batch[1]["wire_bytes_per_call"] * n_text_forwards
+                      + per_batch[2]["wire_bytes_per_call"]
+                      * n_image_forwards)
+        edits[f"data{d}_fsdp{f}_tensor{t}"] = {
+            "text_forward": per_batch[1],
+            "image_forward": per_batch[2],
+            "comm_seconds_per_edit": comm_edit,
+            "wire_bytes_per_edit": int(bytes_edit),
+            "data_idle_on_text_steps": bool(d > 1),
+            "compute_ratios": ratios,
+        }
+    out["edit"] = edits
+
+    d, f, t = train_mesh
+    compiled, _ = compile_train_step_8b(_tpu_topology_mesh((d, f, t)),
+                                        n_layers_compile)
+    out["train_step"] = comm_summary(
+        parse_collectives(compiled.as_text()), full_depth, n_dev)
+    out["train_step"]["mesh"] = f"data{d}_fsdp{f}_tensor{t}"
+    return out
+
+
 def predict_edit_scaling(analysis: Dict[str, Any], t_1chip_s: float,
                          n_devices: int = 8) -> Dict[str, Any]:
     """Best-mesh predicted 8-chip edit time from a measured (depth-fit)
@@ -384,7 +550,15 @@ def predict_edit_scaling(analysis: Dict[str, Any], t_1chip_s: float,
         text_chips = t_axis if d > 1 else n_devices
         img_chips = min(d, 2) * t_axis
         t_unit = t_1chip_s / units      # 1-chip seconds per batch-1 fwd
-        t_comp = nt * t_unit / text_chips + ni * 2 * t_unit / img_chips
+        # Compute term: prefer the TPU compiler's own per-layer cycle ratio
+        # (tpu-aot census; captures shard-size GEMM inefficiency) over the
+        # linear 1/chips assumption.  The B=1 ratio only applies when the
+        # whole slice serves the text forward (d == 1).
+        ratios = s.get("compute_ratios") or {}
+        r1, r2 = ratios.get(1), ratios.get(2)
+        t_text = t_unit * (r1 if (r1 and d == 1) else 1.0 / text_chips)
+        t_img = 2 * t_unit * (r2 if r2 else 1.0 / img_chips)
+        t_comp = nt * t_text + ni * t_img
         t_comm = s["comm_seconds_per_edit"]
         floor = t_comp + t_comm
         cand = {
@@ -395,6 +569,9 @@ def predict_edit_scaling(analysis: Dict[str, Any], t_1chip_s: float,
             "t_comm_s": t_comm,
             "efficiency_no_overlap": (t_1chip_s / n_devices) / floor,
             "wire_bytes_per_edit": s["wire_bytes_per_edit"],
+            "compute_model": ("compiler-cycle-ratio" if (r1 or r2)
+                              else "linear"),
+            "compute_ratios": ratios or None,
         }
         if best is None or floor < best["t_edit_s_no_overlap"]:
             best = cand
@@ -405,12 +582,18 @@ def run_in_subprocess(t_1chip_s: Optional[float] = None,
                       n_devices: int = 8, depth: int = 2,
                       timeout: int = 900, seq: int = 2424,
                       n_text_forwards: int = 128,
-                      n_image_forwards: int = 64) -> Dict[str, Any]:
-    """Run :func:`analyze_8b` (+ the edit prediction when ``t_1chip_s`` is
-    given) in a clean child process on an ``n_devices``-wide virtual CPU
-    platform — usable from a process already attached to the TPU backend
-    (bench.py) exactly like ``__graft_entry__.dryrun_multichip``'s
-    bootstrap."""
+                      n_image_forwards: int = 64,
+                      backend: str = "cpu") -> Dict[str, Any]:
+    """Run the census (+ the edit prediction when ``t_1chip_s`` is given)
+    in a clean child process — usable from a process already attached to
+    the TPU backend (bench.py) exactly like
+    ``__graft_entry__.dryrun_multichip``'s bootstrap.
+
+    ``backend="cpu"``: :func:`analyze_8b` on an ``n_devices``-wide virtual
+    CPU platform.  ``backend="tpu"``: :func:`analyze_8b_tpu` — the child
+    attaches to the real TPU backend and AOT-compiles for the ``v5e:2x4``
+    topology (needs the axon tunnel; collective census + compiler cycle
+    ratios)."""
     import os
     import subprocess
     import sys
@@ -418,21 +601,27 @@ def run_in_subprocess(t_1chip_s: Optional[float] = None,
     repo = os.path.dirname(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))))
     env = dict(os.environ)
-    flags = [f for f in env.get("XLA_FLAGS", "").split()
-             if "xla_force_host_platform_device_count" not in f]
-    flags.append(f"--xla_force_host_platform_device_count={n_devices}")
-    env["XLA_FLAGS"] = " ".join(flags)
-    env["JAX_PLATFORMS"] = "cpu"
     args = (f"--devices {n_devices} --depth {depth} --seq {seq} "
             f"--text-forwards {n_text_forwards} "
-            f"--image-forwards {n_image_forwards}")
+            f"--image-forwards {n_image_forwards} --backend {backend}")
     if t_1chip_s is not None:
         args += f" --t1 {t_1chip_s}"
-    code = (
-        "import jax; jax.config.update('jax_platforms', 'cpu'); "
-        "from mmada_parallel_tpu.parallel import multichip_model as m; "
-        f"m.main({args.split()!r})"
-    )
+    if backend == "tpu":
+        code = (
+            "from mmada_parallel_tpu.parallel import multichip_model as m; "
+            f"m.main({args.split()!r})"
+        )
+    else:
+        flags = [f for f in env.get("XLA_FLAGS", "").split()
+                 if "xla_force_host_platform_device_count" not in f]
+        flags.append(f"--xla_force_host_platform_device_count={n_devices}")
+        env["XLA_FLAGS"] = " ".join(flags)
+        env["JAX_PLATFORMS"] = "cpu"
+        code = (
+            "import jax; jax.config.update('jax_platforms', 'cpu'); "
+            "from mmada_parallel_tpu.parallel import multichip_model as m; "
+            f"m.main({args.split()!r})"
+        )
     proc = subprocess.run([sys.executable, "-c", code], env=env, cwd=repo,
                           capture_output=True, text=True, timeout=timeout)
     if proc.returncode != 0:
@@ -455,10 +644,20 @@ def main(argv=None):
     p.add_argument("--image-forwards", type=int, default=64)
     p.add_argument("--t1", type=float, default=None,
                    help="measured/fit 1-chip seconds per edit")
+    p.add_argument("--backend", choices=("cpu", "tpu"), default="cpu")
     args = p.parse_args(argv)
-    out = analyze_8b(args.devices, args.depth, args.full_depth,
-                     n_text_forwards=args.text_forwards,
-                     n_image_forwards=args.image_forwards, seq=args.seq)
+    if args.backend == "tpu":
+        from mmada_parallel_tpu.utils.compile_cache import (
+            enable_compilation_cache)
+        enable_compilation_cache()
+        out = analyze_8b_tpu(args.depth, args.full_depth,
+                             n_text_forwards=args.text_forwards,
+                             n_image_forwards=args.image_forwards,
+                             seq=args.seq)
+    else:
+        out = analyze_8b(args.devices, args.depth, args.full_depth,
+                         n_text_forwards=args.text_forwards,
+                         n_image_forwards=args.image_forwards, seq=args.seq)
     if args.t1 is not None:
         out["prediction"] = predict_edit_scaling(out, args.t1,
                                                  args.devices)

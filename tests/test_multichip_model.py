@@ -152,3 +152,58 @@ def test_predict_edit_scaling_shape():
     assert out["t_edit_s_no_overlap"] == pytest.approx(9.0)
     assert out["t_edit_s_full_overlap"] == pytest.approx(6.0)
     assert out["efficiency_no_overlap"] == pytest.approx(6.0 / 9.0)
+
+
+def test_parse_collectives_tpu_layout_annotations():
+    """The real-TPU compiled text carries tiling/memory-space annotations
+    with parens inside the layout braces; the census regex must still see
+    the collective (regression: the v5e:2x4 AOT census parsed 0)."""
+    line = ('  %all-reduce.5 = bf16[2,2424,4096]{2,1,0:T(8,128)(2,1)} '
+            'all-reduce(%fusion.135), channel_id=3, '
+            'replica_groups=[1,8]<=[8], use_global_device_ids=true, '
+            'to_apply=%add.clone')
+    hlo = "ENTRY %main {\n" + line + "\n}\n"
+    cols = MM.parse_collectives(hlo)
+    assert len(cols) == 1
+    c = cols[0]
+    assert c.kind == "all-reduce"
+    assert c.bytes == 2 * 2424 * 4096 * 2
+    assert c.group_size == 8
+    assert c.in_entry
+
+
+def test_parse_cycles_body_entry_and_drop():
+    hlo = """\
+%body (p: f32[2]) -> f32[2] {
+  %a = f32[2424,2424]{1,0} add(%p, %p), backend_config={"x":1,"window_config":{"estimated_cycles":"100"}}
+  ROOT %b = f32[2]{0} add(%p, %p), backend_config={"window_config":{"estimated_cycles":"7"}}
+}
+ENTRY %main.1 (p: f32[2]) -> f32[2] {
+  ROOT %c = f32[2]{0} add(%p, %p), backend_config={"window_config":{"estimated_cycles":"11"}}
+}
+"""
+    body, entry = MM.parse_cycles(hlo)
+    assert (body, entry) == (107, 11)
+    body_ex, _ = MM.parse_cycles(hlo, "2424,2424")
+    assert body_ex == 7
+    assert MM.parse_cycles("no cycles here") == (0, 0)
+
+
+def test_predict_uses_compiler_cycle_ratios():
+    analysis = {
+        "n_text_forwards": 128, "n_image_forwards": 64,
+        "edit": {
+            "data1_fsdp1_tensor8": {
+                "comm_seconds_per_edit": 3.0,
+                "wire_bytes_per_edit": 10,
+                "text_forward": {}, "image_forward": {},
+                "data_idle_on_text_steps": False,
+                "compute_ratios": {1: 0.15, 2: 0.15},
+            },
+        },
+    }
+    out = MM.predict_edit_scaling(analysis, t_1chip_s=48.0, n_devices=8)
+    # comp = 128*(48/256)*0.15 + 64*2*(48/256)*0.15 = 7.2 (not 6.0 = /8)
+    assert out["compute_model"] == "compiler-cycle-ratio"
+    assert out["t_compute_s"] == pytest.approx(7.2)
+    assert out["t_edit_s_no_overlap"] == pytest.approx(10.2)
