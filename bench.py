@@ -284,6 +284,124 @@ def bench_serve(depth: int, batch: int, n_requests: int):
     }))
 
 
+def bench_train(depths):
+    """Opt-in train-step benchmark (``BENCH_TRAIN=2,3`` or ``=1`` for the
+    default depths): one full SFT train step — forward + interleave loss +
+    backward + AdamW — at real 8B width and the M interleave shape
+    (msl 256 + 1024 VQ tokens, seq 1290), per-chip batch 1, bf16 params
+    (the reference recipe trains bf16 params, ``scripts/train.sh``),
+    ``remat="whole_layer"``.  Measured on one chip at reduced depths
+    (AdamW's two moments cap the depth that fits 16 GB), depth-fit to 32
+    layers; the v5e-8 step is modeled as measured-fit x the census's
+    weak-scaling compiler cycle ratio + the census train-step ICI time
+    (data2_fsdp2_tensor2, global batch 4)."""
+    from mmada_parallel_tpu.models import (LLaDAConfig, init_llada_params,
+                                           llada_forward)
+    from mmada_parallel_tpu.training.losses import m_interleave_loss
+    from mmada_parallel_tpu.training.trainer import (OptimizerConfig,
+                                                     make_optimizer,
+                                                     make_train_step,
+                                                     TrainState)
+
+    err = lambda *a: print(*a, file=sys.stderr, flush=True)
+    msl, n_vq = 256, 1024
+    L = 8 + 1 + n_vq + 1 + msl
+    err(f"train step: seq {L}, B=1/chip, bf16 params, depths {depths}")
+    curve = {}
+    for d in depths:
+        cfg = LLaDAConfig.llada_8b(n_layers=d, param_dtype=jnp.bfloat16,
+                                   compute_dtype=jnp.bfloat16,
+                                   remat="whole_layer")
+        params = init_llada_params(jax.random.key(0), cfg)
+        opt = make_optimizer(OptimizerConfig(lr=1e-4), params)
+        state = TrainState.create(params, opt)
+
+        def loss_fn(p, batch, key, cfg=cfg):
+            ids, labels, t = batch
+            logits = llada_forward(p, cfg, ids)
+            out = m_interleave_loss(logits, labels, t, msl, n_vq)
+            return out["loss"], {"text_loss": out["text_loss"]}
+
+        step = jax.jit(make_train_step(loss_fn, opt), donate_argnums=0)
+        ids = jnp.ones((1, L), jnp.int32)
+        batch = (ids, ids, jnp.full((1,), 0.5, jnp.float32))
+        key = jax.random.key(1)
+        holder = [state]
+        del params, state
+
+        def run_once(i):
+            holder[0], metrics = step(holder[0], batch, key)
+            np.asarray(metrics["loss"])
+
+        try:
+            curve[d] = time_best3(run_once, f"train {d} layers", err)
+            err(f"[train {d} layers] step time: {curve[d]:.3f}s")
+        except Exception as e:  # deeper depths may not fit 16 GB w/ AdamW
+            err(f"[train {d} layers] failed ({type(e).__name__}); skipping")
+        # drop every reference to the live state BEFORE the next depth's
+        # init runs, or its ~2/3-of-HBM params+moments leak into it
+        holder.clear()
+        del run_once, holder, opt, step
+        import gc
+        jax.clear_caches()
+        gc.collect()
+    if not curve:
+        raise RuntimeError("no train depth fit in memory")
+
+    t_8b, method, m_per_layer = extrapolate_depth(curve)
+    err(f"8B train step (1 chip, fit): {t_8b:.2f}s "
+        f"({m_per_layer and round(m_per_layer, 4)}s/layer marginal)")
+
+    scaling = None
+    mc = os.environ.get("BENCH_MULTICHIP", "1")
+    if mc not in ("0", "cpu"):
+        try:
+            from mmada_parallel_tpu.parallel.multichip_model import (
+                run_in_subprocess)
+            analysis = run_in_subprocess(backend="tpu", timeout=2400)
+            scaling = analysis["train_step"]
+        except Exception as e:
+            err(f"[train] multichip census failed ({e!r})")
+    diagnostics = {
+        "depth_curve_s": {str(k): round(v, 3) for k, v in curve.items()},
+        "extrapolation": method,
+        "t_8b_1chip_s": round(t_8b, 3),
+        "seq_len": L,
+    }
+    if scaling is not None and scaling.get("compute_ratio_weak"):
+        ratio = scaling["compute_ratio_weak"]
+        comm = scaling["comm_seconds_per_call"]
+        t8 = t_8b * ratio + comm
+        global_batch = 4   # batch_per_device 1 x data 2 x fsdp 2
+        diagnostics["multichip"] = {
+            "mesh": scaling["mesh"],
+            "compute_ratio_weak": round(ratio, 4),
+            "comm_seconds_per_step": round(comm, 3),
+            "t_step_s_v5e8": round(t8, 3),
+            "global_batch": global_batch,
+            "tokens_per_s_v5e8": round(global_batch * L / t8, 1),
+            "model": "weak scaling: measured 1-chip step x compiler "
+                     "cycle ratio (per-chip batch constant) + census "
+                     "ICI time, no overlap",
+        }
+        err(f"[train] modeled v5e-8 step: {t8:.2f}s "
+            f"({diagnostics['multichip']['tokens_per_s_v5e8']} tok/s "
+            f"global batch {global_batch})")
+        value = round(t8, 3)
+        note = "v5e-8 modeled: weak-scaling cycle ratio + census ICI time"
+    else:
+        value = round(t_8b, 3)
+        note = "1-chip measured depth fit"
+    print(json.dumps({
+        "metric": "sec per 8B SFT train step (interleave loss, seq "
+                  f"{L}, B=1/chip, bf16, whole-layer remat; {note})",
+        "value": value,
+        "unit": "s",
+        "vs_baseline": None,
+        "diagnostics": diagnostics,
+    }))
+
+
 def main():
     from mmada_parallel_tpu import tokens as tk
     from mmada_parallel_tpu.models import LLaDAConfig, init_llada_params
@@ -317,6 +435,13 @@ def main():
     if serve_env:
         d, b, r = (serve_env.split(",") + ["4", "4", "8"])[:3]
         return bench_serve(int(d), int(b), int(r))
+    # BENCH_TRAIN=2,3 (or =1 for the defaults) measures the SFT train step
+    # (diagnostic; AdamW moments cap the 1-chip depth)
+    train_env = os.environ.get("BENCH_TRAIN", "")
+    if train_env:
+        td = [2, 3] if train_env == "1" else \
+            [int(x) for x in train_env.split(",")]
+        return bench_train(td)
 
     _, _, gh, gw = tk.calculate_vq_params(512, 512, 16)
     prompt = list(range(1000, 1050))
