@@ -41,8 +41,8 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import PartitionSpec as P
 
-from mmada_parallel_tpu.ops.attention import (dot_product_attention,
-                                              rope_attention)
+from mmada_parallel_tpu.ops.attention import (rope_attention,
+                                              rope_attention_qonly)
 from mmada_parallel_tpu.ops.rope_attention import apply_rope, _rotate_half
 
 __all__ = [
@@ -550,14 +550,30 @@ def llada_forward(
 # ---------------------------------------------------------------------------
 
 
+def _rope_packed(t: jax.Array, sin: jax.Array, cos: jax.Array,
+                 n_heads: int, full_precision: bool) -> jax.Array:
+    """fp32 Neox rotation on a *packed* ``[B, L, H*hd]`` tensor (per-head
+    lane slices), via a transient 4-D view."""
+    B, L, HD = t.shape
+    hd = HD // n_heads
+    t4 = t.reshape(B, L, n_heads, hd)
+    og = t4.dtype
+    tf = t4.astype(jnp.float32) if full_precision else t4
+    s = (sin if sin.ndim == 3 else sin[None])[:, :, None, :].astype(tf.dtype)
+    c = (cos if cos.ndim == 3 else cos[None])[:, :, None, :].astype(tf.dtype)
+    tf = tf * c + _rotate_half(tf) * s
+    return tf.astype(og).reshape(B, L, HD)
+
+
 def llada_hidden_with_cache(
     params: Dict[str, Any],
     cfg: LLaDAConfig,
     input_ids: jax.Array,
 ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
     """Full forward that also returns the per-layer k/v feature cache
-    (``{"k": [n_layers, B, L, KV, hd], "v": ...}``) for subsequent partial
-    steps."""
+    (``{"k": [n_layers, B, L, KV*hd], "v": ...}`` — PACKED lane layout, so
+    partial steps feed it straight to the fused kernel with no retiling)
+    for subsequent partial steps."""
     if cfg.block_type != "llama":
         raise NotImplementedError("feature cache supports llama blocks only")
     cdt = cfg.compute_dtype
@@ -572,22 +588,21 @@ def llada_hidden_with_cache(
         q = _pmm(h, lp["q_proj"])
         k = _pmm(h, lp["k_proj"])
         v = _pmm(h, lp["v_proj"])
-        q = q.reshape(B, L, nh, hd)
-        k = k.reshape(B, L, nkv, hd)
-        v = v.reshape(B, L, nkv, hd)
-        qr, kr = _apply_rope(q, k, sin, cos, cfg.rope_full_precision)
         # the cache stores POST-rope k: rope depends only on the absolute
         # position, so partial steps need to rope only the recomputed
         # positions instead of the whole cache every layer (the reference
         # re-applies rope per use, modeling_llada.py:716-722 — pure cost)
-        k_cache, v_cache = kr, v
-        att = dot_product_attention(qr, kr, v, impl=cfg.attention_impl)
-        x = x + _pmm(att.reshape(B, L, nh * hd), lp["attn_out"])
+        kr = _rope_packed(k, sin, cos, nkv, cfg.rope_full_precision)
+        att = rope_attention_qonly(q, kr, v, sin, cos,
+                                   n_heads=nh, n_kv_heads=nkv,
+                                   full_precision=cfg.rope_full_precision,
+                                   impl=cfg.attention_impl)
+        x = x + _pmm(att, lp["attn_out"])
         h = _norm(x, lp["ff_norm"], cfg)
         gate = jax.nn.silu(_pmm(h, lp["ff_proj"]))
         up = _pmm(h, lp["up_proj"])
         x = x + _pmm(gate * up, lp["ff_out"])
-        return x, {"k": k_cache, "v": v_cache}
+        return x, {"k": kr, "v": v}
 
     x, cache = jax.lax.scan(body, x, params["blocks"])
     x = _norm(x, params["ln_f"], cfg)
@@ -618,13 +633,6 @@ def llada_hidden_partial(
     sin_sel = jnp.take(sin_full, sel_pos, axis=0)      # [B, n, hd]
     cos_sel = jnp.take(cos_full, sel_pos, axis=0)
 
-    def rope_sel(t):
-        og = t.dtype
-        tf = t.astype(jnp.float32) if cfg.rope_full_precision else t
-        s = sin_sel[:, :, None, :].astype(tf.dtype)
-        c = cos_sel[:, :, None, :].astype(tf.dtype)
-        return (tf * c + _rotate_half(tf) * s).astype(og)
-
     # TPU scatters serialize; express the cache update as one small int
     # scatter ([B, L]) plus per-layer GATHER + select, which vectorize.
     bidx = jnp.arange(B)[:, None]
@@ -633,26 +641,29 @@ def llada_hidden_partial(
     is_sel = jnp.zeros((B, L), bool).at[bidx, sel_pos].set(True)
 
     def merge(new_compact, cached):
-        # new_compact [B, n, KV, hd]; gather to [B, L, KV, hd] then select
+        # new_compact [B, n, KV*hd] packed; gather to [B, L, .] then select
         expanded = jnp.take_along_axis(
-            new_compact, inv[:, :, None, None], axis=1, mode="clip")
-        return jnp.where(is_sel[:, :, None, None], expanded, cached)
+            new_compact, inv[:, :, None], axis=1, mode="clip")
+        return jnp.where(is_sel[:, :, None], expanded, cached)
 
     def body(carry, xs):
         x = carry
         lp, layer_cache = xs
         h = _norm(x, lp["attn_norm"], cfg)
-        q = _pmm(h, lp["q_proj"]).reshape(B, n, nh, hd)
-        k_new = _pmm(h, lp["k_proj"]).reshape(B, n, nkv, hd)
-        v_new = _pmm(h, lp["v_proj"]).reshape(B, n, nkv, hd)
-        qr = rope_sel(q)
-        kr_new = rope_sel(k_new)
+        q = _pmm(h, lp["q_proj"])                      # [B, n, H*hd] packed
+        k_new = _pmm(h, lp["k_proj"])
+        v_new = _pmm(h, lp["v_proj"])
+        kr_new = _rope_packed(k_new, sin_sel, cos_sel, nkv,
+                              cfg.rope_full_precision)
         k_full = merge(kr_new, layer_cache["k"])
         v_full = merge(v_new, layer_cache["v"])
 
-        att = dot_product_attention(qr, k_full, v_full,
-                                    impl=cfg.attention_impl)
-        x = x + _pmm(att.reshape(B, n, nh * hd), lp["attn_out"])
+        # q's rotation fuses into the kernel at the true absolute positions
+        att = rope_attention_qonly(q, k_full, v_full, sin_sel, cos_sel,
+                                   n_heads=nh, n_kv_heads=nkv,
+                                   full_precision=cfg.rope_full_precision,
+                                   impl=cfg.attention_impl)
+        x = x + _pmm(att, lp["attn_out"])
         h = _norm(x, lp["ff_norm"], cfg)
         gate = jax.nn.silu(_pmm(h, lp["ff_proj"]))
         up = _pmm(h, lp["up_proj"])

@@ -24,7 +24,8 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-__all__ = ["dot_product_attention", "rope_attention"]
+__all__ = ["dot_product_attention", "rope_attention",
+           "rope_attention_qonly"]
 
 
 def _xla_attention(q: jax.Array, k: jax.Array, v: jax.Array,
@@ -114,19 +115,18 @@ def _packed_reference(q, k, v, sin, cos, bias, H: int, KV: int):
 def _packed_diff_fn(H: int, KV: int, interpret: bool = False):
     @jax.custom_vjp
     def f(q, k, v, sin, cos, bias):
+        # Always route through custom_partitioning: on a multi-chip mesh
+        # GSPMD shards the kernel (batch by data axes, heads by the TP lane
+        # shard) instead of all-gathering around an opaque custom call, and
+        # on one device the wrapper lowers to the bare kernel.  The ambient
+        # device count is NOT a reliable gate — AOT topology compiles (the
+        # v5e-8 census) trace with a single local device while targeting 8.
         from mmada_parallel_tpu.ops.rope_attention import (
-            flash_attention_rope, partitioned_flash_rope)
-        if len(jax.devices()) > 1:
-            # multi-chip: route through custom_partitioning so GSPMD shards
-            # the kernel (batch by data axes, heads by the TP lane shard)
-            # instead of all-gathering around an opaque custom call.
-            fn = partitioned_flash_rope(H, KV, bias is not None,
-                                        sin.ndim == 3, interpret)
-            args = (q, k, v, sin, cos) + ((bias,) if bias is not None else ())
-            return fn(*args)
-        return flash_attention_rope(q, k, v, sin, cos, bias,
-                                    n_heads=H, n_kv_heads=KV,
-                                    interpret=interpret)
+            partitioned_flash_rope)
+        fn = partitioned_flash_rope(H, KV, bias is not None,
+                                    sin.ndim == 3, interpret)
+        args = (q, k, v, sin, cos) + ((bias,) if bias is not None else ())
+        return fn(*args)
 
     def fwd(q, k, v, sin, cos, bias):
         return f(q, k, v, sin, cos, bias), (q, k, v, sin, cos, bias)
@@ -179,3 +179,75 @@ def rope_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     q4, k4 = apply_rope(q4, k4, sin, cos, full_precision)
     return dot_product_attention(q4, k4, v4, bias,
                                  impl=impl).reshape(B, L, HD)
+
+
+# ---------------------------------------------------------------------------
+# Packed attention with pre-rotated K (the feature-cache hot path)
+# ---------------------------------------------------------------------------
+
+
+def _packed_qonly_reference(q, k, v, sin_q, cos_q, bias, H: int, KV: int,
+                            full_precision: bool = True):
+    """Unfused chain for the pre-rotated-K case: reshape -> fp32 rope on q
+    only -> einsum attention -> reshape.  Oracle + custom-VJP backward."""
+    from mmada_parallel_tpu.ops.rope_attention import _rotate_half
+    B, Lq, HD = q.shape
+    D = HD // H
+    q4 = q.reshape(B, Lq, H, D)
+    k4 = k.reshape(B, k.shape[1], KV, D)
+    v4 = v.reshape(B, v.shape[1], KV, D)
+    og = q4.dtype
+    qf = q4.astype(jnp.float32) if full_precision else q4
+    s = (sin_q if sin_q.ndim == 3 else sin_q[None])[:, :, None, :]
+    c = (cos_q if cos_q.ndim == 3 else cos_q[None])[:, :, None, :]
+    qf = qf * c.astype(qf.dtype) + _rotate_half(qf) * s.astype(qf.dtype)
+    return _xla_attention(qf.astype(og), k4, v4, bias).reshape(B, Lq, HD)
+
+
+@functools.lru_cache(maxsize=None)
+def _packed_qonly_diff_fn(H: int, KV: int, interpret: bool = False):
+    @jax.custom_vjp
+    def f(q, k, v, sin_q, cos_q, bias):
+        from mmada_parallel_tpu.ops.rope_attention import (
+            flash_attention_rope_qonly)
+        return flash_attention_rope_qonly(q, k, v, sin_q, cos_q, bias,
+                                          n_heads=H, n_kv_heads=KV,
+                                          interpret=interpret)
+
+    def fwd(q, k, v, sin_q, cos_q, bias):
+        return f(q, k, v, sin_q, cos_q, bias), (q, k, v, sin_q, cos_q, bias)
+
+    def bwd(res, g):
+        q, k, v, sin_q, cos_q, bias = res
+        _, vjp = jax.vjp(
+            lambda *a: _packed_qonly_reference(*a, H=H, KV=KV),
+            q, k, v, sin_q, cos_q, bias)
+        return vjp(g)
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
+def rope_attention_qonly(q: jax.Array, k: jax.Array, v: jax.Array,
+                         sin_q: jax.Array, cos_q: jax.Array,
+                         bias: Optional[jax.Array] = None, *,
+                         n_heads: int, n_kv_heads: Optional[int] = None,
+                         full_precision: bool = True,
+                         impl: str = "auto") -> jax.Array:
+    """Packed attention where K/V arrive PRE-ROTATED (the feature cache
+    stores post-RoPE K, ``models/llada.py``): q gets the fp32 rotation at
+    its true positions (``sin_q``/``cos_q``: ``[Lq, hd]`` or per-row
+    ``[B, Lq, hd]``), K/V are the full packed caches ``[B, Lk, KV*hd]``.
+    Dispatches to the fused kernel on qualifying TPU shapes, otherwise
+    runs the unpacked q-rope + einsum chain."""
+    B, Lq, HD = q.shape
+    H = n_heads
+    KV = n_kv_heads if n_kv_heads is not None else H
+    D = HD // H
+    if impl in ("auto", "pallas"):
+        on_tpu = jax.devices()[0].platform == "tpu"
+        if (on_tpu and full_precision and D % 128 == 0 and H == KV
+                and k.shape[1] <= 4096):
+            return _packed_qonly_diff_fn(H, KV)(q, k, v, sin_q, cos_q, bias)
+    return _packed_qonly_reference(q, k, v, sin_q, cos_q, bias, H, KV,
+                                   full_precision)

@@ -45,7 +45,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["flash_attention_rope", "apply_rope", "partitioned_flash_rope"]
+__all__ = ["flash_attention_rope", "flash_attention_rope_qonly",
+           "apply_rope", "partitioned_flash_rope"]
 
 NEG_INF = -1e30
 
@@ -87,26 +88,27 @@ def _rope_rows(x: jax.Array, sin: jax.Array, cos: jax.Array) -> jax.Array:
 
 
 def _kernel(q_ref, k_ref, v_ref, sq_ref, cq_ref, sk_ref, ck_ref, bias_ref,
-            o_ref, krot_scr, *, scale, kv_len, G, D, rep):
+            o_ref, krot_scr, *, scale, kv_len, G, D, rep, rope_k=True):
     qi = pl.program_id(2)
     g = pl.program_id(1)
     Lpk = k_ref.shape[1]
     bq = q_ref.shape[1]
 
-    @pl.when(qi == 0)
-    def _rope_k():
-        sk = sk_ref[0, :, :] if sk_ref.ndim == 3 else sk_ref[:, :]
-        ck = ck_ref[0, :, :] if ck_ref.ndim == 3 else ck_ref[:, :]
-        if rep == 1:
-            for h in range(G):
-                krot_scr[:, h * D:(h + 1) * D] = _rope_rows(
-                    k_ref[0, :, h * D:(h + 1) * D], sk, ck)
-        else:
-            # full-KV block: rotate every kv head once
-            n_kv = krot_scr.shape[1] // D
-            for h in range(n_kv):
-                krot_scr[:, h * D:(h + 1) * D] = _rope_rows(
-                    k_ref[0, :, h * D:(h + 1) * D], sk, ck)
+    if rope_k:
+        @pl.when(qi == 0)
+        def _rope_k():
+            sk = sk_ref[0, :, :] if sk_ref.ndim == 3 else sk_ref[:, :]
+            ck = ck_ref[0, :, :] if ck_ref.ndim == 3 else ck_ref[:, :]
+            if rep == 1:
+                for h in range(G):
+                    krot_scr[:, h * D:(h + 1) * D] = _rope_rows(
+                        k_ref[0, :, h * D:(h + 1) * D], sk, ck)
+            else:
+                # full-KV block: rotate every kv head once
+                n_kv = krot_scr.shape[1] // D
+                for h in range(n_kv):
+                    krot_scr[:, h * D:(h + 1) * D] = _rope_rows(
+                        k_ref[0, :, h * D:(h + 1) * D], sk, ck)
 
     sq = sq_ref[0, :, :] if sq_ref.ndim == 3 else sq_ref[:, :]
     cq = cq_ref[0, :, :] if cq_ref.ndim == 3 else cq_ref[:, :]
@@ -116,12 +118,14 @@ def _kernel(q_ref, k_ref, v_ref, sq_ref, cq_ref, sk_ref, ck_ref, bias_ref,
         q = _rope_rows(q_ref[0, :, h * D:(h + 1) * D], sq, cq)
         if rep == 1:
             kh, vh = h, h
-            k = krot_scr[:, kh * D:(kh + 1) * D]
+            k = (krot_scr[:, kh * D:(kh + 1) * D] if rope_k
+                 else k_ref[0, :, kh * D:(kh + 1) * D])
             v = v_ref[0, :, vh * D:(vh + 1) * D]
         else:
             # global q head -> kv head, dynamic lane offset (D-aligned)
             kv = (g * G + h) // rep
-            k = krot_scr[:, pl.dslice(kv * D, D)]
+            k = (krot_scr[:, pl.dslice(kv * D, D)] if rope_k
+                 else k_ref[0, :, pl.dslice(kv * D, D)])
             v = v_ref[0, :, pl.dslice(kv * D, D)]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
@@ -161,9 +165,56 @@ def flash_attention_rope(q: jax.Array, k: jax.Array, v: jax.Array,
     ``heads_per_step`` (G) trades VMEM for pipeline occupancy; G=2 measured
     best on v5e (G=8 exceeds the 16 MB scoped-VMEM limit at L≈2.4k).
     """
+    Lq, Lk = q.shape[1], k.shape[1]
+    f32 = jnp.float32
+    sin_q, cos_q = sin.astype(f32), cos.astype(f32)
+    if Lq == Lk:
+        sin_k, cos_k = sin_q, cos_q
+    elif sin.ndim == 2:
+        # distinct lengths from one table: q covers the first Lq positions
+        sin_q, cos_q = sin_q[:Lq], cos_q[:Lq]
+        sin_k, cos_k = sin.astype(f32)[:Lk], cos.astype(f32)[:Lk]
+    else:
+        raise ValueError("ragged sin/cos require Lq == Lk; use "
+                         "flash_attention_rope_qonly for subset-q")
+    return _launch(q, k, v, sin_q, cos_q, sin_k, cos_k, bias,
+                   H=n_heads,
+                   KV=n_kv_heads if n_kv_heads is not None else n_heads,
+                   heads_per_step=heads_per_step, block_q=block_q,
+                   rope_k=True, interpret=interpret)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_heads", "n_kv_heads", "heads_per_step", "block_q",
+                     "interpret"))
+def flash_attention_rope_qonly(q: jax.Array, k: jax.Array, v: jax.Array,
+                               sin_q: jax.Array, cos_q: jax.Array,
+                               bias: Optional[jax.Array] = None,
+                               *, n_heads: int,
+                               n_kv_heads: Optional[int] = None,
+                               heads_per_step: int = 2, block_q: int = 128,
+                               interpret: bool = False) -> jax.Array:
+    """Packed attention with PRE-ROTATED k/v — the feature-cache hot path.
+
+    The per-layer cache (``models/llada.py:llada_hidden_with_cache``)
+    stores post-RoPE K, so partial steps only rotate the recomputed q rows:
+    ``sin_q``/``cos_q`` are the fp32 tables at q's TRUE absolute positions
+    — ``[Lq, D]`` (shared) or ``[B, Lq, D]`` (per-row ``sel_pos`` gathers,
+    the usual case).  ``q`` is ``[B, Lq, H*D]`` with any ``Lq``; ``k``/``v``
+    are the full packed caches ``[B, Lk, KV*D]``.
+    """
+    return _launch(q, k, v, sin_q.astype(jnp.float32),
+                   cos_q.astype(jnp.float32), None, None, bias,
+                   H=n_heads,
+                   KV=n_kv_heads if n_kv_heads is not None else n_heads,
+                   heads_per_step=heads_per_step, block_q=block_q,
+                   rope_k=False, interpret=interpret)
+
+
+def _launch(q, k, v, sin_q, cos_q, sin_k, cos_k, bias, *, H, KV,
+            heads_per_step, block_q, rope_k, interpret):
     B, Lq, HD = q.shape
-    H = n_heads
-    KV = n_kv_heads if n_kv_heads is not None else H
     D = HD // H
     if HD % H:
         raise ValueError("packed width must be a multiple of n_heads")
@@ -190,20 +241,23 @@ def flash_attention_rope(q: jax.Array, k: jax.Array, v: jax.Array,
                        ((0, 0), (0, 0), (0, Lp_q - Lq), (0, Lp_k - Lk)),
                        constant_values=NEG_INF)
 
-    f32 = jnp.float32
-    ragged = sin.ndim == 3
-    pad_q = ((0, 0), (0, Lp_q - Lq), (0, 0)) if ragged else \
-        ((0, Lp_q - Lq), (0, 0))
-    pad_k = ((0, 0), (0, Lp_k - Lk), (0, 0)) if ragged else \
-        ((0, Lp_k - Lk), (0, 0))
-    sin_q = jnp.pad(sin.astype(f32), pad_q)
-    cos_q = jnp.pad(cos.astype(f32), pad_q)
-    if Lq == Lk:
-        sin_k, cos_k = (sin_q, cos_q) if Lp_q == Lp_k else (
-            jnp.pad(sin.astype(f32), pad_k), jnp.pad(cos.astype(f32), pad_k))
+    def pad_table(t, Lp, Lt):
+        pad = ((0, 0), (0, Lp - Lt), (0, 0)) if t.ndim == 3 else \
+            ((0, Lp - Lt), (0, 0))
+        return jnp.pad(t, pad) if Lp != Lt else t
+
+    k_shares_q_table = rope_k and sin_k is sin_q and Lp_q == Lp_k
+    sin_q = pad_table(sin_q, Lp_q, Lq)
+    cos_q = pad_table(cos_q, Lp_q, Lq)
+    if rope_k:
+        if k_shares_q_table:
+            sin_k, cos_k = sin_q, cos_q
+        else:
+            sin_k = pad_table(sin_k, Lp_k, Lk)
+            cos_k = pad_table(cos_k, Lp_k, Lk)
     else:
-        sin_k = jnp.pad(sin.astype(f32), pad_k)
-        cos_k = jnp.pad(cos.astype(f32), pad_k)
+        # never read by the kernel; minimal arrays keep the arity fixed
+        sin_k = cos_k = jnp.zeros((8, D), jnp.float32)
 
     n_q = Lp_q // block_q
     grid = (B, nG, n_q)
@@ -212,12 +266,17 @@ def flash_attention_rope(q: jax.Array, k: jax.Array, v: jax.Array,
     def kv_index(b, g, qi):
         return (b, 0, g) if rep == 1 else (b, 0, 0)
 
-    if ragged:
-        sq_spec = pl.BlockSpec((1, block_q, D), lambda b, g, qi: (b, qi, 0))
-        sk_spec = pl.BlockSpec((1, Lp_k, D), lambda b, g, qi: (b, 0, 0))
-    else:
-        sq_spec = pl.BlockSpec((block_q, D), lambda b, g, qi: (qi, 0))
-        sk_spec = pl.BlockSpec((Lp_k, D), lambda b, g, qi: (0, 0))
+    def table_spec(t, blk, imap3, imap2):
+        return pl.BlockSpec((1,) + blk, imap3) if t.ndim == 3 else \
+            pl.BlockSpec(blk, imap2)
+
+    sq_spec = table_spec(sin_q, (block_q, D),
+                         lambda b, g, qi: (b, qi, 0),
+                         lambda b, g, qi: (qi, 0))
+    sk_blk = (Lp_k, D) if rope_k else (8, D)
+    sk_spec = table_spec(sin_k, sk_blk,
+                         lambda b, g, qi: (b, 0, 0),
+                         lambda b, g, qi: (0, 0))
 
     in_specs = [
         pl.BlockSpec((1, block_q, G * D), lambda b, g, qi: (b, qi, g)),
@@ -227,18 +286,20 @@ def flash_attention_rope(q: jax.Array, k: jax.Array, v: jax.Array,
         sk_spec, sk_spec,
     ]
     args = [q, k, v, sin_q, cos_q, sin_k, cos_k]
-    kern = functools.partial(_kernel, scale=scale, kv_len=Lk, G=G, D=D,
-                             rep=rep)
+    kw = dict(scale=scale, kv_len=Lk, G=G, D=D, rep=rep, rope_k=rope_k)
     if bias is not None:
         in_specs.append(pl.BlockSpec((1, 1, block_q, Lp_k),
                                      lambda b, g, qi: (b, 0, qi, 0)))
         args.append(bias)
+        kern = functools.partial(_kernel, **kw)
     else:
         kern = functools.partial(
-            lambda qr, kr, vr, sq, cq, sk, ck, o, scr, **kw: _kernel(
-                qr, kr, vr, sq, cq, sk, ck, None, o, scr, **kw),
-            scale=scale, kv_len=Lk, G=G, D=D, rep=rep)
+            lambda qr, kr, vr, sq, cq, sk, ck, o, scr, **kw_: _kernel(
+                qr, kr, vr, sq, cq, sk, ck, None, o, scr, **kw_), **kw)
 
+    # scratch holds the rotated K block; without k-rotation it is unused
+    # (kept 1-row so the kernel arity is static)
+    scr_rows = Lp_k if rope_k else 8
     out = pl.pallas_call(
         kern,
         grid=grid,
@@ -246,7 +307,7 @@ def flash_attention_rope(q: jax.Array, k: jax.Array, v: jax.Array,
         out_specs=pl.BlockSpec((1, block_q, G * D),
                                lambda b, g, qi: (b, qi, g)),
         out_shape=jax.ShapeDtypeStruct((B, Lp_q, HD), q.dtype),
-        scratch_shapes=[pltpu.VMEM((Lp_k, kv_lanes), k.dtype)],
+        scratch_shapes=[pltpu.VMEM((scr_rows, kv_lanes), k.dtype)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary", "arbitrary")),
         interpret=interpret,

@@ -378,9 +378,9 @@ def generate_image_cached(
     nkv, hd = cfg.effective_n_kv_heads, cfg.head_dim
 
     def zero_cache(length):
-        return {"k": jnp.zeros((cfg.n_layers, B, length, nkv, hd),
+        return {"k": jnp.zeros((cfg.n_layers, B, length, nkv * hd),
                                cfg.compute_dtype),
-                "v": jnp.zeros((cfg.n_layers, B, length, nkv, hd),
+                "v": jnp.zeros((cfg.n_layers, B, length, nkv * hd),
                                cfg.compute_dtype)}
 
     state0 = {"cache": zero_cache(L),

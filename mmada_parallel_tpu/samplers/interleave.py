@@ -375,9 +375,9 @@ generate_ti2ti_cached` (an opt-in approximation; the exact parity path is
 
     nkv, hd = cfg.effective_n_kv_heads, cfg.head_dim
     state0 = {
-        "cache": {"k": jnp.zeros((cfg.n_layers, 2 * B, L, nkv, hd),
+        "cache": {"k": jnp.zeros((cfg.n_layers, 2 * B, L, nkv * hd),
                                  cfg.compute_dtype),
-                  "v": jnp.zeros((cfg.n_layers, 2 * B, L, nkv, hd),
+                  "v": jnp.zeros((cfg.n_layers, 2 * B, L, nkv * hd),
                                  cfg.compute_dtype)},
         "vq": jnp.zeros((2 * B, n_vq, cb), jnp.float32),
     }

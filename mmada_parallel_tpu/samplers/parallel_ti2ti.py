@@ -486,9 +486,9 @@ def generate_ti2ti_cached(
 
     nkv, hd = cfg.effective_n_kv_heads, cfg.head_dim
     state0 = {
-        "cache": {"k": jnp.zeros((cfg.n_layers, B, L, nkv, hd),
+        "cache": {"k": jnp.zeros((cfg.n_layers, B, L, nkv * hd),
                                  cfg.compute_dtype),
-                  "v": jnp.zeros((cfg.n_layers, B, L, nkv, hd),
+                  "v": jnp.zeros((cfg.n_layers, B, L, nkv * hd),
                                  cfg.compute_dtype)},
         "text_logits": jnp.zeros((B, text_len, V), jnp.float32),
         "vq": jnp.zeros((B, n_vq, cb), jnp.float32),

@@ -33,8 +33,10 @@ def test_cache_forward_matches_plain(model):
     h1 = np.asarray(llada_hidden(params, cfg, ids))
     h2, cache = llada_hidden_with_cache(params, cfg, ids)
     np.testing.assert_allclose(h1, np.asarray(h2), atol=1e-5)
+    # packed lane layout: head h = lanes [h*hd, (h+1)*hd) (feeds the fused
+    # qonly kernel with no retiling)
     assert cache["k"].shape == (cfg.n_layers, 2, 12,
-                                cfg.effective_n_kv_heads, cfg.head_dim)
+                                cfg.effective_n_kv_heads * cfg.head_dim)
 
 
 def test_partial_all_positions_matches_full(model):

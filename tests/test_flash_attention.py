@@ -227,3 +227,64 @@ class TestPartitionedRope:
         want = _packed_reference(q, k, v, sin, cos, None, H, H)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    atol=2e-5, rtol=1e-4)
+
+
+class TestPackedQOnly:
+    """flash_attention_rope_qonly: pre-rotated K/V + fused q-rope at true
+    absolute positions (the feature-cache hot path)."""
+
+    def _case(self, B, n, L, H, D=128, bias=None, seed=30):
+        from mmada_parallel_tpu.ops.rope_attention import (
+            flash_attention_rope_qonly)
+        from mmada_parallel_tpu.ops.attention import _packed_qonly_reference
+        from mmada_parallel_tpu.models.llada import _rope_sin_cos
+        rng = np.random.default_rng(seed)
+        q = _rand((B, n, H * D), seed)
+        k = _rand((B, L, H * D), seed + 1)
+        v = _rand((B, L, H * D), seed + 2)
+        sin, cos = _rope_sin_cos(L, D, 10000.0)
+        pos = jnp.asarray(
+            np.sort(rng.choice(L, size=(B, n), replace=False), axis=1))
+        sin_q = jnp.take(sin, pos, axis=0)
+        cos_q = jnp.take(cos, pos, axis=0)
+        got = np.asarray(flash_attention_rope_qonly(
+            q, k, v, sin_q, cos_q, bias, n_heads=H, interpret=True))
+        want = np.asarray(_packed_qonly_reference(
+            q, k, v, sin_q, cos_q, bias, H, H))
+        np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
+
+    def test_subset_positions(self):
+        self._case(2, 16, 300, 2)
+
+    def test_full_width_q_block(self):
+        self._case(1, 128, 256, 4)
+
+    def test_bias(self):
+        B, n, L, H = 1, 8, 200, 2
+        bias = jnp.asarray(
+            np.where(np.arange(L) < 150, 0.0, -1e30), jnp.float32
+        ).reshape(1, 1, 1, L) * jnp.ones((1, 1, n, 1), jnp.float32)
+        self._case(B, n, L, H, bias=bias)
+
+    def test_model_partial_equals_full(self):
+        """llada_hidden_partial over the packed cache must reproduce the
+        full forward at the selected positions (kernel fallback on CPU,
+        interpret-tested above; this guards the packed merge plumbing)."""
+        from mmada_parallel_tpu.models.llada import (
+            LLaDAConfig, init_llada_params, llada_hidden,
+            llada_hidden_with_cache, llada_hidden_partial)
+        cfg = LLaDAConfig.tiny(d_model=64, n_heads=2, n_kv_heads=2,
+                               n_layers=2, mlp_hidden_size=96,
+                               vocab_size=128)
+        params = init_llada_params(jax.random.key(3), cfg)
+        ids = jnp.asarray(
+            np.random.default_rng(4).integers(0, 128, (2, 14)))
+        h_full = np.asarray(llada_hidden(params, cfg, ids))
+        _, cache = llada_hidden_with_cache(params, cfg, ids)
+        sel = jnp.asarray([[1, 4, 9], [0, 7, 13]])
+        sel_ids = jnp.take_along_axis(ids, sel, axis=1)
+        h_part, _ = llada_hidden_partial(params, cfg, sel_ids, sel, cache)
+        for b in range(2):
+            np.testing.assert_allclose(
+                np.asarray(h_part)[b], h_full[b, np.asarray(sel)[b]],
+                atol=1e-5)
