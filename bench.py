@@ -148,11 +148,11 @@ def bench_m(depths, quant):
     scaling = None
     mc = os.environ.get("BENCH_MULTICHIP", "1")
     if mc != "0":
-        from mmada_parallel_tpu.parallel.multichip_model import (
-            run_in_subprocess)
         o = InterleaveOptions()
         for be in (["cpu"] if mc == "cpu" else ["tpu", "cpu"]):
             try:
+                from mmada_parallel_tpu.parallel.multichip_model import (
+                    run_in_subprocess)
                 analysis = run_in_subprocess(
                     t_1chip_s=t_8b, seq=seq, n_text_forwards=0,
                     n_image_forwards=o.text_steps + o.image_steps,
@@ -510,8 +510,6 @@ def main():
     census_backend = None
     mc = os.environ.get("BENCH_MULTICHIP", "1")
     if mc != "0":
-        from mmada_parallel_tpu.parallel.multichip_model import (
-            run_in_subprocess)
         # Prefer the real-target census: AOT-compile for the v5e:2x4
         # topology on the TPU backend (bf16-native collectives + the
         # compiler's own compute-scaling cycle ratios); fall back to the
@@ -519,6 +517,8 @@ def main():
         backends = ["cpu"] if mc == "cpu" else ["tpu", "cpu"]
         for be in backends:
             try:
+                from mmada_parallel_tpu.parallel.multichip_model import (
+                    run_in_subprocess)
                 t0 = time.time()
                 analysis = run_in_subprocess(t_1chip_s=t_8b_1chip,
                                              backend=be, timeout=2400)

@@ -43,7 +43,7 @@ from jax.sharding import PartitionSpec as P
 
 from mmada_parallel_tpu.ops.attention import (rope_attention,
                                               rope_attention_qonly)
-from mmada_parallel_tpu.ops.rope_attention import apply_rope, _rotate_half
+from mmada_parallel_tpu.ops.rope_attention import apply_rope
 
 __all__ = [
     "LLaDAConfig",
@@ -552,17 +552,13 @@ def llada_forward(
 
 def _rope_packed(t: jax.Array, sin: jax.Array, cos: jax.Array,
                  n_heads: int, full_precision: bool) -> jax.Array:
-    """fp32 Neox rotation on a *packed* ``[B, L, H*hd]`` tensor (per-head
-    lane slices), via a transient 4-D view."""
+    """Neox rotation on a *packed* ``[B, L, H*hd]`` tensor (per-head lane
+    slices) via a transient 4-D view of the single-source ``rope_tensor``."""
+    from mmada_parallel_tpu.ops.rope_attention import rope_tensor
     B, L, HD = t.shape
     hd = HD // n_heads
     t4 = t.reshape(B, L, n_heads, hd)
-    og = t4.dtype
-    tf = t4.astype(jnp.float32) if full_precision else t4
-    s = (sin if sin.ndim == 3 else sin[None])[:, :, None, :].astype(tf.dtype)
-    c = (cos if cos.ndim == 3 else cos[None])[:, :, None, :].astype(tf.dtype)
-    tf = tf * c + _rotate_half(tf) * s
-    return tf.astype(og).reshape(B, L, HD)
+    return rope_tensor(t4, sin, cos, full_precision).reshape(B, L, HD)
 
 
 def llada_hidden_with_cache(

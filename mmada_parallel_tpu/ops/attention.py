@@ -190,29 +190,28 @@ def _packed_qonly_reference(q, k, v, sin_q, cos_q, bias, H: int, KV: int,
                             full_precision: bool = True):
     """Unfused chain for the pre-rotated-K case: reshape -> fp32 rope on q
     only -> einsum attention -> reshape.  Oracle + custom-VJP backward."""
-    from mmada_parallel_tpu.ops.rope_attention import _rotate_half
+    from mmada_parallel_tpu.ops.rope_attention import rope_tensor
     B, Lq, HD = q.shape
     D = HD // H
-    q4 = q.reshape(B, Lq, H, D)
+    q4 = rope_tensor(q.reshape(B, Lq, H, D), sin_q, cos_q, full_precision)
     k4 = k.reshape(B, k.shape[1], KV, D)
     v4 = v.reshape(B, v.shape[1], KV, D)
-    og = q4.dtype
-    qf = q4.astype(jnp.float32) if full_precision else q4
-    s = (sin_q if sin_q.ndim == 3 else sin_q[None])[:, :, None, :]
-    c = (cos_q if cos_q.ndim == 3 else cos_q[None])[:, :, None, :]
-    qf = qf * c.astype(qf.dtype) + _rotate_half(qf) * s.astype(qf.dtype)
-    return _xla_attention(qf.astype(og), k4, v4, bias).reshape(B, Lq, HD)
+    return _xla_attention(q4, k4, v4, bias).reshape(B, Lq, HD)
 
 
 @functools.lru_cache(maxsize=None)
 def _packed_qonly_diff_fn(H: int, KV: int, interpret: bool = False):
     @jax.custom_vjp
     def f(q, k, v, sin_q, cos_q, bias):
+        # routed through custom_partitioning for the same reason as the
+        # main packed path (see _packed_diff_fn)
         from mmada_parallel_tpu.ops.rope_attention import (
-            flash_attention_rope_qonly)
-        return flash_attention_rope_qonly(q, k, v, sin_q, cos_q, bias,
-                                          n_heads=H, n_kv_heads=KV,
-                                          interpret=interpret)
+            partitioned_flash_rope_qonly)
+        fn = partitioned_flash_rope_qonly(H, KV, bias is not None,
+                                          sin_q.ndim == 3, interpret)
+        args = (q, k, v, sin_q, cos_q) + \
+            ((bias,) if bias is not None else ())
+        return fn(*args)
 
     def fwd(q, k, v, sin_q, cos_q, bias):
         return f(q, k, v, sin_q, cos_q, bias), (q, k, v, sin_q, cos_q, bias)
@@ -239,7 +238,9 @@ def rope_attention_qonly(q: jax.Array, k: jax.Array, v: jax.Array,
     its true positions (``sin_q``/``cos_q``: ``[Lq, hd]`` or per-row
     ``[B, Lq, hd]``), K/V are the full packed caches ``[B, Lk, KV*hd]``.
     Dispatches to the fused kernel on qualifying TPU shapes, otherwise
-    runs the unpacked q-rope + einsum chain."""
+    runs the unpacked q-rope chain over :func:`dot_product_attention`
+    (which keeps the BLHD flash kernel for GQA / long-cache shapes and
+    preserves ``impl="pallas"``'s raise-on-unavailable semantics)."""
     B, Lq, HD = q.shape
     H = n_heads
     KV = n_kv_heads if n_kv_heads is not None else H
@@ -249,5 +250,9 @@ def rope_attention_qonly(q: jax.Array, k: jax.Array, v: jax.Array,
         if (on_tpu and full_precision and D % 128 == 0 and H == KV
                 and k.shape[1] <= 4096):
             return _packed_qonly_diff_fn(H, KV)(q, k, v, sin_q, cos_q, bias)
-    return _packed_qonly_reference(q, k, v, sin_q, cos_q, bias, H, KV,
-                                   full_precision)
+    from mmada_parallel_tpu.ops.rope_attention import rope_tensor
+    q4 = rope_tensor(q.reshape(B, Lq, H, D), sin_q, cos_q, full_precision)
+    k4 = k.reshape(B, k.shape[1], KV, D)
+    v4 = v.reshape(B, v.shape[1], KV, D)
+    return dot_product_attention(q4, k4, v4, bias,
+                                 impl=impl).reshape(B, Lq, HD)

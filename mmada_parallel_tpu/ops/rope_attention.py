@@ -46,7 +46,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["flash_attention_rope", "flash_attention_rope_qonly",
-           "apply_rope", "partitioned_flash_rope"]
+           "apply_rope", "rope_tensor", "partitioned_flash_rope",
+           "partitioned_flash_rope_qonly"]
 
 NEG_INF = -1e30
 
@@ -56,25 +57,31 @@ def _rotate_half(x: jax.Array) -> jax.Array:
     return jnp.concatenate([-x2, x1], axis=-1)
 
 
-def apply_rope(q: jax.Array, k: jax.Array, sin: jax.Array, cos: jax.Array,
-               full_precision: bool):
-    """Apply Neox RoPE to ``[B, L, H, hd]`` q/k (fp32 rotation per
+def rope_tensor(t: jax.Array, sin: jax.Array, cos: jax.Array,
+                full_precision: bool) -> jax.Array:
+    """Neox RoPE on one ``[B, L, H, hd]`` tensor (fp32 rotation per
     ``modeling_llada.py:412-435`` when ``full_precision``).
 
     ``sin``/``cos`` are ``[L, hd]`` (shared positions) or ``[B, L, hd]``
-    (per-row positions, the ragged-batch serving path).  This is the single
-    source of the rope math — the fused kernel below and the model both
-    follow it."""
-    og_q, og_k = q.dtype, k.dtype
-    if full_precision:
-        q, k = q.astype(jnp.float32), k.astype(jnp.float32)
+    (per-row positions — ragged serving batches, cache ``sel_pos``
+    gathers).  This is the SINGLE SOURCE of the rope math: ``apply_rope``,
+    the fused kernel's in-kernel rows variant, the packed cache rotation
+    (``models/llada.py``) and the qonly fallback all route through or
+    mirror it."""
+    og = t.dtype
+    tf = t.astype(jnp.float32) if full_precision else t
     if sin.ndim == 2:
         sin, cos = sin[None], cos[None]
-    sin = sin[:, :, None, :].astype(q.dtype)
-    cos = cos[:, :, None, :].astype(q.dtype)
-    q = q * cos + _rotate_half(q) * sin
-    k = k * cos + _rotate_half(k) * sin
-    return q.astype(og_q), k.astype(og_k)
+    s = sin[:, :, None, :].astype(tf.dtype)
+    c = cos[:, :, None, :].astype(tf.dtype)
+    return (tf * c + _rotate_half(tf) * s).astype(og)
+
+
+def apply_rope(q: jax.Array, k: jax.Array, sin: jax.Array, cos: jax.Array,
+               full_precision: bool):
+    """:func:`rope_tensor` applied to a q/k pair (same positions)."""
+    return (rope_tensor(q, sin, cos, full_precision),
+            rope_tensor(k, sin, cos, full_precision))
 
 
 def _rope_rows(x: jax.Array, sin: jax.Array, cos: jax.Array) -> jax.Array:
@@ -136,8 +143,10 @@ def _kernel(q_ref, k_ref, v_ref, sq_ref, cq_ref, sk_ref, ck_ref, bias_ref,
             s = jnp.where(col < kv_len, s, NEG_INF)
         m = jnp.max(s, axis=1, keepdims=True)
         p = jnp.exp(s - m)
+        # l >= 1 always: the max-scoring column gives exp(0) = 1, even on a
+        # fully-masked row (finite NEG_INF), whose output is then mean(v) —
+        # exactly what the XLA softmax reference produces for such rows.
         l = jnp.sum(p, axis=1, keepdims=True)
-        l = jnp.where(l == 0.0, 1.0, l)  # fully-masked row -> zeros
         o = jax.lax.dot_general(p.astype(v.dtype), v,
                                 (((1,), (0,)), ((), ())),
                                 preferred_element_type=jnp.float32)
@@ -417,11 +426,96 @@ def partitioned_flash_rope(n_heads: int, n_kv_heads: int, has_bias: bool,
     # replicated (the kernel consumes the full sequence).  The legacy
     # callbacks above serve the GSPMD partitioner when Shardy is off.
     rope_map = "b s e" if ragged else "s e"
-    ops = ["b l x", "b l x", "b l x", rope_map, rope_map]
+    # GQA: q's packed lanes (H*D) and k/v's (KV*D) are different sizes, so
+    # they need distinct factors; MHA shares one so lane sharding propagates
+    kv_map = "b l x" if n_heads == n_kv_heads else "b l y"
+    ops = ["b l x", kv_map, kv_map, rope_map, rope_map]
     if has_bias:
         ops.append("b c m n")  # bias [B, 1, Lq, Lk] shares q's batch factor
     rule_str = ", ".join(ops) + " -> b l x"
-    need_repl = ("l", "s", "e") + (("c", "m", "n") if has_bias else ())
+    need_repl = ("l", "s", "e") + (("c", "m", "n") if has_bias else ()) + \
+        (("y",) if n_heads != n_kv_heads else ())
+    from jax._src.custom_partitioning_sharding_rule import (
+        str_to_sdy_sharding_rule)
+    rule = str_to_sdy_sharding_rule(rule_str,
+                                    need_replication_factors=need_repl)
+    fsa.def_partition(partition=partition,
+                      infer_sharding_from_operands=infer,
+                      sharding_rule=rule)
+    return fsa
+
+
+@functools.lru_cache(maxsize=None)
+def partitioned_flash_rope_qonly(n_heads: int, n_kv_heads: int,
+                                 has_bias: bool, ragged: bool = False,
+                                 interpret: bool = False):
+    """:func:`flash_attention_rope_qonly` under the same GSPMD
+    ``custom_partitioning`` rule as :func:`partitioned_flash_rope` —
+    without it, multi-chip cached serving would all-gather the lane-sharded
+    q and the full packed k/v caches around the opaque kernel every layer.
+
+    Operands: ``(q [B,Lq,H*D], k [B,Lk,KV*D], v, sin_q, cos_q[, bias])``.
+    """
+    from jax.experimental.custom_partitioning import custom_partitioning
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    H, KV = n_heads, n_kv_heads
+
+    def impl(*args):
+        q, k, v, sin_q, cos_q = args[:5]
+        bias = args[5] if has_bias else None
+        return flash_attention_rope_qonly(q, k, v, sin_q, cos_q, bias,
+                                          n_heads=H, n_kv_heads=KV,
+                                          interpret=interpret)
+
+    fsa = custom_partitioning(impl)
+
+    def _spec_entry(sharding, i):
+        spec = getattr(sharding, "spec", None)
+        if spec is None or len(spec) <= i:
+            return None
+        return spec[i]
+
+    def infer(mesh, arg_shapes, result_shape):
+        qs = arg_shapes[0].sharding
+        batch = _spec_entry(qs, 0)
+        lane = _spec_entry(qs, 2)
+        if H % _axis_count(mesh, lane) or KV % _axis_count(mesh, lane):
+            lane = None
+        return NamedSharding(mesh, P(batch, None, lane))
+
+    def partition(mesh, arg_shapes, result_shape):
+        qs = arg_shapes[0].sharding
+        batch = _spec_entry(qs, 0)
+        lane = _spec_entry(qs, 2)
+        tp = _axis_count(mesh, lane)
+        if tp > 1 and (H % tp or KV % tp):
+            lane, tp = None, 1
+        lH, lKV = H // tp, KV // tp
+        qkv_sh = NamedSharding(mesh, P(batch, None, lane))
+        rope_sh = NamedSharding(
+            mesh, P(batch, None, None) if ragged else P(None, None))
+        arg_sh = [qkv_sh, qkv_sh, qkv_sh, rope_sh, rope_sh]
+        if has_bias:
+            arg_sh.append(NamedSharding(mesh, P(batch, None, None, None)))
+
+        def lower(*args):
+            q, k, v, sin_q, cos_q = args[:5]
+            bias = args[5] if has_bias else None
+            return flash_attention_rope_qonly(q, k, v, sin_q, cos_q, bias,
+                                              n_heads=lH, n_kv_heads=lKV,
+                                              interpret=interpret)
+
+        return mesh, lower, qkv_sh, tuple(arg_sh)
+
+    rope_map = "b s e" if ragged else "s e"
+    kv_map = "b m x" if H == KV else "b m y"
+    ops = ["b l x", kv_map, kv_map, rope_map, rope_map]
+    if has_bias:
+        ops.append("b c l m")   # [B, 1, Lq, Lk]
+    rule_str = ", ".join(ops) + " -> b l x"
+    need_repl = ("l", "m", "s", "e") + (("c",) if has_bias else ()) + \
+        (("y",) if H != KV else ())
     from jax._src.custom_partitioning_sharding_rule import (
         str_to_sdy_sharding_rule)
     rule = str_to_sdy_sharding_rule(rule_str,

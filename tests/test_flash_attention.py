@@ -288,3 +288,29 @@ class TestPackedQOnly:
             np.testing.assert_allclose(
                 np.asarray(h_part)[b], h_full[b, np.asarray(sel)[b]],
                 atol=1e-5)
+
+
+def test_partitioned_qonly_heads_sharded():
+    """partitioned_flash_rope_qonly under a tensor mesh must reproduce the
+    unsharded reference (lane shard = whole-head shard, local head counts)."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from mmada_parallel_tpu.ops.rope_attention import (
+        partitioned_flash_rope_qonly)
+    from mmada_parallel_tpu.ops.attention import _packed_qonly_reference
+    from mmada_parallel_tpu.models.llada import _rope_sin_cos
+    B, n, L, H, D = 2, 16, 256, 4, 128
+    q = _rand((B, n, H * D), 40)
+    k, v = _rand((B, L, H * D), 41), _rand((B, L, H * D), 42)
+    sin, cos = _rope_sin_cos(L, D, 10000.0)
+    pos = jnp.asarray(np.stack([np.arange(n), np.arange(10, 10 + n)]))
+    sin_q = jnp.take(sin, pos, axis=0)
+    cos_q = jnp.take(cos, pos, axis=0)
+    mesh = Mesh(np.array(jax.devices()[:4]).reshape(1, 4),
+                ("data", "tensor"))
+    sh = NamedSharding(mesh, P("data", None, "tensor"))
+    qs, ks, vs = (jax.device_put(a, sh) for a in (q, k, v))
+    fn = partitioned_flash_rope_qonly(H, H, False, True, True)
+    out = jax.jit(fn, out_shardings=sh)(qs, ks, vs, sin_q, cos_q)
+    want = _packed_qonly_reference(q, k, v, sin_q, cos_q, None, H, H)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want),
+                               atol=2e-5, rtol=1e-4)
