@@ -162,10 +162,19 @@ def bench_m(depths, quant):
             except Exception as e:
                 err(f"[M] multichip analysis [{be}] failed ({e!r})")
     if scaling is not None:
-        t_8chip = scaling["t_edit_s_no_overlap"]
-        note = ("v5e-8 modeled from HLO collective census + ICI bandwidth,"
-                " no-overlap floor")
-        err(f"[M] modeled v5e-8: {t_8chip:.2f}s no-overlap / "
+        floor = scaling["t_edit_s_no_overlap"]
+        evidenced = scaling.get("t_edit_s_evidenced", floor)
+        if scaling.get("overlap_evidence") and evidenced < floor:
+            t_8chip = evidenced
+            note = ("v5e-8 modeled from HLO collective census + ICI "
+                    "bandwidth; ring-TP comm overlap evidenced by the "
+                    "compiled schedule")
+        else:
+            t_8chip = floor
+            note = ("v5e-8 modeled from HLO collective census + ICI "
+                    "bandwidth, no-overlap floor")
+        err(f"[M] modeled v5e-8: {floor:.2f}s no-overlap / "
+            f"{evidenced:.2f}s evidenced / "
             f"{scaling['t_edit_s_full_overlap']:.2f}s full-overlap "
             f"({100 * scaling['efficiency_no_overlap']:.0f}% floor)")
     else:
@@ -184,6 +193,12 @@ def bench_m(depths, quant):
             "comm_seconds_per_gen": round(scaling["t_comm_s"], 3),
             "predicted_scaling_efficiency":
                 round(scaling["efficiency_no_overlap"], 3),
+            "t_gen_s_no_overlap":
+                round(scaling["t_edit_s_no_overlap"], 3),
+            "t_gen_s_evidenced":
+                round(scaling.get("t_edit_s_evidenced",
+                                  scaling["t_edit_s_no_overlap"]), 3),
+            "overlap_evidence": scaling.get("overlap_evidence"),
             "t_gen_s_full_overlap":
                 round(scaling["t_edit_s_full_overlap"], 3),
         }
@@ -533,6 +548,8 @@ def main():
                     f"{scaling.get('compute_model', 'linear')} "
                     f"{scaling.get('compute_ratios')}; modeled v5e-8 edit "
                     f"{scaling['t_edit_s_no_overlap']:.2f}s no-overlap / "
+                    f"{scaling.get('t_edit_s_evidenced', 0):.2f}s "
+                    "evidenced / "
                     f"{scaling['t_edit_s_full_overlap']:.2f}s full-overlap "
                     f"({100 * scaling['efficiency_no_overlap']:.0f}% "
                     "scaling efficiency floor)")
@@ -542,9 +559,17 @@ def main():
                 scaling = None
 
     if scaling is not None:
-        t_8b_8chip = scaling["t_edit_s_no_overlap"]
-        scale_note = ("v5e-8 time modeled from HLO collective census + "
-                      "ICI bandwidth, no-overlap floor")
+        floor = scaling["t_edit_s_no_overlap"]
+        evidenced = scaling.get("t_edit_s_evidenced", floor)
+        if scaling.get("overlap_evidence") and evidenced < floor:
+            t_8b_8chip = evidenced
+            scale_note = ("v5e-8 time modeled from HLO collective census + "
+                          "ICI bandwidth; ring-decomposed TP comm overlap "
+                          "evidenced by the compiled schedule")
+        else:
+            t_8b_8chip = floor
+            scale_note = ("v5e-8 time modeled from HLO collective census + "
+                          "ICI bandwidth, no-overlap floor")
     else:
         t_8b_8chip = t_8b_1chip / 8.0
         scale_note = "ASSUMES linear v5e-8 scaling"
@@ -571,6 +596,11 @@ def main():
     if scaling is not None:
         diagnostics["multichip"] = {
             "mesh": scaling["mesh"],
+            "t_edit_s_no_overlap": round(scaling["t_edit_s_no_overlap"], 3),
+            "t_edit_s_evidenced": round(
+                scaling.get("t_edit_s_evidenced",
+                            scaling["t_edit_s_no_overlap"]), 3),
+            "overlap_evidence": scaling.get("overlap_evidence"),
             "collective_bytes_per_edit": scaling["wire_bytes_per_edit"],
             "collective_bytes_per_train_step":
                 scaling["train_step_comm"]["wire_bytes_per_call"],

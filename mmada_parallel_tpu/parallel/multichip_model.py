@@ -140,6 +140,10 @@ def parse_collectives(hlo_text: str) -> List[Collective]:
             continue
         shapes, kind = m.group(1), m.group(2)
         b = _shape_bytes(shapes)
+        if "-start(" in s:
+            # async start ops return (aliased operand, destination buffer,
+            # contexts): the payload is half the tuple's array bytes
+            b //= 2
         g = 1
         mg = _GROUPS_LIST_RE.search(s)
         if mg:
@@ -190,6 +194,62 @@ def comm_summary(collectives: Sequence[Collective], per_layer_trip: int,
 
 
 _CYCLES_RE = re.compile(r'"estimated_cycles":"(\d+)"')
+_CP_START_RE = re.compile(r"collective-permute-start\(")
+_CP_DONE_RE = re.compile(r"collective-permute-done\(")
+
+
+def parse_overlap(hlo_text: str) -> Dict[str, Any]:
+    """Schedule evidence for comm/compute overlap, per compiled module.
+
+    TPU-compiled modules are scheduled: the printed instruction order of a
+    computation IS the sequential schedule.  An async collective pair
+    (``collective-permute-start`` ... ``-done``) with compute instructions
+    *between* start and done is wire time the chip spends doing MXU work —
+    the thing a monolithic all-reduce can never show.  Returns, summed
+    over non-entry computations (the layer-scan body):
+
+    * ``async_pairs``: number of start/done pairs;
+    * ``overlapped_cycles``: estimated_cycles of instructions scheduled
+      inside any open start->done window;
+    * ``body_cycles``: all estimated_cycles (denominator);
+    * ``overlap_fraction``: overlapped / body.
+    """
+    pairs = 0
+    overlapped = 0
+    total = 0
+    in_entry = False
+    open_windows = 0
+    for line in hlo_text.splitlines():
+        s = line.rstrip()
+        if s.startswith("ENTRY "):
+            in_entry = True
+            open_windows = 0
+            continue
+        if (s.startswith("%") and s.endswith("{")) or s == "}":
+            in_entry = False       # new computation header / close
+            open_windows = 0
+            continue
+        if in_entry:
+            continue
+        if _CP_START_RE.search(s):
+            open_windows += 1
+            pairs += 1
+            continue
+        if _CP_DONE_RE.search(s):
+            open_windows = max(0, open_windows - 1)
+            continue
+        m = _CYCLES_RE.search(s)
+        if m:
+            c = int(m.group(1))
+            total += c
+            if open_windows > 0:
+                overlapped += c
+    return {
+        "async_pairs": pairs,
+        "overlapped_cycles": overlapped,
+        "body_cycles": total,
+        "overlap_fraction": (overlapped / total) if total else 0.0,
+    }
 
 
 def parse_cycles(hlo_text: str,
@@ -244,9 +304,14 @@ def _abstract_sharded(tree, specs, mesh):
 
 
 def compile_edit_forward_8b(mesh, n_layers: int = 2, seq: int = 2424,
-                            batch: int = 2):
+                            batch: int = 2, tp_overlap: bool = False):
     """AOT-compile the sharded denoise-step forward (the edit hot path) at
-    full 8B width.  Returns ``(compiled, cfg)``; nothing is executed."""
+    full 8B width.  Returns ``(compiled, cfg)``; nothing is executed.
+
+    ``tp_overlap=True`` compiles the ring collective-matmul forward
+    (:mod:`mmada_parallel_tpu.parallel.tp_overlap`) instead of the GSPMD
+    all-reduce path — same math, decomposed collectives the scheduler can
+    overlap (requires ``fsdp == data == 1``)."""
     import jax
     import jax.numpy as jnp
     from jax.sharding import NamedSharding, PartitionSpec as P
@@ -268,12 +333,20 @@ def compile_edit_forward_8b(mesh, n_layers: int = 2, seq: int = 2424,
     ids = jax.ShapeDtypeStruct((batch, seq), jnp.int32,
                                sharding=NamedSharding(mesh, P("data")))
 
-    def fn(params, input_ids):
-        logits = llada_forward(params, cfg, input_ids)
-        # the sampler's per-step vocab reductions (confidence/argmax) ride
-        # the same sharded-logits layout; include one so the census covers
-        # the vocab-axis reduction collective
-        return jnp.argmax(logits, axis=-1)
+    if tp_overlap:
+        from mmada_parallel_tpu.parallel.tp_overlap import (
+            llada_forward_tp_overlap)
+
+        def fn(params, input_ids):
+            logits = llada_forward_tp_overlap(params, cfg, input_ids, mesh)
+            return jnp.argmax(logits, axis=-1)
+    else:
+        def fn(params, input_ids):
+            logits = llada_forward(params, cfg, input_ids)
+            # the sampler's per-step vocab reductions (confidence/argmax)
+            # ride the same sharded-logits layout; include one so the census
+            # covers the vocab-axis reduction collective
+            return jnp.argmax(logits, axis=-1)
 
     return jax.jit(fn).lower(ab_params, ids).compile(), cfg
 
@@ -402,6 +475,7 @@ def analyze_8b(n_devices: int = 8, n_layers_compile: int = 2,
                       + per_batch[2]["wire_bytes_per_call"]
                       * n_image_forwards)
         edits[f"data{d}_fsdp{f}_tensor{t}"] = {
+            "axes": {"data": d, "tensor": t},
             "text_forward": per_batch[1],
             "image_forward": per_batch[2],
             "comm_seconds_per_edit": comm_edit,
@@ -525,6 +599,7 @@ def analyze_8b_tpu(n_layers_compile: int = 2, full_depth: int = 32,
                       + per_batch[2]["wire_bytes_per_call"]
                       * n_image_forwards)
         edits[f"data{d}_fsdp{f}_tensor{t}"] = {
+            "axes": {"data": d, "tensor": t},
             "text_forward": per_batch[1],
             "image_forward": per_batch[2],
             "comm_seconds_per_edit": comm_edit,
@@ -533,6 +608,48 @@ def analyze_8b_tpu(n_layers_compile: int = 2, full_depth: int = 32,
             "compute_ratios": ratios,
         }
     out["edit"] = edits
+
+    # Ring-overlap TP (parallel/tp_overlap.py): identical Megatron math,
+    # boundary collectives decomposed into ppermute rings + chunk GEMMs so
+    # the scheduler CAN overlap wire with MXU time; parse_overlap extracts
+    # what the compiled schedule actually interleaved.
+    try:
+        mesh_r = _tpu_topology_mesh((1, 1, n_dev))
+        per_batch = {}
+        ratios = {}
+        for B, n_fwd in ((1, n_text_forwards), (2, n_image_forwards)):
+            if n_fwd == 0:
+                per_batch[B] = {"comm_seconds_per_call": 0.0,
+                                "wire_bytes_per_call": 0}
+                continue
+            compiled, _ = compile_edit_forward_8b(
+                mesh_r, n_layers_compile, seq=seq, batch=B, tp_overlap=True)
+            txt = compiled.as_text()
+            s = comm_summary(parse_collectives(txt), full_depth, n_dev)
+            s["overlap"] = parse_overlap(txt)
+            body = parse_cycles(txt)[0]
+            if base_cycles.get(B) and 0 < body < base_cycles[B]:
+                s["compute_ratio"] = body / base_cycles[B]
+                ratios[B] = s["compute_ratio"]
+            per_batch[B] = s
+        comm_edit = (per_batch[1]["comm_seconds_per_call"] * n_text_forwards
+                     + per_batch[2]["comm_seconds_per_call"]
+                     * n_image_forwards)
+        bytes_edit = (per_batch[1]["wire_bytes_per_call"] * n_text_forwards
+                      + per_batch[2]["wire_bytes_per_call"]
+                      * n_image_forwards)
+        edits[f"data1_fsdp1_tensor{n_dev}_ring"] = {
+            "axes": {"data": 1, "tensor": n_dev},
+            "decomposed_overlap": True,
+            "text_forward": per_batch[1],
+            "image_forward": per_batch[2],
+            "comm_seconds_per_edit": comm_edit,
+            "wire_bytes_per_edit": int(bytes_edit),
+            "data_idle_on_text_steps": False,
+            "compute_ratios": ratios,
+        }
+    except Exception as e:   # the ring path is an enrichment
+        out["ring_error"] = repr(e)[:500]
 
     d, f, t = train_mesh
     compiled, _ = compile_train_step_8b(_tpu_topology_mesh((d, f, t)),
@@ -588,8 +705,10 @@ def predict_edit_scaling(analysis: Dict[str, Any], t_1chip_s: float,
     units = nt + 2 * ni                 # batch-1-equivalent forwards
     best = None
     for name, s in analysis["edit"].items():
-        d = int(name.split("_")[0][len("data"):])
-        t_axis = int(name.split("tensor")[1])
+        ax = s.get("axes") or {
+            "data": int(name.split("_")[0][len("data"):]),
+            "tensor": int(name.split("tensor")[1])}
+        d, t_axis = ax["data"], ax["tensor"]
         text_chips = t_axis if d > 1 else n_devices
         img_chips = min(d, 2) * t_axis
         t_unit = t_1chip_s / units      # 1-chip seconds per batch-1 fwd
@@ -604,10 +723,33 @@ def predict_edit_scaling(analysis: Dict[str, Any], t_1chip_s: float,
         t_comp = nt * t_text + ni * t_img
         t_comm = s["comm_seconds_per_edit"]
         floor = t_comp + t_comm
+        # Evidenced overlap: a decomposed-collective schedule that places
+        # compute inside async start->done windows hides comm up to that
+        # fraction of the phase's compute time (per batch phase); plain
+        # all-reduce meshes have no windows -> evidenced == floor.
+        overlap_evidence = {}
+        if any((s.get(k) or {}).get("overlap")
+               for k in ("text_forward", "image_forward")):
+            exposed = 0.0
+            for n_fwd, comp_phase, key in ((nt, nt * t_text,
+                                            "text_forward"),
+                                           (ni, ni * t_img,
+                                            "image_forward")):
+                fwd = s.get(key) or {}
+                comm_phase = fwd.get("comm_seconds_per_call", 0.0) * n_fwd
+                frac = (fwd.get("overlap") or {}).get("overlap_fraction",
+                                                      0.0)
+                exposed += max(0.0, comm_phase - frac * comp_phase)
+                if fwd.get("overlap"):
+                    overlap_evidence[key] = fwd["overlap"]
+            evidenced = t_comp + exposed
+        else:
+            evidenced = floor
         cand = {
             "mesh": name,
             "t_edit_s_no_overlap": floor,
             "t_edit_s_full_overlap": max(t_comp, t_comm),
+            "t_edit_s_evidenced": evidenced,
             "t_compute_s": t_comp,
             "t_comm_s": t_comm,
             "efficiency_no_overlap": (t_1chip_s / n_devices) / floor,
@@ -616,7 +758,9 @@ def predict_edit_scaling(analysis: Dict[str, Any], t_1chip_s: float,
                               else "linear"),
             "compute_ratios": ratios or None,
         }
-        if best is None or floor < best["t_edit_s_no_overlap"]:
+        if overlap_evidence:
+            cand["overlap_evidence"] = overlap_evidence
+        if best is None or evidenced < best["t_edit_s_evidenced"]:
             best = cand
     return best
 

@@ -1,0 +1,244 @@
+"""Overlap-friendly manual tensor parallelism: ring collective-matmuls.
+
+The v5e-8 census (:mod:`mmada_parallel_tpu.parallel.multichip_model`)
+prices the GSPMD-sharded 8B edit at ~3.2 s/edit of ICI all-reduce time
+that the compiled schedule does NOT overlap with compute: the TPU
+backend emits plain ``all-reduce`` ops (zero ``-start``/``-done`` async
+pairs, probed directly including with async compiler options), so the
+"no-overlap floor" is the schedule.  A monolithic all-reduce gives the
+scheduler nothing to overlap *with* — every downstream op consumes its
+result.
+
+This module re-expresses the Megatron TP boundary collectives as ring
+algorithms decomposed into ``g`` explicit steps (``jax.lax.ppermute`` +
+per-chunk GEMMs, unrolled), so step ``s``'s wire transfer is independent
+of step ``s``'s GEMM and the latency-hiding scheduler can run them
+concurrently.  Decomposition changes *scheduling freedom*, not wire
+volume: per boundary the per-chip bytes equal the all-reduce's
+``2*S*(g-1)/g`` split across the sequence-sharded layout's all-gather
+and reduce-scatter halves.
+
+Layout (Megatron sequence parallelism, shard_map over the ``tensor``
+axis, ``g`` chips):
+
+* activations between blocks are SEQUENCE-sharded ``[B, L/g, D]`` —
+  norms and residual adds are per-token, hence local;
+* q/k/v and MLP up/gate projections run as ring
+  **all-gather-matmuls** (:func:`ring_ag_matmul`): the sequence chunks
+  travel the ring while each arriving chunk is GEMMed into its global
+  slice of the column-sharded output;
+* attention runs fully local on ``H/g`` heads over the full sequence
+  (:func:`mmada_parallel_tpu.ops.attention.rope_attention`, packed
+  layout — the fused-rope Pallas kernel applies per head slice);
+* attn-out and MLP-down projections run as ring
+  **matmul-reduce-scatters** (:func:`ring_matmul_rs`): partial-sum
+  chunks circulate and accumulate while the next chunk's GEMM runs.
+
+Each chunk is split into two halves that travel the ring in opposite
+directions, so both ICI link directions carry traffic every round
+(a ring all-reduce's wire efficiency, not a one-directional pipeline's).
+
+The reference counterpart is the NCCL all-reduce inside fairscale's
+``RowParallelLinear`` (``MMaDA-Parallel-A/xllm/solvers/finetune.py:54-61``
+scaffolding); decomposed-overlap collectives have no reference analogue.
+
+Scope: inference forward of the ``llama`` block flavor with MHA (the 8B
+production shape), no padding mask / position_ids (the A/M samplers'
+exact-length batching never pads, see ``serving.py``), mesh
+``fsdp == 1``.  The GSPMD path (:func:`~mmada_parallel_tpu.models.llada_forward`
+under ``param_shardings``) remains the general/default path.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+__all__ = ["ring_ag_matmul", "ring_matmul_rs", "llada_forward_tp_overlap"]
+
+AXIS = "tensor"
+
+
+def _perms(g: int) -> Tuple[list, list]:
+    fwd = [(i, (i + 1) % g) for i in range(g)]
+    bwd = [(i, (i - 1) % g) for i in range(g)]
+    return fwd, bwd
+
+
+def ring_ag_matmul(h: jax.Array, weights: Sequence[jax.Array], g: int,
+                   axis: str = AXIS) -> List[jax.Array]:
+    """All-gather-matmul: local sequence chunk ``h [B, C, Din]`` against
+    column-sharded ``W [Din, F_local]`` weights -> ``[B, g*C, F_local]``
+    outputs in GLOBAL sequence order.
+
+    Ring decomposition (unrolled, ``g`` static): the chunk is split into
+    two sequence halves travelling the ring in opposite directions; at
+    round ``s`` the +ring holds chunk ``(r-s) % g``'s first half and the
+    -ring chunk ``(r+s) % g``'s second half, each GEMMed into its global
+    output slice while the next round's ``ppermute`` is in flight.
+    Per-chip wire bytes: ``(g-1)/g * |h_global|`` = the all-gather's.
+    """
+    B, C, Din = h.shape
+    L = g * C
+    r = jax.lax.axis_index(axis)
+    perm_f, perm_b = _perms(g)
+    half = C // 2
+    ha, hb = h[:, :half], h[:, half:]
+    ws = [w.astype(h.dtype) for w in weights]
+    outs = [jnp.zeros((B, L, w.shape[-1]), h.dtype) for w in ws]
+    for s in range(g):
+        ja = ((r - s) % g) * C
+        jb = ((r + s) % g) * C + half
+        for i, w in enumerate(ws):
+            outs[i] = jax.lax.dynamic_update_slice(outs[i], ha @ w,
+                                                   (0, ja, 0))
+            outs[i] = jax.lax.dynamic_update_slice(outs[i], hb @ w,
+                                                   (0, jb, 0))
+        if s < g - 1:
+            ha = jax.lax.ppermute(ha, axis, perm_f)
+            hb = jax.lax.ppermute(hb, axis, perm_b)
+    return outs
+
+
+def ring_matmul_rs(a: jax.Array, w: jax.Array, g: int,
+                   axis: str = AXIS) -> jax.Array:
+    """Matmul-reduce-scatter: row-sharded GEMM input ``a [B, L, K_local]``
+    against ``w [K_local, F]`` -> the fully-reduced LOCAL sequence chunk
+    ``[B, L/g, F]`` (chunk ``r`` of ``sum_chips(a @ w)``).
+
+    Ring decomposition: the accumulator for chunk ``j`` is created at
+    chip ``j+1`` and hops the +ring adding each chip's partial, landing
+    fully-reduced at chip ``j`` after ``g-1`` hops (mirrored -ring for
+    the second sequence half).  Each round's partial GEMM is independent
+    of the in-flight ``ppermute``.  Per-chip wire bytes:
+    ``(g-1)/g * |result_global|`` = the reduce-scatter's.
+    """
+    B, L, K = a.shape
+    if L % g:
+        raise ValueError(f"sequence {L} not divisible by ring size {g}")
+    C = L // g
+    half = C // 2
+    r = jax.lax.axis_index(axis)
+    perm_f, perm_b = _perms(g)
+    w = w.astype(a.dtype)
+
+    def part(j, off, size):
+        chunk = jax.lax.dynamic_slice(a, (0, j * C + off, 0), (B, size, K))
+        return chunk @ w
+
+    acc_a = part((r - 1) % g, 0, half)
+    acc_b = part((r + 1) % g, half, C - half)
+    for s in range(1, g):
+        acc_a = jax.lax.ppermute(acc_a, axis, perm_f) \
+            + part((r - 1 - s) % g, 0, half)
+        acc_b = jax.lax.ppermute(acc_b, axis, perm_b) \
+            + part((r + 1 + s) % g, half, C - half)
+    return jnp.concatenate([acc_a, acc_b], axis=1)
+
+
+# ---------------------------------------------------------------------------
+# LLaDA block / forward on the ring collectives
+# ---------------------------------------------------------------------------
+
+
+def _block_tp(x: jax.Array, lp: Dict[str, jax.Array], cfg,
+              sin: jax.Array, cos: jax.Array, g: int) -> jax.Array:
+    """One llama-flavor block on a local ``[B, C, D]`` sequence chunk with
+    tensor-sharded weights (``models.param_shardings`` layout, local
+    shards).  Mirrors :func:`mmada_parallel_tpu.models.llada._block`."""
+    from mmada_parallel_tpu.models.llada import _norm
+    from mmada_parallel_tpu.ops.attention import rope_attention
+
+    cdt = x.dtype
+    nh_l = cfg.n_heads // g
+
+    h = _norm(x, lp["attn_norm"], cfg)
+    q, k, v = ring_ag_matmul(h, [lp["q_proj"], lp["k_proj"], lp["v_proj"]],
+                             g)
+    if "q_bias" in lp:
+        q = q + lp["q_bias"].astype(cdt)
+        k = k + lp["k_bias"].astype(cdt)
+        v = v + lp["v_bias"].astype(cdt)
+    att = rope_attention(q, k, v, sin, cos, bias=None,
+                         n_heads=nh_l, n_kv_heads=nh_l,
+                         full_precision=cfg.rope_full_precision,
+                         impl=cfg.attention_impl)
+    x = x + ring_matmul_rs(att, lp["attn_out"], g)
+
+    h = _norm(x, lp["ff_norm"], cfg)
+    gate_in, up = ring_ag_matmul(h, [lp["ff_proj"], lp["up_proj"]], g)
+    x = x + ring_matmul_rs(jax.nn.silu(gate_in) * up, lp["ff_out"], g)
+    return x
+
+
+def _stack_tp(x, blocks, sin, cos, cfg, g):
+    def body(carry, lp):
+        return _block_tp(carry, lp, cfg, sin, cos, g), None
+
+    x, _ = jax.lax.scan(body, x, blocks)
+    return x
+
+
+def llada_forward_tp_overlap(
+    params: Dict[str, Any],
+    cfg,
+    input_ids: jax.Array,
+    mesh: Mesh,
+    vocab_slice: Optional[Tuple[int, int]] = None,
+    logits_dtype: Any = jnp.float32,
+) -> jax.Array:
+    """The LLaDA forward with the layer stack under ``shard_map`` on ring
+    collective-matmuls; numerically equivalent to
+    :func:`~mmada_parallel_tpu.models.llada_forward` (ring summation
+    order differs, so equality is to reduction tolerance).
+
+    Embedding, ``ln_f`` and the vocab head run outside the shard_map
+    under plain GSPMD (entry-level cost, once per call; the hidden
+    states stay sequence-sharded through them, so the head GEMM is
+    collective-free).  Requires: llama block flavor, MHA,
+    ``n_heads % g == 0``, ``L % g == 0``, ``mesh.shape['fsdp'] == 1``,
+    no padding mask (exact-length batching).
+    """
+    import math
+
+    from mmada_parallel_tpu.models.llada import (_norm, _rope_sin_cos,
+                                                 llada_head)
+    from mmada_parallel_tpu.models import param_shardings
+
+    g = mesh.shape[AXIS]
+    if mesh.shape.get("fsdp", 1) != 1:
+        raise ValueError("tp_overlap requires fsdp == 1 "
+                         f"(got {mesh.shape})")
+    if cfg.block_type != "llama":
+        raise ValueError("tp_overlap supports the llama block flavor only")
+    if cfg.effective_n_kv_heads != cfg.n_heads:
+        raise ValueError("tp_overlap requires MHA (n_kv_heads == n_heads)")
+    if cfg.n_heads % g:
+        raise ValueError(f"n_heads {cfg.n_heads} not divisible by g={g}")
+    B, L = input_ids.shape
+    if L % g:
+        raise ValueError(f"sequence {L} not divisible by g={g}")
+
+    cdt = cfg.compute_dtype
+    x = jnp.take(params["wte"], input_ids, axis=0, mode="clip").astype(cdt)
+    if cfg.input_emb_norm:
+        x = x * jnp.asarray(math.sqrt(cfg.d_model), cdt)
+    x = jax.lax.with_sharding_constraint(
+        x, NamedSharding(mesh, P("data", AXIS, None)))
+    sin, cos = _rope_sin_cos(L, cfg.head_dim, cfg.rope_theta)
+
+    body = jax.shard_map(
+        functools.partial(_stack_tp, cfg=cfg, g=g),
+        mesh=mesh,
+        in_specs=(P("data", AXIS, None), param_shardings(cfg)["blocks"],
+                  P(None, None), P(None, None)),
+        out_specs=P("data", AXIS, None),
+        check_vma=False)
+    x = body(x, params["blocks"], sin, cos)
+
+    x = _norm(x, params["ln_f"], cfg)
+    return llada_head(params, cfg, x, vocab_slice, logits_dtype)

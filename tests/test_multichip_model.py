@@ -207,3 +207,76 @@ def test_predict_uses_compiler_cycle_ratios():
     assert out["compute_model"] == "compiler-cycle-ratio"
     assert out["t_compute_s"] == pytest.approx(7.2)
     assert out["t_edit_s_no_overlap"] == pytest.approx(10.2)
+
+
+def test_parse_overlap_and_start_bytes():
+    """Async collective-permute pairs: payload bytes halve the start op's
+    (operand-alias, destination) tuple; compute scheduled inside the
+    start->done window counts as overlapped."""
+    hlo = """\
+%body (p: f32[2]) -> f32[2] {
+  %cps = (bf16[2,151,4096]{2,1,0}, bf16[2,151,4096]{2,1,0}, u32[], u32[]) collective-permute-start(%x), source_target_pairs={{0,1},{1,2}}
+  %g1 = f32[2]{0} add(%p, %p), backend_config={"window_config":{"estimated_cycles":"60"}}
+  %cpd = bf16[2,151,4096]{2,1,0} collective-permute-done(%cps)
+  %g2 = f32[2]{0} add(%p, %p), backend_config={"window_config":{"estimated_cycles":"40"}}
+  ROOT %r = f32[2]{0} add(%g1, %g2)
+}
+ENTRY %main (p: f32[2]) -> f32[2] {
+  ROOT %c = f32[2]{0} add(%p, %p), backend_config={"window_config":{"estimated_cycles":"11"}}
+}
+"""
+    ov = MM.parse_overlap(hlo)
+    assert ov["async_pairs"] == 1
+    assert ov["overlapped_cycles"] == 60
+    assert ov["body_cycles"] == 100
+    assert ov["overlap_fraction"] == pytest.approx(0.6)
+
+    cols = MM.parse_collectives(hlo)
+    assert len(cols) == 1  # the -done is not double-counted
+    c = cols[0]
+    assert c.kind == "collective-permute"
+    # one payload, not the tuple (±the halved u32[] context words)
+    assert abs(c.bytes - 2 * 151 * 4096 * 2) <= 8
+    assert c.group_size == 2
+    assert not c.in_entry
+
+
+def test_predict_with_overlap_evidence():
+    """A ring entry whose schedule shows overlap hides comm up to the
+    overlapped fraction of the phase's compute time."""
+    analysis = {
+        "n_text_forwards": 128, "n_image_forwards": 64,
+        "edit": {
+            "data1_fsdp1_tensor8": {
+                "comm_seconds_per_edit": 3.0,
+                "wire_bytes_per_edit": 10,
+                "text_forward": {}, "image_forward": {},
+                "data_idle_on_text_steps": False,
+            },
+            "data1_fsdp1_tensor8_ring": {
+                "axes": {"data": 1, "tensor": 8},
+                "decomposed_overlap": True,
+                "comm_seconds_per_edit": 3.0,
+                "wire_bytes_per_edit": 10,
+                "text_forward": {
+                    "comm_seconds_per_call": 3.0 / 192,
+                    "overlap": {"async_pairs": 7, "overlap_fraction": 0.8,
+                                "overlapped_cycles": 8, "body_cycles": 10},
+                },
+                "image_forward": {
+                    "comm_seconds_per_call": 3.0 / 192,
+                    "overlap": {"async_pairs": 7, "overlap_fraction": 0.8,
+                                "overlapped_cycles": 8, "body_cycles": 10},
+                },
+                "data_idle_on_text_steps": False,
+            },
+        },
+    }
+    out = MM.predict_edit_scaling(analysis, t_1chip_s=48.0, n_devices=8)
+    # both meshes: comp 6.0, comm 3.0 -> floor 9.0.  Ring phases:
+    # text comm 2.0 vs 0.8*3.0 hidden -> exposed 0; image comm 1.0 vs
+    # 0.8*3.0 -> exposed 0; evidenced = 6.0
+    assert out["mesh"] == "data1_fsdp1_tensor8_ring"
+    assert out["t_edit_s_no_overlap"] == pytest.approx(9.0)
+    assert out["t_edit_s_evidenced"] == pytest.approx(6.0)
+    assert out["overlap_evidence"]["text_forward"]["async_pairs"] == 7

@@ -1,0 +1,133 @@
+"""Ring collective-matmul TP (parallel/tp_overlap.py) vs GSPMD forward.
+
+The ring decomposition must be a pure re-scheduling of the Megatron TP
+math: same outputs (to reduction-order tolerance), same wire volume.
+These tests pin the algebra on the 8-virtual-device CPU mesh; the
+v5e:2x4 AOT census (test_multichip_model.py / bench.py) measures what
+the TPU scheduler does with the freed dependencies.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from mmada_parallel_tpu.models import (LLaDAConfig, init_llada_params,
+                                       llada_forward, param_shardings)
+from mmada_parallel_tpu.parallel import MeshConfig, make_mesh
+from mmada_parallel_tpu.parallel.tp_overlap import (llada_forward_tp_overlap,
+                                                    ring_ag_matmul,
+                                                    ring_matmul_rs)
+
+G = 8
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return make_mesh(MeshConfig(data=1, fsdp=1, tensor=G))
+
+
+def test_ring_ag_matmul_matches_dense(mesh):
+    k1, k2, k3 = jax.random.split(jax.random.key(0), 3)
+    B, L, D, F = 2, 48, 16, 24          # C = 6 per chip (odd-half split: 3+3)
+    h = jax.random.normal(k1, (B, L, D), jnp.float32)
+    w1 = jax.random.normal(k2, (D, F), jnp.float32)
+    w2 = jax.random.normal(k3, (D, F), jnp.float32)
+
+    def f(h_s, w1_l, w2_l):
+        return tuple(ring_ag_matmul(h_s, [w1_l, w2_l], G))
+
+    y1, y2 = jax.jit(jax.shard_map(
+        f, mesh=mesh,
+        in_specs=(P(None, "tensor", None), P(None, "tensor"),
+                  P(None, "tensor")),
+        out_specs=(P(None, None, "tensor"), P(None, None, "tensor")),
+        check_vma=False))(h, w1, w2)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(h @ w1),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(y2), np.asarray(h @ w2),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_ring_ag_matmul_odd_chunk(mesh):
+    # C = 3 -> halves of 1 and 2 (the 2424/8 = 303 edit shape is odd too)
+    B, L, D, F = 1, 24, 8, 8
+    h = jax.random.normal(jax.random.key(1), (B, L, D), jnp.float32)
+    w = jax.random.normal(jax.random.key(2), (D, F), jnp.float32)
+    (y,) = jax.jit(jax.shard_map(
+        lambda h_s, w_l: tuple(ring_ag_matmul(h_s, [w_l], G)),
+        mesh=mesh, in_specs=(P(None, "tensor", None), P(None, "tensor")),
+        out_specs=(P(None, None, "tensor"),), check_vma=False))(h, w)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(h @ w),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_ring_matmul_rs_matches_dense(mesh):
+    k1, k2 = jax.random.split(jax.random.key(3))
+    B, L, K, F = 2, 48, 32, 16          # K sharded over chips: 4 rows each
+    a = jax.random.normal(k1, (B, L, K), jnp.float32)
+    w = jax.random.normal(k2, (K, F), jnp.float32)
+
+    y = jax.jit(jax.shard_map(
+        lambda a_l, w_l: ring_matmul_rs(a_l, w_l, G),
+        mesh=mesh, in_specs=(P(None, None, "tensor"), P("tensor", None)),
+        out_specs=P(None, "tensor", None), check_vma=False))(a, w)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(a @ w),
+                               rtol=1e-4, atol=1e-4)
+
+
+def _tp_cfg(**over):
+    base = dict(n_heads=8, n_kv_heads=8, d_model=64, mlp_hidden_size=128,
+                n_layers=2, block_type="llama", vocab_size=512)
+    base.update(over)
+    return LLaDAConfig.tiny(**base)
+
+
+@pytest.mark.parametrize("bias", [False, True])
+def test_forward_parity_vs_gspmd(mesh, bias):
+    cfg = _tp_cfg(include_qkv_bias=bias)
+    params = init_llada_params(jax.random.key(0), cfg)
+    sharded = jax.tree_util.tree_map(
+        lambda p, s: jax.device_put(p, NamedSharding(mesh, s)),
+        params, param_shardings(cfg))
+    ids = jax.random.randint(jax.random.key(1), (2, 40), 0, cfg.vocab_size)
+
+    ref = jax.jit(lambda p, i: llada_forward(p, cfg, i))(sharded, ids)
+    out = jax.jit(lambda p, i: llada_forward_tp_overlap(
+        p, cfg, i, mesh))(sharded, ids)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_forward_vocab_slice(mesh):
+    cfg = _tp_cfg()
+    params = init_llada_params(jax.random.key(2), cfg)
+    sharded = jax.tree_util.tree_map(
+        lambda p, s: jax.device_put(p, NamedSharding(mesh, s)),
+        params, param_shardings(cfg))
+    ids = jax.random.randint(jax.random.key(3), (1, 16), 0, cfg.vocab_size)
+    from mmada_parallel_tpu.models import llada_head, llada_hidden
+    ref = jax.jit(lambda p, i: llada_head(
+        p, cfg, llada_hidden(p, cfg, i), vocab_slice=(128, 64)))(sharded,
+                                                                 ids)
+    out = jax.jit(lambda p, i: llada_forward_tp_overlap(
+        p, cfg, i, mesh, vocab_slice=(128, 64)))(sharded, ids)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_rejects_unsupported_shapes(mesh):
+    cfg = _tp_cfg(n_heads=4, n_kv_heads=4)   # 4 heads over g=8
+    params = init_llada_params(jax.random.key(0), cfg)
+    ids = jnp.zeros((1, 16), jnp.int32)
+    with pytest.raises(ValueError, match="n_heads"):
+        llada_forward_tp_overlap(params, cfg, ids, mesh)
+    cfg = _tp_cfg()
+    params = init_llada_params(jax.random.key(0), cfg)
+    with pytest.raises(ValueError, match="not divisible"):
+        llada_forward_tp_overlap(params, cfg,
+                                 jnp.zeros((1, 17), jnp.int32), mesh)
+    with pytest.raises(ValueError, match="MHA"):
+        llada_forward_tp_overlap(
+            params, _tp_cfg(n_kv_heads=4), ids, mesh)
