@@ -131,3 +131,34 @@ def test_rejects_unsupported_shapes(mesh):
     with pytest.raises(ValueError, match="MHA"):
         llada_forward_tp_overlap(
             params, _tp_cfg(n_kv_heads=4), ids, mesh)
+
+
+def test_ring_wire_volume_equals_all_reduce(mesh):
+    """The decomposition must change SCHEDULING, not wire volume: per-layer
+    ring ppermute bytes == the GSPMD path's two all-reduces (2 * 2*S*(g-1)/g
+    per layer).  Census'd from the compiled CPU modules."""
+    from mmada_parallel_tpu.parallel import multichip_model as MM
+
+    cfg = _tp_cfg()
+    params = init_llada_params(jax.random.key(0), cfg)
+    sharded = jax.tree_util.tree_map(
+        lambda p, s: jax.device_put(p, NamedSharding(mesh, s)),
+        params, param_shardings(cfg))
+    ids = jnp.zeros((2, 64), jnp.int32)
+
+    wires = {}
+    counts = {}
+    for name, fn in (
+            ("gspmd", lambda p, i: llada_forward(p, cfg, i)),
+            ("ring", lambda p, i: llada_forward_tp_overlap(p, cfg, i,
+                                                           mesh))):
+        txt = jax.jit(fn).lower(sharded, ids).compile().as_text()
+        cols = MM.parse_collectives(txt)
+        s = MM.comm_summary(cols, per_layer_trip=cfg.n_layers, n_devices=G)
+        wires[name] = s["per_layer_wire_bytes"]
+        counts[name] = {c.kind for c in cols if not c.in_entry}
+    # 4 boundaries x 2 directions x (g-1) rounds of ppermute replace the
+    # 2 per-layer all-reduces at identical per-chip bytes
+    assert counts["gspmd"] == {"all-reduce"}
+    assert counts["ring"] == {"collective-permute"}
+    assert wires["ring"] == wires["gspmd"]
