@@ -162,3 +162,29 @@ def test_ring_wire_volume_equals_all_reduce(mesh):
     assert counts["gspmd"] == {"all-reduce"}
     assert counts["ring"] == {"collective-permute"}
     assert wires["ring"] == wires["gspmd"]
+
+
+def test_ring_8b_dims_partitioner_and_volume(mesh):
+    """The ring graph partitions at REAL 8B dims (d_model 4096, vocab
+    134,656, mlp 12,288) on the 8-device mesh, emitting only
+    collective-permutes in the layer body; wire volume equals the GSPMD
+    all-reduces' at bf16 width (the CPU backend legalizes the bf16 cp
+    payloads to f32 — exactly 2x bytes — while TPUs ship bf16 natively,
+    so the CPU-module comparison is ring == 2 * all-reduce-at-bf16)."""
+    from mmada_parallel_tpu.parallel import multichip_model as MM
+
+    wires = {}
+    kinds = {}
+    for tp in (False, True):
+        compiled, _ = MM.compile_edit_forward_8b(mesh, n_layers=2, batch=2,
+                                                 tp_overlap=tp)
+        cols = MM.parse_collectives(compiled.as_text())
+        s = MM.comm_summary(cols, per_layer_trip=32, n_devices=G)
+        wires[tp] = s["per_layer_wire_bytes"]
+        kinds[tp] = {c.kind for c in cols if not c.in_entry}
+    assert kinds[False] == {"all-reduce"}
+    assert kinds[True] == {"collective-permute"}
+    # 4 boundaries x (g-1)/g x [2,2424,4096] bf16 = 139 MB/layer
+    S = 2 * 2424 * 4096 * 2
+    assert wires[False] == pytest.approx(4 * S * 7 / 8, rel=0.02)
+    assert wires[True] == pytest.approx(2 * wires[False], rel=0.02)
