@@ -493,15 +493,37 @@ def analyze_8b(n_devices: int = 8, n_layers_compile: int = 2,
     return out
 
 
-def _tpu_topology_mesh(shape: Tuple[int, int, int]):
+def _tpu_topology_mesh(shape: Tuple[int, int, int],
+                       ring_order: bool = False):
     """Mesh over compile-only devices of a real ``v5e:2x4`` topology
-    (AOT: lower+compile for the actual 8-chip target, no chips needed)."""
+    (AOT: lower+compile for the actual 8-chip target, no chips needed).
+
+    ``ring_order=True`` arranges the devices along the 2x4 slice's
+    boundary Hamiltonian cycle (coords (0,0),(0,1),(0,2),(0,3),(1,3),
+    (1,2),(1,1),(1,0)) so a logical ``ppermute`` ring of ``(i, i+1)``
+    neighbors is a ring of PHYSICAL ICI neighbors — enumeration order
+    would route 2 of 8 hops across the slice (multi-hop, link
+    contention).  Collective-emission/census is unaffected (device
+    assignment only); the wire model's one-hop pricing becomes the
+    mapping the hardware would actually run."""
     import numpy as np
     from jax.experimental import topologies
     from jax.sharding import Mesh
 
     topo = topologies.get_topology_desc("v5e:2x4", "tpu")
-    return Mesh(np.array(topo.devices).reshape(shape),
+    devices = list(topo.devices)
+    if ring_order:
+        def coord(d):
+            c = getattr(d, "coords", None)
+            return (c[1], c[0]) if c is not None else (0, d.id)
+        by_coord = {coord(d): d for d in devices}
+        ys = sorted({y for y, _ in by_coord})
+        xs = sorted({x for _, x in by_coord})
+        if len(ys) == 2 and len(xs) == 4 and len(by_coord) == 8:
+            cycle = ([(ys[0], x) for x in xs]
+                     + [(ys[1], x) for x in reversed(xs)])
+            devices = [by_coord[c] for c in cycle]
+    return Mesh(np.array(devices).reshape(shape),
                 ("data", "fsdp", "tensor"))
 
 
@@ -614,7 +636,7 @@ def analyze_8b_tpu(n_layers_compile: int = 2, full_depth: int = 32,
     # the scheduler CAN overlap wire with MXU time; parse_overlap extracts
     # what the compiled schedule actually interleaved.
     try:
-        mesh_r = _tpu_topology_mesh((1, 1, n_dev))
+        mesh_r = _tpu_topology_mesh((1, 1, n_dev), ring_order=True)
         per_batch = {}
         ratios = {}
         for B, n_fwd in ((1, n_text_forwards), (2, n_image_forwards)):
