@@ -304,7 +304,9 @@ def _abstract_sharded(tree, specs, mesh):
 
 
 def compile_edit_forward_8b(mesh, n_layers: int = 2, seq: int = 2424,
-                            batch: int = 2, tp_overlap: bool = False):
+                            batch: int = 2, tp_overlap: bool = False,
+                            compiler_options: Optional[Dict[str, Any]]
+                            = None):
     """AOT-compile the sharded denoise-step forward (the edit hot path) at
     full 8B width.  Returns ``(compiled, cfg)``; nothing is executed.
 
@@ -348,7 +350,10 @@ def compile_edit_forward_8b(mesh, n_layers: int = 2, seq: int = 2424,
             # covers the vocab-axis reduction collective
             return jnp.argmax(logits, axis=-1)
 
-    return jax.jit(fn).lower(ab_params, ids).compile(), cfg
+    lowered = jax.jit(fn).lower(ab_params, ids)
+    if compiler_options:
+        return lowered.compile(compiler_options=compiler_options), cfg
+    return lowered.compile(), cfg
 
 
 def compile_train_step_8b(mesh, n_layers: int = 2, msl: int = 256,
@@ -639,21 +644,52 @@ def analyze_8b_tpu(n_layers_compile: int = 2, full_depth: int = 32,
         mesh_r = _tpu_topology_mesh((1, 1, n_dev), ring_order=True)
         per_batch = {}
         ratios = {}
+        # async collective-permute is what makes the decomposition pay;
+        # if the default toolchain doesn't emit start/done pairs, retry
+        # with the explicit async option (attempts recorded for the
+        # honest-evidence trail)
+        option_sets = [None,
+                       {"xla_tpu_enable_async_collective_permute": "true"}]
         for B, n_fwd in ((1, n_text_forwards), (2, n_image_forwards)):
             if n_fwd == 0:
                 per_batch[B] = {"comm_seconds_per_call": 0.0,
                                 "wire_bytes_per_call": 0}
                 continue
-            compiled, _ = compile_edit_forward_8b(
-                mesh_r, n_layers_compile, seq=seq, batch=B, tp_overlap=True)
-            txt = compiled.as_text()
-            s = comm_summary(parse_collectives(txt), full_depth, n_dev)
-            s["overlap"] = parse_overlap(txt)
-            body = parse_cycles(txt)[0]
-            if base_cycles.get(B) and 0 < body < base_cycles[B]:
-                s["compute_ratio"] = body / base_cycles[B]
-                ratios[B] = s["compute_ratio"]
-            per_batch[B] = s
+            attempts = []
+            best = None
+            for opts_c in option_sets:
+                try:
+                    compiled, _ = compile_edit_forward_8b(
+                        mesh_r, n_layers_compile, seq=seq, batch=B,
+                        tp_overlap=True, compiler_options=opts_c)
+                except Exception as e:
+                    attempts.append({"options": opts_c,
+                                     "error": repr(e)[:200]})
+                    continue
+                txt = compiled.as_text()
+                s = comm_summary(parse_collectives(txt), full_depth, n_dev)
+                s["overlap"] = parse_overlap(txt)
+                s["compiler_options"] = opts_c
+                body = parse_cycles(txt)[0]
+                if base_cycles.get(B) and 0 < body < base_cycles[B]:
+                    s["compute_ratio"] = body / base_cycles[B]
+                attempts.append({
+                    "options": opts_c,
+                    "async_pairs": s["overlap"]["async_pairs"],
+                    "overlap_fraction": round(
+                        s["overlap"]["overlap_fraction"], 4)})
+                if best is None or (s["overlap"]["overlap_fraction"]
+                                    > best["overlap"]["overlap_fraction"]):
+                    best = s
+                if s["overlap"]["async_pairs"] > 0:
+                    break   # default toolchain already async; done
+            if best is None:
+                raise RuntimeError(f"ring compile failed for B={B}: "
+                                   f"{attempts}")
+            best["attempts"] = attempts
+            if "compute_ratio" in best:
+                ratios[B] = best["compute_ratio"]
+            per_batch[B] = best
         comm_edit = (per_batch[1]["comm_seconds_per_call"] * n_text_forwards
                      + per_batch[2]["comm_seconds_per_call"]
                      * n_image_forwards)
