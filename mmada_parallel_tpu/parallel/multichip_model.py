@@ -811,6 +811,7 @@ def predict_edit_scaling(analysis: Dict[str, Any], t_1chip_s: float,
             "t_compute_s": t_comp,
             "t_comm_s": t_comm,
             "efficiency_no_overlap": (t_1chip_s / n_devices) / floor,
+            "efficiency_evidenced": (t_1chip_s / n_devices) / evidenced,
             "wire_bytes_per_edit": s["wire_bytes_per_edit"],
             "compute_model": ("compiler-cycle-ratio" if (r1 or r2)
                               else "linear"),

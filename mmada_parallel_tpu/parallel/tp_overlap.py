@@ -58,7 +58,8 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["ring_ag_matmul", "ring_matmul_rs", "llada_forward_tp_overlap"]
+__all__ = ["ring_ag_matmul", "ring_matmul_rs", "llada_hidden_tp_overlap",
+           "llada_forward_tp_overlap", "ring_hidden_fn"]
 
 AXIS = "tensor"
 
@@ -183,32 +184,38 @@ def _stack_tp(x, blocks, sin, cos, cfg, g):
     return x
 
 
-def llada_forward_tp_overlap(
+def llada_hidden_tp_overlap(
     params: Dict[str, Any],
     cfg,
     input_ids: jax.Array,
     mesh: Mesh,
-    vocab_slice: Optional[Tuple[int, int]] = None,
-    logits_dtype: Any = jnp.float32,
+    attn_mask: Optional[jax.Array] = None,
+    position_ids: Optional[jax.Array] = None,
 ) -> jax.Array:
-    """The LLaDA forward with the layer stack under ``shard_map`` on ring
-    collective-matmuls; numerically equivalent to
-    :func:`~mmada_parallel_tpu.models.llada_forward` (ring summation
+    """Backbone (post-``ln_f`` hidden states) with the layer stack under
+    ``shard_map`` on ring collective-matmuls; numerically equivalent to
+    :func:`~mmada_parallel_tpu.models.llada_hidden` (ring summation
     order differs, so equality is to reduction tolerance).
 
-    Embedding, ``ln_f`` and the vocab head run outside the shard_map
-    under plain GSPMD (entry-level cost, once per call; the hidden
-    states stay sequence-sharded through them, so the head GEMM is
-    collective-free).  Requires: llama block flavor, MHA,
-    ``n_heads % g == 0``, ``L % g == 0``, ``mesh.shape['fsdp'] == 1``,
-    no padding mask (exact-length batching).
+    Embedding and ``ln_f`` run outside the shard_map under plain GSPMD
+    (entry-level cost, once per call); the returned hidden states are
+    sequence-sharded, so a following vocab-head GEMM is collective-free
+    AND 1/g of the per-chip FLOPs the replicated-hidden head pays.
+    Requires: llama block flavor, MHA, ``n_heads % g == 0``,
+    ``L % g == 0``, ``mesh.shape['fsdp'] == 1``, no padding mask /
+    ragged positions (the servers' exact-length grouping never pads —
+    ``serving.py``).  Signature matches ``llada_hidden`` so samplers can
+    take it as their ``hidden_fn`` (via :func:`ring_hidden_fn`).
     """
     import math
 
-    from mmada_parallel_tpu.models.llada import (_norm, _rope_sin_cos,
-                                                 llada_head)
+    from mmada_parallel_tpu.models.llada import _norm, _rope_sin_cos
     from mmada_parallel_tpu.models import param_shardings
 
+    if attn_mask is not None or position_ids is not None:
+        raise ValueError(
+            "ring TP supports exact-length (maskless) batches only; "
+            "use the GSPMD path for ragged/padded batches")
     g = mesh.shape[AXIS]
     if mesh.shape.get("fsdp", 1) != 1:
         raise ValueError("tp_overlap requires fsdp == 1 "
@@ -240,5 +247,32 @@ def llada_forward_tp_overlap(
         check_vma=False)
     x = body(x, params["blocks"], sin, cos)
 
-    x = _norm(x, params["ln_f"], cfg)
-    return llada_head(params, cfg, x, vocab_slice, logits_dtype)
+    return _norm(x, params["ln_f"], cfg)
+
+
+def ring_hidden_fn(mesh: Mesh):
+    """A drop-in ``hidden_fn`` for the samplers
+    (:func:`~mmada_parallel_tpu.samplers.generate_ti2ti`,
+    :func:`~mmada_parallel_tpu.samplers.interleave_generate`): the ring-TP
+    backbone bound to ``mesh``, with ``llada_hidden``'s signature."""
+    def fn(params, cfg, input_ids, attn_mask=None, position_ids=None):
+        return llada_hidden_tp_overlap(params, cfg, input_ids, mesh,
+                                       attn_mask, position_ids)
+    return fn
+
+
+def llada_forward_tp_overlap(
+    params: Dict[str, Any],
+    cfg,
+    input_ids: jax.Array,
+    mesh: Mesh,
+    vocab_slice: Optional[Tuple[int, int]] = None,
+    logits_dtype: Any = jnp.float32,
+) -> jax.Array:
+    """Full forward: ring-TP backbone + vocab head (the head consumes the
+    sequence-sharded hidden states, so it is collective-free and its
+    per-chip FLOPs drop by the TP degree vs a replicated-hidden head)."""
+    from mmada_parallel_tpu.models.llada import llada_head
+
+    hidden = llada_hidden_tp_overlap(params, cfg, input_ids, mesh)
+    return llada_head(params, cfg, hidden, vocab_slice, logits_dtype)

@@ -53,16 +53,24 @@ class InterleaveOptions:
     mask_token: int = 126336
 
 
-def make_interleave_heads(params, cfg, layout, opts, mask2b=None, pos2b=None):
+def make_interleave_heads(params, cfg, layout, opts, mask2b=None, pos2b=None,
+                          hidden_fn=None):
     """Batched cond+uncond forward -> (full-vocab text logits,
     codebook-slice image logits) — the per-step forward shared by the
-    fused sampler and the streaming stepwise variant."""
+    fused sampler and the streaming stepwise variant.
+
+    ``hidden_fn`` swaps the backbone (``llada_hidden`` signature), e.g.
+    :func:`mmada_parallel_tpu.parallel.tp_overlap.ring_hidden_fn` for
+    multi-chip tensor parallelism (requires ``layout.total_len``
+    divisible by the TP degree)."""
     ts, te = layout.text_start, layout.text_end
     ist, ien = layout.image_start, layout.image_end
     tvs, cb = opts.text_vocab_size, opts.codebook_size
+    if hidden_fn is None:
+        hidden_fn = llada_hidden
 
     def heads(ids2b):
-        hidden = llada_hidden(params, cfg, ids2b, mask2b, pos2b)
+        hidden = hidden_fn(params, cfg, ids2b, mask2b, pos2b)
         text_h = jax.lax.dynamic_slice_in_dim(hidden, ts, te - ts, axis=1)
         text_logits = llada_head(params, cfg, text_h)
         img_h = jax.lax.dynamic_slice_in_dim(hidden, ist, ien - ist, axis=1)
@@ -153,6 +161,7 @@ def interleave_generate(
     key: Optional[jax.Array] = None,
     attn_mask: Optional[jax.Array] = None,
     uncond_attn_mask: Optional[jax.Array] = None,
+    hidden_fn=None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Returns ``(final_ids [B, L], image_codes [B, N_vq])``.
 
@@ -202,7 +211,8 @@ def interleave_generate(
     else:
         mask2b = pos2b = None
 
-    heads = make_interleave_heads(params, cfg, layout, opts, mask2b, pos2b)
+    heads = make_interleave_heads(params, cfg, layout, opts, mask2b, pos2b,
+                                  hidden_fn)
 
     apply_updates = _make_update_core(opts, layout, mask_ratios, img_temps,
                                       img_step)

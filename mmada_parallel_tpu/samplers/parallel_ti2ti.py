@@ -122,7 +122,7 @@ def _cfg_plan(opts: TI2TIOptions, uncond_text_prefix, uncond_image_prefix):
 
 
 def _uncond_vq(params, cfg, ids, cond_vq, plan, img_pos, tvs, cb,
-               attn_mask=None, position_ids=None):
+               attn_mask=None, position_ids=None, hidden_fn=llada_hidden):
     """Uncond CFG forwards (batched) -> codebook logits at image positions.
 
     Missing-prefix branches inside the build-uncond gate resolve to
@@ -148,7 +148,7 @@ def _uncond_vq(params, cfg, ids, cond_vq, plan, img_pos, tvs, cb,
              if attn_mask is not None else None)
     pos2 = (jnp.concatenate([position_ids] * n_rep, axis=0)
             if position_ids is not None else None)
-    hidden = llada_hidden(params, cfg, stacked, mask2, pos2)
+    hidden = hidden_fn(params, cfg, stacked, mask2, pos2)
     img_h = jnp.take_along_axis(
         hidden, img_pos[None, :, None].astype(jnp.int32), axis=1)
     vq = llada_head(params, cfg, img_h, vocab_slice=(tvs, cb))
@@ -210,6 +210,7 @@ def make_ti2ti_step(
     uncond_text_prefix: Optional[np.ndarray],
     uncond_image_prefix: Optional[np.ndarray],
     attn_mask: Optional[jax.Array] = None,
+    hidden_fn: Optional[Callable] = None,
 ) -> Callable:
     """Build the scan body.  Static data (layout, schedules, prefixes) is
     closed over; carry is ``(ids, key)``.
@@ -217,10 +218,17 @@ def make_ti2ti_step(
     ``attn_mask`` (``[B, L]`` bool, True = real) enables ragged batched
     serving: pad positions are hidden from attention (the pairwise bias the
     reference builds in ``modeling_xllmx_dimoo.py:53-62``) and RoPE
-    positions are re-ranked so each row reproduces its unpadded run."""
+    positions are re-ranked so each row reproduces its unpadded run.
+
+    ``hidden_fn`` swaps the backbone implementation (signature of
+    :func:`~mmada_parallel_tpu.models.llada_hidden`); the multi-chip
+    ring-TP backbone plugs in via
+    :func:`mmada_parallel_tpu.parallel.tp_overlap.ring_hidden_fn`."""
 
     from mmada_parallel_tpu.ops.masks import ragged_positions
 
+    if hidden_fn is None:
+        hidden_fn = llada_hidden
     pos_ids = (ragged_positions(attn_mask) if attn_mask is not None else None)
     img_pos = jnp.asarray(layout.image_positions(), dtype=jnp.int32)
     ts, te = layout.text_start, layout.text_end
@@ -237,7 +245,7 @@ def make_ti2ti_step(
 
     def cond_heads(ids):
         """Conditional forward -> (text full-vocab logits, image codebook logits)."""
-        hidden = llada_hidden(params, cfg, ids, attn_mask, pos_ids)
+        hidden = hidden_fn(params, cfg, ids, attn_mask, pos_ids)
         text_h = jax.lax.dynamic_slice_in_dim(hidden, ts, te - ts, axis=1)
         text_logits = llada_head(params, cfg, text_h)
         img_h = jnp.take_along_axis(
@@ -258,7 +266,8 @@ def make_ti2ti_step(
 
         def do_image(ids):
             ut_vq, ui_vq = _uncond_vq(params, cfg, ids, cond_vq, plan,
-                                      img_pos, tvs, cb, attn_mask, pos_ids)
+                                      img_pos, tvs, cb, attn_mask, pos_ids,
+                                      hidden_fn)
             return _image_update(
                 ids, cond_vq, ut_vq, ui_vq, img_pos,
                 mask_ratios[step_idx], img_temps[step_idx], opts,
@@ -280,6 +289,7 @@ def generate_ti2ti(
     uncond_image_prefix: Optional[np.ndarray] = None,
     key: Optional[jax.Array] = None,
     attn_mask: Optional[jax.Array] = None,
+    hidden_fn: Optional[Callable] = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Run the full denoising trajectory.
 
@@ -294,6 +304,9 @@ def generate_ti2ti(
         attn_mask: optional ``[B, L]`` bool (True = real token) for ragged
             batches padded to a common layout; each row then generates
             exactly what its unpadded single run would.
+        hidden_fn: optional backbone override (``llada_hidden`` signature);
+            pass :func:`mmada_parallel_tpu.parallel.tp_overlap.ring_hidden_fn`
+            to run the trajectory tensor-parallel over a mesh.
 
     Returns:
         ``(final_ids [B, L], image_codes [B, N_vq])`` — text extraction and
@@ -303,7 +316,7 @@ def generate_ti2ti(
         raise ValueError("remasking='random' requires a PRNG key")
     step_fn = make_ti2ti_step(params, cfg, layout, opts,
                               uncond_text_prefix, uncond_image_prefix,
-                              attn_mask)
+                              attn_mask, hidden_fn)
     ts, te = layout.text_start, layout.text_end
     masked0 = (input_ids[:, ts:te] == opts.mask_token).sum(axis=1)
     budgets = S.get_num_transfer_tokens(masked0, opts.text_steps)  # [B, steps]

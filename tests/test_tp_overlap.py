@@ -188,3 +188,53 @@ def test_ring_8b_dims_partitioner_and_volume(mesh):
     S = 2 * 2424 * 4096 * 2
     assert wires[False] == pytest.approx(4 * S * 7 / 8, rel=0.02)
     assert wires[True] == pytest.approx(2 * wires[False], rel=0.02)
+
+
+def test_generate_ti2ti_over_ring_tp_matches_solo(mesh):
+    """End-to-end: the full fused TI2TI trajectory with the ring-TP
+    backbone (``hidden_fn=ring_hidden_fn(mesh)``) reproduces the
+    unsharded run token-for-token at temperature 0 — the multi-chip
+    serving configuration (exact-length batches, no padding)."""
+    from mmada_parallel_tpu import tokens as tk
+    from mmada_parallel_tpu.parallel import shard_params
+    from mmada_parallel_tpu.parallel.tp_overlap import ring_hidden_fn
+    from mmada_parallel_tpu.samplers.parallel_ti2ti import (TI2TIOptions,
+                                                            generate_ti2ti)
+
+    TVS, CB, MASK = 256, 32, 250
+    cfg = _tp_cfg(vocab_size=TVS + CB, mask_token_id=MASK)
+    params = init_llada_params(jax.random.key(4), cfg)
+    sharded = shard_params(params, param_shardings(cfg), mesh)
+
+    gh, gw = 2, 3
+    opts = TI2TIOptions(text_steps=4, timesteps=2, temperature=0.0,
+                        text_temperature=0.0, cfg_scale=0.0, cfg_img=4.0,
+                        text_vocab_size=TVS, codebook_size=CB,
+                        mask_token=MASK)
+    prompt = [5, 6, 7]
+    ids, lay = tk.assemble_ti2ti_sequence(prompt, 8, gh, gw, [9],
+                                          tokens=_TOK())
+    while lay.total_len % G:
+        prompt.append(11)
+        ids, lay = tk.assemble_ti2ti_sequence(prompt, 8, gh, gw, [9],
+                                              tokens=_TOK())
+    ids = jnp.asarray(ids, jnp.int32)[None]
+    un_img = np.asarray(prompt, np.int32)
+
+    ref_ids, ref_codes = jax.jit(lambda p, i: generate_ti2ti(
+        p, cfg, i, lay, opts, uncond_image_prefix=un_img))(params, ids)
+    ring_ids, ring_codes = jax.jit(lambda p, i: generate_ti2ti(
+        p, cfg, i, lay, opts, uncond_image_prefix=un_img,
+        hidden_fn=ring_hidden_fn(mesh)))(sharded, ids)
+    np.testing.assert_array_equal(np.asarray(ref_ids),
+                                  np.asarray(ring_ids))
+    np.testing.assert_array_equal(np.asarray(ref_codes),
+                                  np.asarray(ring_codes))
+
+
+def _TOK():
+    from mmada_parallel_tpu import tokens as tk
+    return tk.VariantATokens(mask=250, newline=251, answer_start=252,
+                             answer_end=253, boi=254, eoi=255,
+                             uncondition=249, pad=248,
+                             text_vocab_size=256, codebook_size=32)
