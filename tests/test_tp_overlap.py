@@ -238,3 +238,47 @@ def _TOK():
                              answer_end=253, boi=254, eoi=255,
                              uncondition=249, pad=248,
                              text_vocab_size=256, codebook_size=32)
+
+
+def test_interleave_generate_over_ring_tp_matches_solo(mesh):
+    """M-variant end-to-end over the ring backbone (cond+uncond batch-2
+    forwards, the M production shape) == the solo run at temperature 0.
+    Layout chosen with total_len % 8 == 0 (the ring's only extra
+    constraint; the reference-default M length 2341 is NOT divisible, so
+    the A edit stays the ring headline — see PARITY notes)."""
+    from mmada_parallel_tpu import tokens as tk
+    from mmada_parallel_tpu.parallel import shard_params
+    from mmada_parallel_tpu.parallel.tp_overlap import ring_hidden_fn
+    from mmada_parallel_tpu.samplers.interleave import (InterleaveOptions,
+                                                        interleave_generate)
+
+    TVS, CB, MASK = 256, 32, 250
+    TOK_M = tk.VariantMTokens(soi=251, eoi=250, bos=249, text_vocab_size=TVS,
+                              codebook_size=CB)
+    cfg = _tp_cfg(vocab_size=TVS + CB, mask_token_id=MASK)
+    params = init_llada_params(jax.random.key(5), cfg)
+    sharded = shard_params(params, param_shardings(cfg), mesh)
+
+    prompt = [10, 11, 12, 13, 14]
+    ids, lay = tk.assemble_interleave_sequence(prompt, num_vq_tokens=8,
+                                               max_seq_length=9,
+                                               tokens=TOK_M)
+    un_ids, _ = tk.assemble_interleave_sequence([30, 31, 32, 33, 34],
+                                                num_vq_tokens=8,
+                                                max_seq_length=9,
+                                                tokens=TOK_M)
+    assert lay.total_len % G == 0
+    opts = InterleaveOptions(text_steps=6, image_steps=3, text_cfg=1.5,
+                             image_cfg=2.0, text_temperature=0.0,
+                             image_temperature=0.0, text_vocab_size=TVS,
+                             codebook_size=CB, mask_token=MASK)
+    i2 = jnp.asarray(ids)[None]
+    u2 = jnp.asarray(un_ids)[None]
+    ref_ids, ref_codes = jax.jit(lambda p: interleave_generate(
+        p, cfg, i2, u2, lay, opts, key=None))(params)
+    r_ids, r_codes = jax.jit(lambda p: interleave_generate(
+        p, cfg, i2, u2, lay, opts, key=None,
+        hidden_fn=ring_hidden_fn(mesh)))(sharded)
+    np.testing.assert_array_equal(np.asarray(ref_ids), np.asarray(r_ids))
+    np.testing.assert_array_equal(np.asarray(ref_codes),
+                                  np.asarray(r_codes))
