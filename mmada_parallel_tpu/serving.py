@@ -169,11 +169,18 @@ class TI2TIServer(_BatchServerBase):
                  tokenizer: Any = None,
                  uncond_image_prefix: Optional[np.ndarray] = None,
                  tokens: tk.VariantATokens = tk.TOKENS_A,
-                 seed: int = 0):
+                 seed: int = 0,
+                 hidden_fn: Optional[Callable] = None):
         self.params, self.cfg, self.opts = params, cfg, opts
         self.serve, self.tokens = serve, tokens
         self.tokenizer = tokenizer
         self.uncond_image_prefix = uncond_image_prefix
+        # pluggable backbone (e.g. tp_overlap.ring_hidden_fn(mesh) for
+        # multi-chip TP serving).  The ring backbone takes no padding mask,
+        # so requests group by EXACT prompt length — the same contract as
+        # cached-sampler serving (maskless samplers must never see
+        # mask-hidden padding).
+        self.hidden_fn = hidden_fn
         self._compiled: Dict[int, Tuple[Callable, Any]] = {}
         # fully-deterministic parity mode when nothing samples: key=None
         # also switches the still-masked-at-extraction fill to zeros
@@ -215,6 +222,8 @@ class TI2TIServer(_BatchServerBase):
 
     # ------------------------------------------------------------ worker
     def _bucket_of(self, payload) -> int:
+        if self.hidden_fn is not None:
+            return len(payload)   # exact-length groups: no padding mask
         return _round_bucket(len(payload), self.serve.bucket_quantum,
                              self.serve.max_prompt_len)
 
@@ -226,10 +235,17 @@ class TI2TIServer(_BatchServerBase):
         _, layout = tk.assemble_ti2ti_sequence(
             [self.tokens.pad] * plen, self.serve.text_gen_length, gh, gw,
             list(self.serve.end_token_ids), tokens=self.tokens)
-        fn = jax.jit(lambda p, i, m, k, lay=layout: generate_ti2ti(
-            p, self.cfg, i, lay, self.opts,
-            uncond_image_prefix=self.uncond_image_prefix, key=k,
-            attn_mask=m))
+        if self.hidden_fn is not None:
+            # exact-length rows: the mask argument is all-True and unused
+            fn = jax.jit(lambda p, i, m, k, lay=layout: generate_ti2ti(
+                p, self.cfg, i, lay, self.opts,
+                uncond_image_prefix=self.uncond_image_prefix, key=k,
+                hidden_fn=self.hidden_fn))
+        else:
+            fn = jax.jit(lambda p, i, m, k, lay=layout: generate_ti2ti(
+                p, self.cfg, i, lay, self.opts,
+                uncond_image_prefix=self.uncond_image_prefix, key=k,
+                attn_mask=m))
         self._compiled[plen] = (fn, layout)
         return fn, layout
 

@@ -282,3 +282,51 @@ def test_interleave_generate_over_ring_tp_matches_solo(mesh):
     np.testing.assert_array_equal(np.asarray(ref_ids), np.asarray(r_ids))
     np.testing.assert_array_equal(np.asarray(ref_codes),
                                   np.asarray(r_codes))
+
+
+def test_ti2ti_server_over_ring_tp(mesh):
+    """TI2TIServer with hidden_fn=ring_hidden_fn(mesh): exact-length
+    grouping (the maskless-backbone contract), results equal the direct
+    solo sampler run."""
+    from mmada_parallel_tpu import tokens as tk
+    from mmada_parallel_tpu.parallel import shard_params
+    from mmada_parallel_tpu.parallel.tp_overlap import ring_hidden_fn
+    from mmada_parallel_tpu.samplers.parallel_ti2ti import (TI2TIOptions,
+                                                            generate_ti2ti)
+    from mmada_parallel_tpu.serving import ServeConfig, TI2TIServer
+
+    TVS, CB, MASK = 256, 32, 250
+    tok = _TOK()
+    cfg = _tp_cfg(vocab_size=TVS + CB, mask_token_id=MASK)
+    params = init_llada_params(jax.random.key(6), cfg)
+    sharded = shard_params(params, param_shardings(cfg), mesh)
+    gh, gw = 2, 3
+    opts = TI2TIOptions(text_steps=4, timesteps=2, temperature=0.0,
+                        text_temperature=0.0, cfg_scale=0.0, cfg_img=4.0,
+                        text_vocab_size=TVS, codebook_size=CB,
+                        mask_token=MASK)
+    # prompt length chosen so layout.total_len % 8 == 0
+    prompt = [5, 6, 7]
+    ids, lay = tk.assemble_ti2ti_sequence(prompt, 8, gh, gw, [9], tokens=tok)
+    while lay.total_len % G:
+        prompt.append(11)
+        ids, lay = tk.assemble_ti2ti_sequence(prompt, 8, gh, gw, [9],
+                                              tokens=tok)
+
+    srv = TI2TIServer(sharded, cfg, opts,
+                      ServeConfig(batch_size=2, max_wait_ms=50.0,
+                                  grid_hw=(gh, gw), text_gen_length=8,
+                                  end_token_ids=(9,)),
+                      tokens=tok, hidden_fn=ring_hidden_fn(mesh))
+    try:
+        assert srv._bucket_of(prompt) == len(prompt)   # exact, no rounding
+        out = srv.submit(prompt)
+    finally:
+        srv.close()
+    ref_ids, ref_codes = jax.jit(lambda p, i: generate_ti2ti(
+        p, cfg, i, lay, opts))(params, jnp.asarray(ids)[None])
+    np.testing.assert_array_equal(
+        out["codes"], np.asarray(ref_codes)[0])
+    np.testing.assert_array_equal(
+        out["text_ids"],
+        np.asarray(ref_ids)[0, lay.text_start:lay.text_end])
