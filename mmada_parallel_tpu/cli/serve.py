@@ -86,6 +86,11 @@ def build_parser():
                    help="variant m: serve through the cached sampler, "
                         "'ratio,interval,warmup[,img]' e.g. 0.95,4,0.25,1 "
                         "(opt-in approximation; exact-length grouping)")
+    p.add_argument("--tp_ring", type=int, default=0,
+                   help="variant a: shard params over a pure-TP mesh of N "
+                        "chips and serve through the ring-TP backbone "
+                        "(parallel/tp_overlap.py; exact-length grouping, "
+                        "sequence length must divide N)")
     return p
 
 
@@ -159,6 +164,24 @@ def main(argv=None):
             img = img.resize((args.width, args.height))
             return AVQ.amused_img_span(_enc, a_vq_cfg, img, T)
 
+    hidden_fn = None
+    if args.tp_ring:
+        if args.quant:
+            raise SystemExit("--tp_ring serves the dense bf16 path; "
+                             "combine with --quant is not supported")
+        if args.variant != "a":
+            raise SystemExit("--tp_ring currently serves variant a "
+                             "(the M reference layout length 2341 does not "
+                             "divide the TP degree)")
+        from mmada_parallel_tpu.models import param_shardings
+        from mmada_parallel_tpu.parallel import (MeshConfig, make_mesh,
+                                                 shard_params)
+        from mmada_parallel_tpu.parallel.tp_overlap import ring_hidden_fn
+        mesh = make_mesh(MeshConfig(data=1, fsdp=1, tensor=args.tp_ring),
+                         jax.devices()[:args.tp_ring])
+        params = shard_params(params, param_shardings(cfg), mesh)
+        hidden_fn = ring_hidden_fn(mesh)
+
     if args.variant == "a":
         _, _, gh, gw = tk.calculate_vq_params(args.height, args.width, 16)
         opts = TI2TIOptions(timesteps=args.timesteps,
@@ -181,7 +204,7 @@ def main(argv=None):
                         max_prompt_len=(args.max_prompt_len
                                         or 1024 + (gh * (gw + 1) + 2
                                                    if a_encode else 0))),
-            tokenizer=tokenizer, tokens=T)
+            tokenizer=tokenizer, tokens=T, hidden_fn=hidden_fn)
     else:
         m_opts = InterleaveOptions(
             text_steps=args.text_steps, image_steps=args.image_steps,
