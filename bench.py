@@ -53,6 +53,20 @@ def time_best3(run_once, label, err):
     return min(times)
 
 
+def pick_headline(scaling):
+    """(seconds, note) from a multichip prediction dict: the
+    schedule-evidenced time when the compiled v5e-8 modules show async
+    overlap windows (ring-decomposed TP), else the no-overlap floor."""
+    floor = scaling["t_edit_s_no_overlap"]
+    evidenced = scaling.get("t_edit_s_evidenced", floor)
+    if scaling.get("overlap_evidence") and evidenced < floor:
+        return evidenced, ("v5e-8 modeled from HLO collective census + ICI "
+                           "bandwidth; ring-decomposed TP comm overlap "
+                           "evidenced by the compiled schedule")
+    return floor, ("v5e-8 modeled from HLO collective census + ICI "
+                   "bandwidth, no-overlap floor")
+
+
 def extrapolate_depth(curve, target_layers=32):
     """``(t_target, method, marginal_s_per_layer|None)`` from a measured
     depth->seconds curve: linear fit ``t(L) = a + m*L`` when >=2 depths,
@@ -162,19 +176,10 @@ def bench_m(depths, quant):
             except Exception as e:
                 err(f"[M] multichip analysis [{be}] failed ({e!r})")
     if scaling is not None:
-        floor = scaling["t_edit_s_no_overlap"]
-        evidenced = scaling.get("t_edit_s_evidenced", floor)
-        if scaling.get("overlap_evidence") and evidenced < floor:
-            t_8chip = evidenced
-            note = ("v5e-8 modeled from HLO collective census + ICI "
-                    "bandwidth; ring-TP comm overlap evidenced by the "
-                    "compiled schedule")
-        else:
-            t_8chip = floor
-            note = ("v5e-8 modeled from HLO collective census + ICI "
-                    "bandwidth, no-overlap floor")
-        err(f"[M] modeled v5e-8: {floor:.2f}s no-overlap / "
-            f"{evidenced:.2f}s evidenced / "
+        t_8chip, note = pick_headline(scaling)
+        err(f"[M] modeled v5e-8: {scaling['t_edit_s_no_overlap']:.2f}s "
+            "no-overlap / "
+            f"{scaling.get('t_edit_s_evidenced', 0):.2f}s evidenced / "
             f"{scaling['t_edit_s_full_overlap']:.2f}s full-overlap "
             f"({100 * scaling['efficiency_no_overlap']:.0f}% floor)")
     else:
@@ -559,17 +564,7 @@ def main():
                 scaling = None
 
     if scaling is not None:
-        floor = scaling["t_edit_s_no_overlap"]
-        evidenced = scaling.get("t_edit_s_evidenced", floor)
-        if scaling.get("overlap_evidence") and evidenced < floor:
-            t_8b_8chip = evidenced
-            scale_note = ("v5e-8 time modeled from HLO collective census + "
-                          "ICI bandwidth; ring-decomposed TP comm overlap "
-                          "evidenced by the compiled schedule")
-        else:
-            t_8b_8chip = floor
-            scale_note = ("v5e-8 time modeled from HLO collective census + "
-                          "ICI bandwidth, no-overlap floor")
+        t_8b_8chip, scale_note = pick_headline(scaling)
     else:
         t_8b_8chip = t_8b_1chip / 8.0
         scale_note = "ASSUMES linear v5e-8 scaling"

@@ -89,8 +89,9 @@ def build_parser():
     p.add_argument("--tp_ring", type=int, default=0,
                    help="variant a: shard params over a pure-TP mesh of N "
                         "chips and serve through the ring-TP backbone "
-                        "(parallel/tp_overlap.py; exact-length grouping, "
-                        "sequence length must divide N)")
+                        "(parallel/tp_overlap.py; exact-length grouping; "
+                        "the assembled sequence length must be a multiple "
+                        "of N)")
     return p
 
 

@@ -105,8 +105,8 @@ _GROUPS_LIST_RE = re.compile(r"replica_groups=\{\{([0-9,]+)\}")
 _GROUPS_IOTA_RE = re.compile(r"replica_groups=\[(\d+),(\d+)\]")
 
 
-def _shape_bytes(shapes_text: str) -> int:
-    total = 0
+def _shape_bytes_list(shapes_text: str) -> List[int]:
+    out = []
     for dtype, dims in _SHAPE_RE.findall(shapes_text):
         if dtype not in _DTYPE_BYTES:
             continue
@@ -114,8 +114,12 @@ def _shape_bytes(shapes_text: str) -> int:
         for d in dims.split(","):
             if d:
                 n *= int(d)
-        total += n * _DTYPE_BYTES[dtype]
-    return total
+        out.append(n * _DTYPE_BYTES[dtype])
+    return out
+
+
+def _shape_bytes(shapes_text: str) -> int:
+    return sum(_shape_bytes_list(shapes_text))
 
 
 def parse_collectives(hlo_text: str) -> List[Collective]:
@@ -139,11 +143,22 @@ def parse_collectives(hlo_text: str) -> List[Collective]:
         if not m:
             continue
         shapes, kind = m.group(1), m.group(2)
-        b = _shape_bytes(shapes)
         if "-start(" in s:
-            # async start ops return (aliased operand, destination buffer,
-            # contexts): the payload is half the tuple's array bytes
-            b //= 2
+            # Async start ops return result tuples, and the wire-relevant
+            # shape is kind-specific: all-gather-start returns
+            # (shard, gathered) -> the GATHERED buffer (the wire formula's
+            # S); reduce-scatter-start (full, scattered) -> the SCATTERED
+            # result; all-reduce-start / collective-permute-start carry
+            # equal-size (operand, result [, u32 contexts]) -> one payload.
+            parts = _shape_bytes_list(shapes)
+            if not parts:
+                continue
+            if kind == "reduce-scatter":
+                b = min(parts)
+            else:           # all-gather / all-reduce / cp / all-to-all
+                b = max(parts)
+        else:
+            b = _shape_bytes(shapes)
         g = 1
         mg = _GROUPS_LIST_RE.search(s)
         if mg:
@@ -519,8 +534,10 @@ def _tpu_topology_mesh(shape: Tuple[int, int, int],
     devices = list(topo.devices)
     if ring_order:
         def coord(d):
+            # v5e coords are (x, y, z) with x spanning 2 and y spanning 4
+            # on the 2x4 slice -> rows are x values, columns y values
             c = getattr(d, "coords", None)
-            return (c[1], c[0]) if c is not None else (0, d.id)
+            return (c[0], c[1]) if c is not None else (0, d.id)
         by_coord = {coord(d): d for d in devices}
         ys = sorted({y for y, _ in by_coord})
         xs = sorted({x for _, x in by_coord})

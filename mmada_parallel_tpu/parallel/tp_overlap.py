@@ -199,8 +199,12 @@ def llada_hidden_tp_overlap(
 
     Embedding and ``ln_f`` run outside the shard_map under plain GSPMD
     (entry-level cost, once per call); the returned hidden states are
-    sequence-sharded, so a following vocab-head GEMM is collective-free
-    AND 1/g of the per-chip FLOPs the replicated-hidden head pays.
+    sequence-sharded — downstream consumers that slice spans before the
+    vocab head (the samplers project only the text span and the image
+    positions) gather just those spans, and GSPMD reshards whatever a
+    consumer actually reads (an entry-level collective the census
+    prices; the full-logits head is NOT free — resharding the hidden to
+    the vocab-sharded head costs one ``[B, L, d]`` gather).
     Requires: llama block flavor, MHA, ``n_heads % g == 0``,
     ``L % g == 0``, ``mesh.shape['fsdp'] == 1``, no padding mask /
     ragged positions (the servers' exact-length grouping never pads —
@@ -269,9 +273,11 @@ def llada_forward_tp_overlap(
     vocab_slice: Optional[Tuple[int, int]] = None,
     logits_dtype: Any = jnp.float32,
 ) -> jax.Array:
-    """Full forward: ring-TP backbone + vocab head (the head consumes the
-    sequence-sharded hidden states, so it is collective-free and its
-    per-chip FLOPs drop by the TP degree vs a replicated-hidden head)."""
+    """Full forward: ring-TP backbone + vocab head.  GSPMD gathers the
+    sequence-sharded hidden states into the vocab-sharded head (one
+    entry-level ``[B, L, d]`` all-gather — logits cannot shard on both
+    L and V over the same tensor axis), so per-chip head FLOPs match the
+    GSPMD path's; the census prices the gather."""
     from mmada_parallel_tpu.models.llada import llada_head
 
     hidden = llada_hidden_tp_overlap(params, cfg, input_ids, mesh)

@@ -235,8 +235,7 @@ ENTRY %main (p: f32[2]) -> f32[2] {
     assert len(cols) == 1  # the -done is not double-counted
     c = cols[0]
     assert c.kind == "collective-permute"
-    # one payload, not the tuple (±the halved u32[] context words)
-    assert abs(c.bytes - 2 * 151 * 4096 * 2) <= 8
+    assert c.bytes == 2 * 151 * 4096 * 2  # one payload, not the tuple
     assert c.group_size == 2
     assert not c.in_entry
 
@@ -280,3 +279,24 @@ def test_predict_with_overlap_evidence():
     assert out["t_edit_s_no_overlap"] == pytest.approx(9.0)
     assert out["t_edit_s_evidenced"] == pytest.approx(6.0)
     assert out["overlap_evidence"]["text_forward"]["async_pairs"] == 7
+
+
+def test_parse_start_bytes_kind_specific():
+    """all-gather-start returns (shard, gathered) -> count the gathered
+    buffer; reduce-scatter-start (full, scattered) -> the scattered one."""
+    hlo = """\
+%body (p: f32[2]) -> f32[2] {
+  %ag = (bf16[1,64]{1,0}, bf16[8,64]{1,0}) all-gather-start(%x), replica_groups={{0,1,2,3,4,5,6,7}}, dimensions={0}
+  %agd = bf16[8,64]{1,0} all-gather-done(%ag)
+  %rs = (bf16[8,64]{1,0}, bf16[1,64]{1,0}) reduce-scatter-start(%y), replica_groups={{0,1,2,3,4,5,6,7}}, to_apply=%add
+  ROOT %rsd = bf16[1,64]{1,0} reduce-scatter-done(%rs)
+}
+ENTRY %main (p: f32[2]) -> f32[2] {
+  ROOT %c = f32[2]{0} add(%p, %p)
+}
+"""
+    cols = MM.parse_collectives(hlo)
+    assert [c.kind for c in cols] == ["all-gather", "reduce-scatter"]
+    assert cols[0].bytes == 8 * 64 * 2      # gathered result
+    assert cols[1].bytes == 1 * 64 * 2      # scattered result
+    assert cols[0].group_size == 8
