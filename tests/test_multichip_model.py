@@ -300,3 +300,20 @@ ENTRY %main (p: f32[2]) -> f32[2] {
     assert cols[0].bytes == 8 * 64 * 2      # gathered result
     assert cols[1].bytes == 1 * 64 * 2      # scattered result
     assert cols[0].group_size == 8
+
+
+def test_ring_order_mesh_is_boundary_cycle():
+    """ring_order=True must order the v5e:2x4 compile-only devices along
+    the slice's boundary Hamiltonian cycle (the 2x4 slice is wrap-less,
+    so this is its ONLY cycle): consecutive devices — including the wrap
+    — differ by exactly one coordinate step."""
+    try:
+        mesh = MM._tpu_topology_mesh((1, 1, 8), ring_order=True)
+    except Exception as e:          # topology API unavailable in some envs
+        pytest.skip(f"v5e topology unavailable: {e!r}")
+    devs = list(mesh.devices.flat)
+    coords = [tuple(d.coords)[:2] for d in devs]
+    assert len(set(coords)) == 8
+    for i in range(8):
+        a, b = coords[i], coords[(i + 1) % 8]
+        assert abs(a[0] - b[0]) + abs(a[1] - b[1]) == 1, (i, a, b)
