@@ -559,8 +559,9 @@ def analyze_8b_tpu(n_layers_compile: int = 2, full_depth: int = 32,
     v5e-8 target via the AOT topology API (``v5e:2x4``), plus a
     compute-scaling term from the TPU compiler's own cost model.
 
-    Runs in a process attached to the TPU backend (bench.py).  Two upgrades
-    over the virtual-CPU census:
+    Runs in a CPU-platform process: the topology compiles are served by the
+    LOCAL libtpu compile-only client (no tunnel, no live chip needed).  Two
+    upgrades over the virtual-CPU census:
 
     * the partitioner, layouts, fusions and collective emission are the real
       TPU backend's — bf16 all-reduces natively (no ``*_promoted`` f32
@@ -870,7 +871,13 @@ def run_in_subprocess(t_1chip_s: Optional[float] = None,
     if t_1chip_s is not None:
         args += f" --t1 {t_1chip_s}"
     if backend == "tpu":
+        # The v5e:2x4 AOT compiles go through the LOCAL libtpu compile-only
+        # PJRT client (jax.experimental.topologies) — they need neither the
+        # axon tunnel nor the live chip.  Pin the child's default platform
+        # to CPU so stray eager ops (PRNG keys, jnp.asarray) cannot touch —
+        # or hang on — the remote TPU backend.
         code = (
+            "import jax; jax.config.update('jax_platforms', 'cpu'); "
             "from mmada_parallel_tpu.parallel import multichip_model as m; "
             f"m.main({args.split()!r})"
         )
