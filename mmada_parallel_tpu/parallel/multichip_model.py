@@ -177,9 +177,35 @@ def parse_collectives(hlo_text: str) -> List[Collective]:
 
 def _group_bw(group_size: int, n_devices: int,
               axis_bw: float = V5E_ICI_AXIS_BW) -> float:
-    """Groups spanning the whole 2D slice ride both torus axes."""
-    return 2.0 * axis_bw if group_size >= n_devices and n_devices >= 8 \
-        else axis_bw
+    """Effective per-chip bandwidth for a collective group on the v5e-8
+    slice, bounded by LINK CAPACITY of the subgraph the group spans.
+
+    The 2x4 v5e slice is a wrap-less mesh (only full-pod axes wrap): it
+    has 10 ICI links total (6 x + 4 y), each 4.5e10 B/s per direction.
+    An algorithm using every link in both directions gives a group of g
+    chips at most ``links*2*4.5e10 / g`` per chip:
+
+    * g=8 (whole slice): 10 links -> 1.125e11  (NOT 2 "torus axes" =
+      1.8e11 — that would need 16 links the slice does not have);
+    * g=4 (a row line): 3 links  -> 6.75e10;
+    * g=2 (a column pair): 1 link -> 4.5e10;
+    * collective-permute: one neighbor hop rides one link direction;
+      the ring decompositions send opposite-direction halves
+      concurrently, so per-cp pricing keeps the bidirectional 9e10
+      (see ``tp_overlap``; ``parse_overlap``'s ``max_open_windows``
+      evidences the concurrency).
+
+    ``axis_bw`` = 9e10 = one bidirectional link pair per chip.
+    """
+    if group_size >= n_devices and n_devices >= 8:
+        return 10.0 * 2.0 * (axis_bw / 2.0) / n_devices   # 1.125e11
+    if group_size >= 4:
+        return 3.0 * 2.0 * (axis_bw / 2.0) / 4.0          # 6.75e10
+    if group_size >= 3:
+        return 2.0 * 2.0 * (axis_bw / 2.0) / 3.0          # 3-line: 2 links
+    if group_size == 2:
+        return axis_bw / 2.0                              # single link
+    return axis_bw
 
 
 def comm_summary(collectives: Sequence[Collective], per_layer_trip: int,
@@ -189,7 +215,13 @@ def comm_summary(collectives: Sequence[Collective], per_layer_trip: int,
     entry_bytes = entry_s = layer_bytes = layer_s = 0.0
     for c in collectives:
         w = c.wire_bytes_per_chip(assume_tpu_bf16)
-        t = w / _group_bw(c.group_size, n_devices)
+        # collective-permutes: one hop, one link direction; opposite-
+        # direction pairs run concurrently (the ring decompositions emit
+        # them adjacently and the schedule keeps both windows open), so a
+        # per-cp 9e10 equals per-direction 4.5e10 with pair concurrency.
+        bw = (V5E_ICI_AXIS_BW if c.kind == "collective-permute"
+              else _group_bw(c.group_size, n_devices))
+        t = w / bw
         if c.in_entry:
             entry_bytes += w
             entry_s += t
@@ -234,6 +266,7 @@ def parse_overlap(hlo_text: str) -> Dict[str, Any]:
     total = 0
     in_entry = False
     open_windows = 0
+    max_open = 0
     for line in hlo_text.splitlines():
         s = line.rstrip()
         if s.startswith("ENTRY "):
@@ -248,6 +281,7 @@ def parse_overlap(hlo_text: str) -> Dict[str, Any]:
             continue
         if _CP_START_RE.search(s):
             open_windows += 1
+            max_open = max(max_open, open_windows)
             pairs += 1
             continue
         if _CP_DONE_RE.search(s):
@@ -261,6 +295,7 @@ def parse_overlap(hlo_text: str) -> Dict[str, Any]:
                 overlapped += c
     return {
         "async_pairs": pairs,
+        "max_open_windows": max_open,
         "overlapped_cycles": overlapped,
         "body_cycles": total,
         "overlap_fraction": (overlapped / total) if total else 0.0,

@@ -65,10 +65,12 @@ def test_parse_and_wire_model_on_synthetic_hlo():
     assert s["per_layer_wire_bytes"] == int(want_layer)
     assert s["wire_bytes_per_call"] == int(
         s["entry_wire_bytes"] + 3 * want_layer)
-    # 8-wide groups ride two torus axes (2x bandwidth)
+    # link-capacity-bounded group bandwidths on the wrap-less 2x4 slice:
+    # 10 links / 8 chips, 3 links / 4-row, 1 link / pair
     t8 = tup.wire_bytes_per_chip() / MM._group_bw(8, 8)
-    assert MM._group_bw(8, 8) == 2 * MM.V5E_ICI_AXIS_BW
-    assert MM._group_bw(4, 8) == MM.V5E_ICI_AXIS_BW
+    assert MM._group_bw(8, 8) == pytest.approx(1.125e11)
+    assert MM._group_bw(4, 8) == pytest.approx(6.75e10)
+    assert MM._group_bw(2, 8) == pytest.approx(4.5e10)
     assert s["comm_seconds_per_call"] > t8 > 0
 
 
