@@ -35,10 +35,12 @@ Wire model (ring collectives, per chip, bytes ``S`` = HLO result bytes):
 * all-to-all        ``S * (g-1)/g``
 
 v5e ICI: 4.5e10 B/s per link per direction (public "How to Scale Your
-Model" book figures); a torus axis ring uses both directions ->
-``W = 9e10`` B/s per chip per axis.  A group spanning the full 8-chip
-slice (2x4 torus) can run multi-axis algorithms over both axes ->
-``2 * 9e10``; smaller groups are charged one axis.  The CPU backend's
+Model" book figures).  The 2x4 slice is a wrap-less mesh with 10 links
+total, so groups are priced by the LINK CAPACITY of the subgraph they
+span (:func:`_group_bw`): 8-wide -> 1.125e11 B/s per chip, 4-wide rows
+-> 6.75e10, pairs -> 4.5e10; collective-permutes ride one link
+direction with opposite-direction pair concurrency (9e10 per cp,
+evidenced by ``parse_overlap``'s window counts).  The CPU backend's
 float-normalization pass promotes bf16 all-reduces to f32 (reduction
 computations named ``*_promoted``); TPUs reduce bf16 natively, so those
 are counted at half width (``assume_tpu_bf16``, recorded in the output).
