@@ -370,7 +370,7 @@ def compile_edit_forward_8b(mesh, n_layers: int = 2, seq: int = 2424,
     import jax.numpy as jnp
     from jax.sharding import NamedSharding, PartitionSpec as P
     from mmada_parallel_tpu.models import (LLaDAConfig, init_llada_params,
-                                           llada_forward, param_shardings)
+                                           param_shardings)
 
     # attention_impl pinned to "xla": the census cares about collectives,
     # which are identical (attention stays head-local under the TP lane
@@ -387,20 +387,40 @@ def compile_edit_forward_8b(mesh, n_layers: int = 2, seq: int = 2424,
     ids = jax.ShapeDtypeStruct((batch, seq), jnp.int32,
                                sharding=NamedSharding(mesh, P("data")))
 
+    from mmada_parallel_tpu.models import llada_head, llada_hidden
+
+    # The head mirrors the SAMPLER's usage (make_ti2ti_step.cond_heads):
+    # full-vocab logits on the ~256-token text span + codebook-slice
+    # logits on the image span — NOT a full [B, L, 134k] projection, which
+    # the production path never runs (and which GSPMD partitions as a
+    # windowed-einsum collective-permute LOOP whose printed-once /
+    # executed-g-times collectives would poison the per-layer census).
+    text_span = min(256, seq)
+    img_span = min(1088, seq - text_span)   # gh*(gw+1) grid at 512x512
+    tvs, cb = 126356, 8192
+
+    def heads(params, hidden):
+        text_h = jax.lax.dynamic_slice_in_dim(
+            hidden, max(0, seq - img_span - text_span - 2), text_span,
+            axis=1)
+        text_logits = llada_head(params, cfg, text_h)
+        img_h = jax.lax.dynamic_slice_in_dim(
+            hidden, seq - img_span - 1, img_span, axis=1)
+        vq = llada_head(params, cfg, img_h, vocab_slice=(tvs, cb))
+        return (jnp.argmax(text_logits, axis=-1),
+                jnp.argmax(vq, axis=-1))
+
     if tp_overlap:
         from mmada_parallel_tpu.parallel.tp_overlap import (
-            llada_forward_tp_overlap)
+            llada_hidden_tp_overlap)
 
         def fn(params, input_ids):
-            logits = llada_forward_tp_overlap(params, cfg, input_ids, mesh)
-            return jnp.argmax(logits, axis=-1)
+            return heads(params,
+                         llada_hidden_tp_overlap(params, cfg, input_ids,
+                                                 mesh))
     else:
         def fn(params, input_ids):
-            logits = llada_forward(params, cfg, input_ids)
-            # the sampler's per-step vocab reductions (confidence/argmax)
-            # ride the same sharded-logits layout; include one so the census
-            # covers the vocab-axis reduction collective
-            return jnp.argmax(logits, axis=-1)
+            return heads(params, llada_hidden(params, cfg, input_ids))
 
     lowered = jax.jit(fn).lower(ab_params, ids)
     if compiler_options:
