@@ -58,8 +58,9 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["ring_ag_matmul", "ring_matmul_rs", "llada_hidden_tp_overlap",
-           "llada_forward_tp_overlap", "ring_hidden_fn"]
+__all__ = ["ring_ag_matmul", "ring_matmul_rs", "sigma_positions",
+           "llada_hidden_tp_overlap", "llada_forward_tp_overlap",
+           "ring_hidden_fn"]
 
 AXIS = "tensor"
 
@@ -70,74 +71,95 @@ def _perms(g: int) -> Tuple[list, list]:
     return fwd, bwd
 
 
+def sigma_positions(g: int, C: int, r) -> jax.Array:
+    """Global sequence positions of the σ-ordered (received-order) rows.
+
+    The ring ops never assemble global order: rows land in the order the
+    ring DELIVERS them, which makes every chunk index static relative to
+    the rank (no dynamic_update_slice chains, no traced-index slices).
+    σ-order for rank ``r``: first the +ring half-chunks ``(r-k) % g`` for
+    ``k = 0..g-1`` (rows ``0:C1`` of each chunk), then the -ring
+    half-chunks ``(r+k) % g`` (rows ``C1:C``).  Transformer blocks are
+    permutation-equivariant once RoPE tables are gathered with the same
+    σ (attention is order-free over keys; everything else is per-token),
+    so the whole layer stack runs in σ-order.
+    """
+    C1 = C // 2
+    ks = jnp.arange(g)
+    a = (((r - ks) % g) * C)[:, None] + jnp.arange(C1)[None, :]
+    b = (((r + ks) % g) * C)[:, None] + (C1 + jnp.arange(C - C1))[None, :]
+    return jnp.concatenate([a.reshape(-1), b.reshape(-1)])
+
+
 def ring_ag_matmul(h: jax.Array, weights: Sequence[jax.Array], g: int,
                    axis: str = AXIS) -> List[jax.Array]:
     """All-gather-matmul: local sequence chunk ``h [B, C, Din]`` against
     column-sharded ``W [Din, F_local]`` weights -> ``[B, g*C, F_local]``
-    outputs in GLOBAL sequence order.
+    outputs in σ-ORDER (:func:`sigma_positions`).
 
     Ring decomposition (unrolled, ``g`` static): the chunk is split into
     two sequence halves travelling the ring in opposite directions; at
     round ``s`` the +ring holds chunk ``(r-s) % g``'s first half and the
-    -ring chunk ``(r+s) % g``'s second half, each GEMMed into its global
-    output slice while the next round's ``ppermute`` is in flight.
+    -ring chunk ``(r+s) % g``'s second half, each GEMMed the moment it
+    arrives while the next round's ``ppermute`` is in flight.  Outputs
+    are stacked in arrival order — static concatenation, no scatter.
     Per-chip wire bytes: ``(g-1)/g * |h_global|`` = the all-gather's.
     """
-    B, C, Din = h.shape
-    L = g * C
-    r = jax.lax.axis_index(axis)
-    perm_f, perm_b = _perms(g)
-    half = C // 2
+    half = h.shape[1] // 2
     ha, hb = h[:, :half], h[:, half:]
+    perm_f, perm_b = _perms(g)
     ws = [w.astype(h.dtype) for w in weights]
-    outs = [jnp.zeros((B, L, w.shape[-1]), h.dtype) for w in ws]
+    outs_a = [[] for _ in ws]
+    outs_b = [[] for _ in ws]
     for s in range(g):
-        ja = ((r - s) % g) * C
-        jb = ((r + s) % g) * C + half
         for i, w in enumerate(ws):
-            outs[i] = jax.lax.dynamic_update_slice(outs[i], ha @ w,
-                                                   (0, ja, 0))
-            outs[i] = jax.lax.dynamic_update_slice(outs[i], hb @ w,
-                                                   (0, jb, 0))
+            outs_a[i].append(ha @ w)
+            outs_b[i].append(hb @ w)
         if s < g - 1:
             ha = jax.lax.ppermute(ha, axis, perm_f)
             hb = jax.lax.ppermute(hb, axis, perm_b)
-    return outs
+    return [jnp.concatenate(a + b, axis=1)
+            for a, b in zip(outs_a, outs_b)]
 
 
 def ring_matmul_rs(a: jax.Array, w: jax.Array, g: int,
                    axis: str = AXIS) -> jax.Array:
-    """Matmul-reduce-scatter: row-sharded GEMM input ``a [B, L, K_local]``
+    """Matmul-reduce-scatter: σ-ORDERED row-sharded GEMM input
+    ``a [B, L, K_local]`` (the layout :func:`ring_ag_matmul` produces)
     against ``w [K_local, F]`` -> the fully-reduced LOCAL sequence chunk
-    ``[B, L/g, F]`` (chunk ``r`` of ``sum_chips(a @ w)``).
+    ``[B, L/g, F]`` (chunk ``r`` of the global result, natural row
+    order).
 
     Ring decomposition: the accumulator for chunk ``j`` is created at
     chip ``j+1`` and hops the +ring adding each chip's partial, landing
     fully-reduced at chip ``j`` after ``g-1`` hops (mirrored -ring for
-    the second sequence half).  Each round's partial GEMM is independent
-    of the in-flight ``ppermute``.  Per-chip wire bytes:
-    ``(g-1)/g * |result_global|`` = the reduce-scatter's.
+    the second sequence half).  In σ-order coordinates the chunk the
+    round needs sits at STATIC index ``(1+s) % g``, so every slice is
+    static and each round's partial GEMM is independent of the in-flight
+    ``ppermute``.  Per-chip wire bytes: ``(g-1)/g * |result_global|`` =
+    the reduce-scatter's.
     """
     B, L, K = a.shape
     if L % g:
         raise ValueError(f"sequence {L} not divisible by ring size {g}")
     C = L // g
-    half = C // 2
-    r = jax.lax.axis_index(axis)
+    C1 = C // 2
+    C2 = C - C1
     perm_f, perm_b = _perms(g)
     w = w.astype(a.dtype)
 
-    def part(j, off, size):
-        chunk = jax.lax.dynamic_slice(a, (0, j * C + off, 0), (B, size, K))
-        return chunk @ w
+    def part_a(k):   # +ring: σ-index k holds chunk (r - k) % g, rows 0:C1
+        return a[:, k * C1:(k + 1) * C1, :] @ w
 
-    acc_a = part((r - 1) % g, 0, half)
-    acc_b = part((r + 1) % g, half, C - half)
+    def part_b(k):   # -ring: chunk (r + k) % g, rows C1:C
+        off = g * C1
+        return a[:, off + k * C2: off + (k + 1) * C2, :] @ w
+
+    acc_a = part_a(1)
+    acc_b = part_b(1)
     for s in range(1, g):
-        acc_a = jax.lax.ppermute(acc_a, axis, perm_f) \
-            + part((r - 1 - s) % g, 0, half)
-        acc_b = jax.lax.ppermute(acc_b, axis, perm_b) \
-            + part((r + 1 + s) % g, half, C - half)
+        acc_a = jax.lax.ppermute(acc_a, axis, perm_f) + part_a((1 + s) % g)
+        acc_b = jax.lax.ppermute(acc_b, axis, perm_b) + part_b((1 + s) % g)
     return jnp.concatenate([acc_a, acc_b], axis=1)
 
 
@@ -147,10 +169,13 @@ def ring_matmul_rs(a: jax.Array, w: jax.Array, g: int,
 
 
 def _block_tp(x: jax.Array, lp: Dict[str, jax.Array], cfg,
-              sin: jax.Array, cos: jax.Array, g: int) -> jax.Array:
+              sin_s: jax.Array, cos_s: jax.Array, g: int) -> jax.Array:
     """One llama-flavor block on a local ``[B, C, D]`` sequence chunk with
     tensor-sharded weights (``models.param_shardings`` layout, local
-    shards).  Mirrors :func:`mmada_parallel_tpu.models.llada._block`."""
+    shards).  Mirrors :func:`mmada_parallel_tpu.models.llada._block`;
+    q/k/v and the attention run in σ-order with σ-gathered RoPE tables
+    (``sin_s``/``cos_s``), the residual stream stays in natural chunk
+    order (:func:`ring_matmul_rs` lands chunk ``r`` naturally)."""
     from mmada_parallel_tpu.models.llada import _norm
     from mmada_parallel_tpu.ops.attention import rope_attention
 
@@ -164,7 +189,7 @@ def _block_tp(x: jax.Array, lp: Dict[str, jax.Array], cfg,
         q = q + lp["q_bias"].astype(cdt)
         k = k + lp["k_bias"].astype(cdt)
         v = v + lp["v_bias"].astype(cdt)
-    att = rope_attention(q, k, v, sin, cos, bias=None,
+    att = rope_attention(q, k, v, sin_s, cos_s, bias=None,
                          n_heads=nh_l, n_kv_heads=nh_l,
                          full_precision=cfg.rope_full_precision,
                          impl=cfg.attention_impl)
@@ -176,9 +201,15 @@ def _block_tp(x: jax.Array, lp: Dict[str, jax.Array], cfg,
     return x
 
 
-def _stack_tp(x, blocks, sin, cos, cfg, g):
+def _stack_tp(x, blocks, sin, cos, cfg, g, axis=AXIS):
+    # σ-gather the RoPE tables once (rank-dependent, layer-invariant)
+    r = jax.lax.axis_index(axis)
+    pos = sigma_positions(g, x.shape[1], r)
+    sin_s = jnp.take(sin, pos, axis=0)
+    cos_s = jnp.take(cos, pos, axis=0)
+
     def body(carry, lp):
-        return _block_tp(carry, lp, cfg, sin, cos, g), None
+        return _block_tp(carry, lp, cfg, sin_s, cos_s, g), None
 
     x, _ = jax.lax.scan(body, x, blocks)
     return x

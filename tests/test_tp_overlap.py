@@ -29,49 +29,81 @@ def mesh():
 
 
 def test_ring_ag_matmul_matches_dense(mesh):
+    """Per-chip σ-ordered outputs equal the dense product reordered by
+    sigma_positions (rows arrive in ring-delivery order by design)."""
+    from mmada_parallel_tpu.parallel.tp_overlap import sigma_positions
+
     k1, k2, k3 = jax.random.split(jax.random.key(0), 3)
-    B, L, D, F = 2, 48, 16, 24          # C = 6 per chip (odd-half split: 3+3)
+    B, L, D, F = 2, 48, 16, 24          # C = 6 per chip (half split: 3+3)
     h = jax.random.normal(k1, (B, L, D), jnp.float32)
     w1 = jax.random.normal(k2, (D, F), jnp.float32)
     w2 = jax.random.normal(k3, (D, F), jnp.float32)
 
     def f(h_s, w1_l, w2_l):
-        return tuple(ring_ag_matmul(h_s, [w1_l, w2_l], G))
+        r = jax.lax.axis_index("tensor")
+        pos = sigma_positions(G, h_s.shape[1], r)
+        y1, y2 = ring_ag_matmul(h_s, [w1_l, w2_l], G)
+        return y1[None], y2[None], pos[None]
 
-    y1, y2 = jax.jit(jax.shard_map(
+    y1, y2, pos = jax.jit(jax.shard_map(
         f, mesh=mesh,
         in_specs=(P(None, "tensor", None), P(None, "tensor"),
                   P(None, "tensor")),
-        out_specs=(P(None, None, "tensor"), P(None, None, "tensor")),
+        out_specs=(P("tensor"), P("tensor"), P("tensor")),
         check_vma=False))(h, w1, w2)
-    np.testing.assert_allclose(np.asarray(y1), np.asarray(h @ w1),
-                               rtol=1e-5, atol=1e-5)
-    np.testing.assert_allclose(np.asarray(y2), np.asarray(h @ w2),
-                               rtol=1e-5, atol=1e-5)
+    y1, y2, pos = np.asarray(y1), np.asarray(y2), np.asarray(pos)
+    Fl = F // G
+    for c in range(G):
+        np.testing.assert_allclose(
+            y1[c], np.asarray(h @ w1)[:, pos[c], c * Fl:(c + 1) * Fl],
+            rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(
+            y2[c], np.asarray(h @ w2)[:, pos[c], c * Fl:(c + 1) * Fl],
+            rtol=1e-5, atol=1e-5)
 
 
 def test_ring_ag_matmul_odd_chunk(mesh):
     # C = 3 -> halves of 1 and 2 (the 2424/8 = 303 edit shape is odd too)
+    from mmada_parallel_tpu.parallel.tp_overlap import sigma_positions
+
     B, L, D, F = 1, 24, 8, 8
     h = jax.random.normal(jax.random.key(1), (B, L, D), jnp.float32)
     w = jax.random.normal(jax.random.key(2), (D, F), jnp.float32)
-    (y,) = jax.jit(jax.shard_map(
-        lambda h_s, w_l: tuple(ring_ag_matmul(h_s, [w_l], G)),
-        mesh=mesh, in_specs=(P(None, "tensor", None), P(None, "tensor")),
-        out_specs=(P(None, None, "tensor"),), check_vma=False))(h, w)
-    np.testing.assert_allclose(np.asarray(y), np.asarray(h @ w),
-                               rtol=1e-5, atol=1e-5)
+
+    def f(h_s, w_l):
+        r = jax.lax.axis_index("tensor")
+        pos = sigma_positions(G, h_s.shape[1], r)
+        (y,) = ring_ag_matmul(h_s, [w_l], G)
+        return y[None], pos[None]
+
+    y, pos = jax.jit(jax.shard_map(
+        f, mesh=mesh, in_specs=(P(None, "tensor", None), P(None, "tensor")),
+        out_specs=(P("tensor"), P("tensor")), check_vma=False))(h, w)
+    y, pos = np.asarray(y), np.asarray(pos)
+    Fl = F // G
+    for c in range(G):
+        np.testing.assert_allclose(
+            y[c], np.asarray(h @ w)[:, pos[c], c * Fl:(c + 1) * Fl],
+            rtol=1e-5, atol=1e-5)
 
 
 def test_ring_matmul_rs_matches_dense(mesh):
+    """σ-ordered input (built by gathering with sigma_positions) reduces
+    to the natural-order global product, chunk per chip."""
+    from mmada_parallel_tpu.parallel.tp_overlap import sigma_positions
+
     k1, k2 = jax.random.split(jax.random.key(3))
     B, L, K, F = 2, 48, 32, 16          # K sharded over chips: 4 rows each
     a = jax.random.normal(k1, (B, L, K), jnp.float32)
     w = jax.random.normal(k2, (K, F), jnp.float32)
 
+    def f(a_l, w_l):
+        r = jax.lax.axis_index("tensor")
+        pos = sigma_positions(G, a_l.shape[1] // G, r)
+        return ring_matmul_rs(a_l[:, pos, :], w_l, G)
+
     y = jax.jit(jax.shard_map(
-        lambda a_l, w_l: ring_matmul_rs(a_l, w_l, G),
-        mesh=mesh, in_specs=(P(None, None, "tensor"), P("tensor", None)),
+        f, mesh=mesh, in_specs=(P(None, None, "tensor"), P("tensor", None)),
         out_specs=P(None, "tensor", None), check_vma=False))(a, w)
     np.testing.assert_allclose(np.asarray(y), np.asarray(a @ w),
                                rtol=1e-4, atol=1e-4)
