@@ -175,12 +175,23 @@ def _block_tp(x: jax.Array, lp: Dict[str, jax.Array], cfg,
     shards).  Mirrors :func:`mmada_parallel_tpu.models.llada._block`;
     q/k/v and the attention run in σ-order with σ-gathered RoPE tables
     (``sin_s``/``cos_s``), the residual stream stays in natural chunk
-    order (:func:`ring_matmul_rs` lands chunk ``r`` naturally)."""
-    from mmada_parallel_tpu.models.llada import _norm
-    from mmada_parallel_tpu.ops.attention import rope_attention
+    order (:func:`ring_matmul_rs` lands chunk ``r`` naturally).
+
+    Attention is computed PER σ-CHUNK of queries against the once-rotated
+    full K (``rope_attention_qonly``), in exactly the order the attn-out
+    reduce-scatter consumes chunks — so each attention piece and its
+    ``@ attn_out`` partial slot between that ring round's ppermute
+    start/done, extending the overlap window coverage to the attention
+    FLOPs (a monolithic attention call would serialize between the AG
+    and the RS with no permute in flight)."""
+    from mmada_parallel_tpu.models.llada import _norm, _rope_packed
+    from mmada_parallel_tpu.ops.attention import rope_attention_qonly
 
     cdt = x.dtype
     nh_l = cfg.n_heads // g
+    B, C, _ = x.shape
+    C1 = C // 2
+    C2 = C - C1
 
     h = _norm(x, lp["attn_norm"], cfg)
     q, k, v = ring_ag_matmul(h, [lp["q_proj"], lp["k_proj"], lp["v_proj"]],
@@ -189,11 +200,34 @@ def _block_tp(x: jax.Array, lp: Dict[str, jax.Array], cfg,
         q = q + lp["q_bias"].astype(cdt)
         k = k + lp["k_bias"].astype(cdt)
         v = v + lp["v_bias"].astype(cdt)
-    att = rope_attention(q, k, v, sin_s, cos_s, bias=None,
-                         n_heads=nh_l, n_kv_heads=nh_l,
-                         full_precision=cfg.rope_full_precision,
-                         impl=cfg.attention_impl)
-    x = x + ring_matmul_rs(att, lp["attn_out"], g)
+    k = _rope_packed(k, sin_s, cos_s, nh_l, cfg.rope_full_precision)
+
+    def att_piece(lo, size):
+        return rope_attention_qonly(
+            jax.lax.slice_in_dim(q, lo, lo + size, axis=1), k, v,
+            jax.lax.slice_in_dim(sin_s, lo, lo + size, axis=0),
+            jax.lax.slice_in_dim(cos_s, lo, lo + size, axis=0),
+            bias=None, n_heads=nh_l, n_kv_heads=nh_l,
+            full_precision=cfg.rope_full_precision,
+            impl=cfg.attention_impl)
+
+    wo = lp["attn_out"].astype(cdt)
+    perm_f, perm_b = _perms(g)
+
+    def part_a(s):          # RS round s consumes σ-chunk (1+s) % g
+        kk = (1 + s) % g
+        return att_piece(kk * C1, C1) @ wo
+
+    def part_b(s):
+        kk = (1 + s) % g
+        return att_piece(g * C1 + kk * C2, C2) @ wo
+
+    acc_a = part_a(0)
+    acc_b = part_b(0)
+    for s in range(1, g):
+        acc_a = jax.lax.ppermute(acc_a, AXIS, perm_f) + part_a(s)
+        acc_b = jax.lax.ppermute(acc_b, AXIS, perm_b) + part_b(s)
+    x = x + jnp.concatenate([acc_a, acc_b], axis=1)
 
     h = _norm(x, lp["ff_norm"], cfg)
     gate_in, up = ring_ag_matmul(h, [lp["ff_proj"], lp["up_proj"]], g)
