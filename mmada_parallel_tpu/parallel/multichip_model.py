@@ -679,6 +679,9 @@ def analyze_8b_tpu(n_layers_compile: int = 2, full_depth: int = 32,
                 mesh, n_layers_compile, seq=seq, batch=B)
             txt = compiled.as_text()
             s = comm_summary(parse_collectives(txt), full_depth, n_dev)
+            # documents the no-overlap claim: GSPMD all-reduce modules
+            # carry zero async windows (vs the ring entries below)
+            s["overlap"] = parse_overlap(txt)
             body, _ = parse_cycles(txt)
             if base_cycles.get(B) and 0 < body < base_cycles[B]:
                 s["compute_ratio"] = body / base_cycles[B]
