@@ -78,6 +78,7 @@ class Collective:
     group_size: int
     in_entry: bool
     promoted: bool = False  # CPU float-normalization bf16->f32 promotion
+    computation: str = ""   # HLO computation the instruction lives in
 
     def wire_bytes_per_chip(self, assume_tpu_bf16: bool = True) -> float:
         g = max(self.group_size, 1)
@@ -129,17 +130,28 @@ def parse_collectives(hlo_text: str) -> List[Collective]:
 
     ``ENTRY`` attribution: HLO prints computations sequentially with the
     entry computation introduced by ``ENTRY``; instructions until the
-    closing brace belong to it.
+    closing brace belong to it.  Each collective also records its
+    COMPUTATION name so :func:`comm_summary` can attribute per-layer cost
+    to the layer-scan body only (GSPMD places e.g. head-span gather
+    loops in their own non-entry computations, which execute once per
+    call, not once per layer).
     """
     out: List[Collective] = []
     in_entry = False
+    comp = ""
     for line in hlo_text.splitlines():
         s = line.rstrip()
         if s.startswith("ENTRY "):
             in_entry = True
+            comp = "__entry__"
             continue
-        if in_entry and s == "}":
+        if s.startswith("%") and s.endswith("{"):
             in_entry = False
+            comp = s.split()[0].lstrip("%").split("(")[0]
+            continue
+        if s == "}":
+            in_entry = False
+            comp = ""
             continue
         m = _RESULT_RE.match(s)
         if not m:
@@ -173,7 +185,8 @@ def parse_collectives(hlo_text: str) -> List[Collective]:
             g = 2  # point-to-point; wire cost = full buffer
         out.append(Collective(kind=kind, bytes=b, group_size=g,
                               in_entry=in_entry,
-                              promoted="promoted" in s))
+                              promoted="promoted" in s,
+                              computation=comp))
     return out
 
 
@@ -213,7 +226,23 @@ def _group_bw(group_size: int, n_devices: int,
 def comm_summary(collectives: Sequence[Collective], per_layer_trip: int,
                  n_devices: int = 8,
                  assume_tpu_bf16: bool = True) -> Dict[str, Any]:
-    """Per-execution totals: entry collectives once, nested ones x trips."""
+    """Per-execution totals.
+
+    Attribution is COMPUTATION-granular: the non-entry computation holding
+    the most collectives is the layer-scan while body (x ``per_layer_trip``);
+    every other computation's collectives — the entry, and e.g. GSPMD's
+    head-span gather loops that live in their own computations — execute
+    once per call.  (A non-body GSPMD loop that iterates k times is
+    undercounted k-fold; those are span-sized, ~1e-4 of the per-edit wire,
+    where the old per-layer misattribution overcounted them 32-fold.)
+    """
+    per_comp: Dict[str, Tuple[int, int]] = {}
+    for c in collectives:
+        if not c.in_entry:
+            n, b = per_comp.get(c.computation, (0, 0))
+            per_comp[c.computation] = (n + 1, b + c.bytes)
+    body_comp = max(per_comp, key=per_comp.get) if per_comp else None
+
     entry_bytes = entry_s = layer_bytes = layer_s = 0.0
     for c in collectives:
         w = c.wire_bytes_per_chip(assume_tpu_bf16)
@@ -224,12 +253,12 @@ def comm_summary(collectives: Sequence[Collective], per_layer_trip: int,
         bw = (V5E_ICI_AXIS_BW if c.kind == "collective-permute"
               else _group_bw(c.group_size, n_devices))
         t = w / bw
-        if c.in_entry:
-            entry_bytes += w
-            entry_s += t
-        else:
+        if not c.in_entry and c.computation == body_comp:
             layer_bytes += w
             layer_s += t
+        else:
+            entry_bytes += w
+            entry_s += t
     total_b = entry_bytes + layer_bytes * per_layer_trip
     total_s = entry_s + layer_s * per_layer_trip
     return {
