@@ -111,7 +111,11 @@ def bench_m(depths, quant):
     else:
         gen = interleave_generate
     T = tk.TOKENS_M
-    n_vq, msl, instr_len = 1024, 256, 32
+    # instr_len 35 (not 32) makes total_len 2344 ≡ 0 (mod 8) so the v5e-8
+    # census can price the ring-TP path for M too (the ring requires the
+    # sequence to divide the TP degree; prompt length is a free benchmark
+    # choice — production prompts vary per request anyway)
+    n_vq, msl, instr_len = 1024, 256, 35
     prompt = ([T.interleave, T.soi] + [T.vq_offset + 7] * n_vq + [T.eoi]
               + [T.bos] + list(range(1000, 1000 + instr_len - 2)) + [T.eos])
     ids, lay = tk.assemble_interleave_sequence(prompt, n_vq, msl)
