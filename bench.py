@@ -676,9 +676,11 @@ def main():
                    "backend; compute scaled by the compiler's per-layer "
                    "cycle ratio)" if census_backend == "tpu" else
                    "on 8-device virtual mesh")
-                + "; ring collectives over v5e ICI (9e10 B/s/axis, 2 axes "
-                  "for 8-wide groups); bf16-native TPU all-reduce; no "
-                  "compute/comm overlap"),
+                + "; link-capacity-bounded ICI pricing (wrap-less 2x4 "
+                  "mesh: 10 links, 4.5e10 B/s per direction); bf16-native "
+                  "TPU collectives; comm charged at the compiled "
+                  "schedule's evidenced overlap for decomposed-ring "
+                  "meshes, no overlap otherwise"),
         }
     print(json.dumps({
         "metric": f"sec per 512x512 edit, 64 img + 128 text steps{tag} "
