@@ -156,6 +156,10 @@ def bench_m(depths, quant):
     replayed = False
     curve = {}
     if not tpu_available():
+        if quant or cached_env:
+            raise SystemExit("TPU backend unreachable; the committed "
+                             "replay curves cover only the exact bf16 "
+                             "sampler")
         err("[M] TPU backend unreachable — REPLAYING the r3 measured "
             "depth curve; census runs live")
         curve = {L: R3_MEASURED_CURVES["m"][L] for L in depths
@@ -527,7 +531,12 @@ def main():
     n_forwards = opts.text_steps + opts.timesteps  # cond + 1 uncond branch
 
     replayed = False
+    curve = {}
     if not tpu_available():
+        if quant:
+            raise SystemExit("TPU backend unreachable and the committed "
+                             "replay curves are bf16-only; BENCH_QUANT "
+                             "needs the real chip")
         err("TPU backend unreachable (tunnel down?) — REPLAYING the r3 "
             "measured depth curve; the multichip census still runs live "
             "(local libtpu AOT)")
@@ -535,7 +544,6 @@ def main():
                  if L in R3_MEASURED_CURVES["a"]}
         replayed = True
         depths = []
-    curve = dict(curve) if replayed else {}
     for L in depths:
         cfg = LLaDAConfig.llada_8b(n_layers=L, param_dtype=jnp.bfloat16,
                                    compute_dtype=jnp.bfloat16)
