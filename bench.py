@@ -607,9 +607,10 @@ def main():
                     run_in_subprocess)
                 t0 = time.time()
                 analysis = run_in_subprocess(t_1chip_s=t_8b_1chip,
-                                             backend=be, timeout=2400)
+                                             backend=be, timeout=3600)
                 scaling = analysis["prediction"]
                 scaling["train_step_comm"] = analysis["train_step"]
+                scaling["q8"] = analysis.get("prediction_q8")
                 census_backend = be
                 err(f"multichip HLO census [{be}] "
                     f"({time.time() - t0:.0f}s): "
@@ -678,6 +679,13 @@ def main():
                       3),
             "compute_model": scaling.get("compute_model", "linear"),
             "compute_ratios": scaling.get("compute_ratios"),
+            # OPT-IN int8-payload ring (approximate; never the headline)
+            "int8_payload_ring": (None if not scaling.get("q8") else {
+                "t_edit_s_evidenced": round(
+                    scaling["q8"]["t_edit_s_evidenced"], 3),
+                "t_comm_s": round(scaling["q8"]["t_comm_s"], 3),
+                "overlap_evidence": scaling["q8"].get("overlap_evidence"),
+            }),
             "model": (
                 "HLO collective census at real 8B dims "
                 + ("AOT-compiled for the v5e:2x4 topology (real TPU "

@@ -442,11 +442,12 @@ def compile_edit_forward_8b(mesh, n_layers: int = 2, seq: int = 2424,
     if tp_overlap:
         from mmada_parallel_tpu.parallel.tp_overlap import (
             llada_hidden_tp_overlap)
+        q8 = tp_overlap == "int8"
 
         def fn(params, input_ids):
             return heads(params,
                          llada_hidden_tp_overlap(params, cfg, input_ids,
-                                                 mesh))
+                                                 mesh, int8_payload=q8))
     else:
         def fn(params, input_ids):
             return heads(params, llada_hidden(params, cfg, input_ids))
@@ -746,75 +747,84 @@ def analyze_8b_tpu(n_layers_compile: int = 2, full_depth: int = 32,
     # Ring-overlap TP (parallel/tp_overlap.py): identical Megatron math,
     # boundary collectives decomposed into ppermute rings + chunk GEMMs so
     # the scheduler CAN overlap wire with MXU time; parse_overlap extracts
-    # what the compiled schedule actually interleaved.
-    try:
-        mesh_r = _tpu_topology_mesh((1, 1, n_dev), ring_order=True)
-        per_batch = {}
-        ratios = {}
-        # async collective-permute is what makes the decomposition pay;
-        # if the default toolchain doesn't emit start/done pairs, retry
-        # with the explicit async option (attempts recorded for the
-        # honest-evidence trail)
-        option_sets = [None,
-                       {"xla_tpu_enable_async_collective_permute": "true"}]
-        for B, n_fwd in ((1, n_text_forwards), (2, n_image_forwards)):
-            if n_fwd == 0:
-                per_batch[B] = {"comm_seconds_per_call": 0.0,
-                                "wire_bytes_per_call": 0}
-                continue
-            attempts = []
-            best = None
-            for opts_c in option_sets:
-                try:
-                    compiled, _ = compile_edit_forward_8b(
-                        mesh_r, n_layers_compile, seq=seq, batch=B,
-                        tp_overlap=True, compiler_options=opts_c)
-                except Exception as e:
-                    attempts.append({"options": opts_c,
-                                     "error": repr(e)[:200]})
+    # what the compiled schedule actually interleaved.  The "_ring_q8"
+    # sibling is the OPT-IN int8-payload variant (approximate; excluded
+    # from the exact-headline mesh selection, reported separately).
+    for suffix, mode in (("_ring", True), ("_ring_q8", "int8")):
+        try:
+            mesh_r = _tpu_topology_mesh((1, 1, n_dev), ring_order=True)
+            per_batch = {}
+            ratios = {}
+            # async collective-permute is what makes the decomposition
+            # pay; if the default toolchain doesn't emit start/done pairs,
+            # retry with the explicit async option (attempts recorded for
+            # the honest-evidence trail)
+            option_sets = [None,
+                           {"xla_tpu_enable_async_collective_permute":
+                            "true"}]
+            for B, n_fwd in ((1, n_text_forwards), (2, n_image_forwards)):
+                if n_fwd == 0:
+                    per_batch[B] = {"comm_seconds_per_call": 0.0,
+                                    "wire_bytes_per_call": 0}
                     continue
-                txt = compiled.as_text()
-                s = comm_summary(parse_collectives(txt), full_depth, n_dev)
-                s["overlap"] = parse_overlap(txt)
-                s["compiler_options"] = opts_c
-                body = parse_cycles(txt)[0]
-                if base_cycles.get(B) and 0 < body < base_cycles[B]:
-                    s["compute_ratio"] = body / base_cycles[B]
-                attempts.append({
-                    "options": opts_c,
-                    "async_pairs": s["overlap"]["async_pairs"],
-                    "overlap_fraction": round(
-                        s["overlap"]["overlap_fraction"], 4)})
-                if best is None or (s["overlap"]["overlap_fraction"]
-                                    > best["overlap"]["overlap_fraction"]):
-                    best = s
-                if s["overlap"]["async_pairs"] > 0:
-                    break   # default toolchain already async; done
-            if best is None:
-                raise RuntimeError(f"ring compile failed for B={B}: "
-                                   f"{attempts}")
-            best["attempts"] = attempts
-            if "compute_ratio" in best:
-                ratios[B] = best["compute_ratio"]
-            per_batch[B] = best
-        comm_edit = (per_batch[1]["comm_seconds_per_call"] * n_text_forwards
-                     + per_batch[2]["comm_seconds_per_call"]
-                     * n_image_forwards)
-        bytes_edit = (per_batch[1]["wire_bytes_per_call"] * n_text_forwards
-                      + per_batch[2]["wire_bytes_per_call"]
-                      * n_image_forwards)
-        edits[f"data1_fsdp1_tensor{n_dev}_ring"] = {
-            "axes": {"data": 1, "tensor": n_dev},
-            "decomposed_overlap": True,
-            "text_forward": per_batch[1],
-            "image_forward": per_batch[2],
-            "comm_seconds_per_edit": comm_edit,
-            "wire_bytes_per_edit": int(bytes_edit),
-            "data_idle_on_text_steps": False,
-            "compute_ratios": ratios,
-        }
-    except Exception as e:   # the ring path is an enrichment
-        out["ring_error"] = repr(e)[:500]
+                attempts = []
+                best = None
+                for opts_c in option_sets:
+                    try:
+                        compiled, _ = compile_edit_forward_8b(
+                            mesh_r, n_layers_compile, seq=seq, batch=B,
+                            tp_overlap=mode, compiler_options=opts_c)
+                    except Exception as e:
+                        attempts.append({"options": opts_c,
+                                         "error": repr(e)[:200]})
+                        continue
+                    txt = compiled.as_text()
+                    s = comm_summary(parse_collectives(txt), full_depth,
+                                     n_dev)
+                    s["overlap"] = parse_overlap(txt)
+                    s["compiler_options"] = opts_c
+                    body = parse_cycles(txt)[0]
+                    if base_cycles.get(B) and 0 < body < base_cycles[B]:
+                        s["compute_ratio"] = body / base_cycles[B]
+                    attempts.append({
+                        "options": opts_c,
+                        "async_pairs": s["overlap"]["async_pairs"],
+                        "overlap_fraction": round(
+                            s["overlap"]["overlap_fraction"], 4)})
+                    if best is None or (s["overlap"]["overlap_fraction"]
+                                        > best["overlap"]
+                                        ["overlap_fraction"]):
+                        best = s
+                    if s["overlap"]["async_pairs"] > 0:
+                        break   # default toolchain already async; done
+                if best is None:
+                    raise RuntimeError(f"ring compile failed for B={B}: "
+                                       f"{attempts}")
+                best["attempts"] = attempts
+                if "compute_ratio" in best:
+                    ratios[B] = best["compute_ratio"]
+                per_batch[B] = best
+            comm_edit = (per_batch[1]["comm_seconds_per_call"]
+                         * n_text_forwards
+                         + per_batch[2]["comm_seconds_per_call"]
+                         * n_image_forwards)
+            bytes_edit = (per_batch[1]["wire_bytes_per_call"]
+                          * n_text_forwards
+                          + per_batch[2]["wire_bytes_per_call"]
+                          * n_image_forwards)
+            edits[f"data1_fsdp1_tensor{n_dev}{suffix}"] = {
+                "axes": {"data": 1, "tensor": n_dev},
+                "decomposed_overlap": True,
+                "approximate": mode == "int8",
+                "text_forward": per_batch[1],
+                "image_forward": per_batch[2],
+                "comm_seconds_per_edit": comm_edit,
+                "wire_bytes_per_edit": int(bytes_edit),
+                "data_idle_on_text_steps": False,
+                "compute_ratios": ratios,
+            }
+        except Exception as e:   # the ring path is an enrichment
+            out[f"ring{suffix}_error"] = repr(e)[:500]
 
     d, f, t = train_mesh
     compiled, _ = compile_train_step_8b(_tpu_topology_mesh((d, f, t)),
@@ -855,7 +865,9 @@ def analyze_8b_tpu(n_layers_compile: int = 2, full_depth: int = 32,
 
 
 def predict_edit_scaling(analysis: Dict[str, Any], t_1chip_s: float,
-                         n_devices: int = 8) -> Dict[str, Any]:
+                         n_devices: int = 8,
+                         approximate: bool = False) -> Optional[Dict[str,
+                                                                     Any]]:
     """Best-mesh predicted 8-chip edit time from a measured (depth-fit)
     1-chip edit time.
 
@@ -870,6 +882,10 @@ def predict_edit_scaling(analysis: Dict[str, Any], t_1chip_s: float,
     units = nt + 2 * ni                 # batch-1-equivalent forwards
     best = None
     for name, s in analysis["edit"].items():
+        # exact-headline selection excludes opt-in approximations (the
+        # int8-payload ring); approximate=True selects among those only
+        if bool(s.get("approximate")) != approximate:
+            continue
         ax = s.get("axes") or {
             "data": int(name.split("_")[0][len("data"):]),
             "tensor": int(name.split("tensor")[1])}
@@ -1021,6 +1037,10 @@ def main(argv=None):
         out["prediction"] = predict_edit_scaling(out, args.t1,
                                                  args.devices)
         out["prediction"]["t_1chip_s"] = args.t1
+        pq8 = predict_edit_scaling(out, args.t1, args.devices,
+                                   approximate=True)
+        if pq8 is not None:
+            out["prediction_q8"] = pq8
     print(json.dumps(out))
 
 

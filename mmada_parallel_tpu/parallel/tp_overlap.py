@@ -91,8 +91,24 @@ def sigma_positions(g: int, C: int, r) -> jax.Array:
     return jnp.concatenate([a.reshape(-1), b.reshape(-1)])
 
 
+def _quantize_rows(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Per-token symmetric int8: ``x ≈ q * scale``, scale ``[B, rows, 1]``
+    f32 (absmax / 127).  ONE quantization at the source chip — the int8
+    payload travels the whole ring unchanged, so the error does not
+    compound with hops."""
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
+    scale = jnp.maximum(amax, 1e-30) / 127.0
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -127, 127)
+    return q.astype(jnp.int8), scale
+
+
+def _dequantize_rows(q: jax.Array, scale: jax.Array, dtype) -> jax.Array:
+    return (q.astype(jnp.float32) * scale).astype(dtype)
+
+
 def ring_ag_matmul(h: jax.Array, weights: Sequence[jax.Array], g: int,
-                   axis: str = AXIS) -> List[jax.Array]:
+                   axis: str = AXIS,
+                   int8_payload: bool = False) -> List[jax.Array]:
     """All-gather-matmul: local sequence chunk ``h [B, C, Din]`` against
     column-sharded ``W [Din, F_local]`` weights -> ``[B, g*C, F_local]``
     outputs in σ-ORDER (:func:`sigma_positions`).
@@ -104,6 +120,14 @@ def ring_ag_matmul(h: jax.Array, weights: Sequence[jax.Array], g: int,
     arrives while the next round's ``ppermute`` is in flight.  Outputs
     are stacked in arrival order — static concatenation, no scatter.
     Per-chip wire bytes: ``(g-1)/g * |h_global|`` = the all-gather's.
+
+    ``int8_payload=True`` (OPT-IN approximation): the travelling halves
+    are per-token symmetric int8 (+f32 row scales) — quantized ONCE at
+    the source, dequantized at each consumer, the int8 forwarded
+    unchanged — halving the AG wire bytes at W8A8-activation-grade
+    noise.  The local (round 0) GEMM uses the dequantized values too, so
+    every chip computes from identical inputs and temperature-0
+    trajectories stay batch-invariant.
     """
     half = h.shape[1] // 2
     ha, hb = h[:, :half], h[:, half:]
@@ -111,13 +135,28 @@ def ring_ag_matmul(h: jax.Array, weights: Sequence[jax.Array], g: int,
     ws = [w.astype(h.dtype) for w in weights]
     outs_a = [[] for _ in ws]
     outs_b = [[] for _ in ws]
-    for s in range(g):
-        for i, w in enumerate(ws):
-            outs_a[i].append(ha @ w)
-            outs_b[i].append(hb @ w)
-        if s < g - 1:
-            ha = jax.lax.ppermute(ha, axis, perm_f)
-            hb = jax.lax.ppermute(hb, axis, perm_b)
+    if int8_payload:
+        qa, sa = _quantize_rows(ha)
+        qb, sb = _quantize_rows(hb)
+        for s in range(g):
+            da = _dequantize_rows(qa, sa, h.dtype)
+            db = _dequantize_rows(qb, sb, h.dtype)
+            for i, w in enumerate(ws):
+                outs_a[i].append(da @ w)
+                outs_b[i].append(db @ w)
+            if s < g - 1:
+                qa = jax.lax.ppermute(qa, axis, perm_f)
+                sa = jax.lax.ppermute(sa, axis, perm_f)
+                qb = jax.lax.ppermute(qb, axis, perm_b)
+                sb = jax.lax.ppermute(sb, axis, perm_b)
+    else:
+        for s in range(g):
+            for i, w in enumerate(ws):
+                outs_a[i].append(ha @ w)
+                outs_b[i].append(hb @ w)
+            if s < g - 1:
+                ha = jax.lax.ppermute(ha, axis, perm_f)
+                hb = jax.lax.ppermute(hb, axis, perm_b)
     return [jnp.concatenate(a + b, axis=1)
             for a, b in zip(outs_a, outs_b)]
 
@@ -169,7 +208,8 @@ def ring_matmul_rs(a: jax.Array, w: jax.Array, g: int,
 
 
 def _block_tp(x: jax.Array, lp: Dict[str, jax.Array], cfg,
-              sin_s: jax.Array, cos_s: jax.Array, g: int) -> jax.Array:
+              sin_s: jax.Array, cos_s: jax.Array, g: int,
+              int8_payload: bool = False) -> jax.Array:
     """One llama-flavor block on a local ``[B, C, D]`` sequence chunk with
     tensor-sharded weights (``models.param_shardings`` layout, local
     shards).  Mirrors :func:`mmada_parallel_tpu.models.llada._block`;
@@ -195,7 +235,7 @@ def _block_tp(x: jax.Array, lp: Dict[str, jax.Array], cfg,
 
     h = _norm(x, lp["attn_norm"], cfg)
     q, k, v = ring_ag_matmul(h, [lp["q_proj"], lp["k_proj"], lp["v_proj"]],
-                             g)
+                             g, int8_payload=int8_payload)
     if "q_bias" in lp:
         q = q + lp["q_bias"].astype(cdt)
         k = k + lp["k_bias"].astype(cdt)
@@ -230,12 +270,14 @@ def _block_tp(x: jax.Array, lp: Dict[str, jax.Array], cfg,
     x = x + jnp.concatenate([acc_a, acc_b], axis=1)
 
     h = _norm(x, lp["ff_norm"], cfg)
-    gate_in, up = ring_ag_matmul(h, [lp["ff_proj"], lp["up_proj"]], g)
+    gate_in, up = ring_ag_matmul(h, [lp["ff_proj"], lp["up_proj"]], g,
+                                 int8_payload=int8_payload)
     x = x + ring_matmul_rs(jax.nn.silu(gate_in) * up, lp["ff_out"], g)
     return x
 
 
-def _stack_tp(x, blocks, sin, cos, cfg, g, axis=AXIS):
+def _stack_tp(x, blocks, sin, cos, cfg, g, axis=AXIS,
+              int8_payload=False):
     # σ-gather the RoPE tables once (rank-dependent, layer-invariant)
     r = jax.lax.axis_index(axis)
     pos = sigma_positions(g, x.shape[1], r)
@@ -243,7 +285,8 @@ def _stack_tp(x, blocks, sin, cos, cfg, g, axis=AXIS):
     cos_s = jnp.take(cos, pos, axis=0)
 
     def body(carry, lp):
-        return _block_tp(carry, lp, cfg, sin_s, cos_s, g), None
+        return _block_tp(carry, lp, cfg, sin_s, cos_s, g,
+                         int8_payload=int8_payload), None
 
     x, _ = jax.lax.scan(body, x, blocks)
     return x
@@ -256,6 +299,7 @@ def llada_hidden_tp_overlap(
     mesh: Mesh,
     attn_mask: Optional[jax.Array] = None,
     position_ids: Optional[jax.Array] = None,
+    int8_payload: bool = False,
 ) -> jax.Array:
     """Backbone (post-``ln_f`` hidden states) with the layer stack under
     ``shard_map`` on ring collective-matmuls; numerically equivalent to
@@ -308,7 +352,8 @@ def llada_hidden_tp_overlap(
     sin, cos = _rope_sin_cos(L, cfg.head_dim, cfg.rope_theta)
 
     body = jax.shard_map(
-        functools.partial(_stack_tp, cfg=cfg, g=g),
+        functools.partial(_stack_tp, cfg=cfg, g=g,
+                          int8_payload=int8_payload),
         mesh=mesh,
         in_specs=(P("data", AXIS, None), param_shardings(cfg)["blocks"],
                   P(None, None), P(None, None)),
@@ -319,14 +364,22 @@ def llada_hidden_tp_overlap(
     return _norm(x, params["ln_f"], cfg)
 
 
-def ring_hidden_fn(mesh: Mesh):
+def ring_hidden_fn(mesh: Mesh, int8_payload: bool = False):
     """A drop-in ``hidden_fn`` for the samplers
     (:func:`~mmada_parallel_tpu.samplers.generate_ti2ti`,
     :func:`~mmada_parallel_tpu.samplers.interleave_generate`): the ring-TP
-    backbone bound to ``mesh``, with ``llada_hidden``'s signature."""
+    backbone bound to ``mesh``, with ``llada_hidden``'s signature.
+
+    ``int8_payload=True`` is the OPT-IN quantized-collective mode (the
+    all-gather halves travel as per-token int8, halving that wire; the
+    exact bf16 ring stays the parity default) — validate end-task quality
+    the way the other opt-in approximations are
+    (``tests/test_tp_overlap.py`` random-toy agreement; the README
+    approximation-envelope protocol)."""
     def fn(params, cfg, input_ids, attn_mask=None, position_ids=None):
         return llada_hidden_tp_overlap(params, cfg, input_ids, mesh,
-                                       attn_mask, position_ids)
+                                       attn_mask, position_ids,
+                                       int8_payload=int8_payload)
     return fn
 
 
@@ -337,6 +390,7 @@ def llada_forward_tp_overlap(
     mesh: Mesh,
     vocab_slice: Optional[Tuple[int, int]] = None,
     logits_dtype: Any = jnp.float32,
+    int8_payload: bool = False,
 ) -> jax.Array:
     """Full forward: ring-TP backbone + vocab head.  GSPMD gathers the
     sequence-sharded hidden states into the vocab-sharded head (one
@@ -345,5 +399,6 @@ def llada_forward_tp_overlap(
     GSPMD path's; the census prices the gather."""
     from mmada_parallel_tpu.models.llada import llada_head
 
-    hidden = llada_hidden_tp_overlap(params, cfg, input_ids, mesh)
+    hidden = llada_hidden_tp_overlap(params, cfg, input_ids, mesh,
+                                     int8_payload=int8_payload)
     return llada_head(params, cfg, hidden, vocab_slice, logits_dtype)
