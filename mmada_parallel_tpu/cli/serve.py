@@ -92,6 +92,11 @@ def build_parser():
                         "(parallel/tp_overlap.py; exact-length grouping; "
                         "the assembled sequence length must be a multiple "
                         "of N)")
+    p.add_argument("--tp_ring_int8", action="store_true",
+                   help="with --tp_ring: OPT-IN int8 all-gather payloads "
+                        "(halves the AG wire at W8A8-activation-grade "
+                        "noise; validate end-task quality first — see "
+                        "README approximation envelope)")
     return p
 
 
@@ -181,7 +186,7 @@ def main(argv=None):
         mesh = make_mesh(MeshConfig(data=1, fsdp=1, tensor=args.tp_ring),
                          jax.devices()[:args.tp_ring])
         params = shard_params(params, param_shardings(cfg), mesh)
-        hidden_fn = ring_hidden_fn(mesh)
+        hidden_fn = ring_hidden_fn(mesh, int8_payload=args.tp_ring_int8)
 
     if args.variant == "a":
         _, _, gh, gw = tk.calculate_vq_params(args.height, args.width, 16)
