@@ -164,6 +164,13 @@ def bench_m(depths, quant):
             "depth curve; census runs live")
         curve = {L: R3_MEASURED_CURVES["m"][L] for L in depths
                  if L in R3_MEASURED_CURVES["m"]}
+        if not curve:
+            raise SystemExit("replay curves cover only depths "
+                             f"{sorted(R3_MEASURED_CURVES['m'])}; got "
+                             f"BENCH_DEPTHS={depths}")
+        if len(curve) < len(depths):
+            err(f"[M] replay: depths {sorted(set(depths) - set(curve))} "
+                "not in the committed curve; dropped")
         replayed = True
         depths = []
     for L in depths:
@@ -213,7 +220,7 @@ def bench_m(depths, quant):
                 analysis = run_in_subprocess(
                     t_1chip_s=t_8b, seq=seq, n_text_forwards=0,
                     n_image_forwards=o.text_steps + o.image_steps,
-                    backend=be, timeout=2400)
+                    backend=be, timeout=3600, q8=False)
                 scaling = analysis["prediction"]
                 break
             except Exception as e:
@@ -431,7 +438,11 @@ def bench_train(depths):
         try:
             from mmada_parallel_tpu.parallel.multichip_model import (
                 run_in_subprocess)
-            analysis = run_in_subprocess(backend="tpu", timeout=2400)
+            # train needs only the train-step census: skip the edit-mesh
+            # and ring compiles entirely (n_*_forwards=0)
+            analysis = run_in_subprocess(backend="tpu", timeout=3600,
+                                         n_text_forwards=0,
+                                         n_image_forwards=0, q8=False)
             scaling = analysis["train_step"]
         except Exception as e:
             err(f"[train] multichip census failed ({e!r})")
@@ -542,6 +553,13 @@ def main():
             "(local libtpu AOT)")
         curve = {L: R3_MEASURED_CURVES["a"][L] for L in depths
                  if L in R3_MEASURED_CURVES["a"]}
+        if not curve:
+            raise SystemExit("replay curves cover only depths "
+                             f"{sorted(R3_MEASURED_CURVES['a'])}; got "
+                             f"BENCH_DEPTHS={depths}")
+        if len(curve) < len(depths):
+            err(f"replay: depths {sorted(set(depths) - set(curve))} not "
+                "in the committed curve; dropped")
         replayed = True
         depths = []
     for L in depths:

@@ -171,6 +171,8 @@ def main(argv=None):
             return AVQ.amused_img_span(_enc, a_vq_cfg, img, T)
 
     hidden_fn = None
+    if args.tp_ring_int8 and not args.tp_ring:
+        raise SystemExit("--tp_ring_int8 requires --tp_ring N")
     if args.tp_ring:
         if args.quant:
             raise SystemExit("--tp_ring serves the dense bf16 path; "

@@ -244,6 +244,9 @@ def comm_summary(collectives: Sequence[Collective], per_layer_trip: int,
     body_comp = max(per_comp, key=per_comp.get) if per_comp else None
 
     entry_bytes = entry_s = layer_bytes = layer_s = 0.0
+    body_info = ({"name": body_comp,
+                  "n_collectives": per_comp[body_comp][0]}
+                 if body_comp is not None else None)
     for c in collectives:
         w = c.wire_bytes_per_chip(assume_tpu_bf16)
         # collective-permutes: one hop, one link direction; opposite-
@@ -264,6 +267,7 @@ def comm_summary(collectives: Sequence[Collective], per_layer_trip: int,
     return {
         "n_collectives_static": len(collectives),
         "assume_tpu_bf16": assume_tpu_bf16,
+        "body_computation": body_info,
         "entry_wire_bytes": int(entry_bytes),
         "per_layer_wire_bytes": int(layer_bytes),
         "wire_bytes_per_call": int(total_b),
@@ -425,7 +429,7 @@ def compile_edit_forward_8b(mesh, n_layers: int = 2, seq: int = 2424,
     # windowed-einsum collective-permute LOOP whose printed-once /
     # executed-g-times collectives would poison the per-layer census).
     text_span = min(256, seq)
-    img_span = min(1088, seq - text_span)   # gh*(gw+1) grid at 512x512
+    img_span = min(1056, seq - text_span)   # gh*(gw+1) = 32*33 at 512x512
     tvs, cb = 126356, 8192
 
     def heads(params, hidden):
@@ -641,7 +645,7 @@ def analyze_8b_tpu(n_layers_compile: int = 2, full_depth: int = 32,
                    train_mesh: Tuple[int, int, int] = (2, 2, 2),
                    n_text_forwards: int = 128,
                    n_image_forwards: int = 64,
-                   seq: int = 2424) -> Dict[str, Any]:
+                   seq: int = 2424, q8: bool = True) -> Dict[str, Any]:
     """The census of :func:`analyze_8b`, upgraded to compile for the REAL
     v5e-8 target via the AOT topology API (``v5e:2x4``), plus a
     compute-scaling term from the TPU compiler's own cost model.
@@ -750,7 +754,8 @@ def analyze_8b_tpu(n_layers_compile: int = 2, full_depth: int = 32,
     # what the compiled schedule actually interleaved.  The "_ring_q8"
     # sibling is the OPT-IN int8-payload variant (approximate; excluded
     # from the exact-headline mesh selection, reported separately).
-    for suffix, mode in (("_ring", True), ("_ring_q8", "int8")):
+    ring_modes = [("_ring", True)] + ([("_ring_q8", "int8")] if q8 else [])
+    for suffix, mode in ring_modes:
         try:
             mesh_r = _tpu_topology_mesh((1, 1, n_dev), ring_order=True)
             per_batch = {}
@@ -782,6 +787,16 @@ def analyze_8b_tpu(n_layers_compile: int = 2, full_depth: int = 32,
                     s = comm_summary(parse_collectives(txt), full_depth,
                                      n_dev)
                     s["overlap"] = parse_overlap(txt)
+                    # the 9e10-per-cp pricing assumes the opposite-
+                    # direction pair is in flight together; if the
+                    # schedule never holds 2 windows open, charge the
+                    # serialized rate (2x) instead of assuming it
+                    ov = s["overlap"]
+                    s["cp_pair_concurrency"] = bool(
+                        ov["async_pairs"]
+                        and ov.get("max_open_windows", 0) >= 2)
+                    if ov["async_pairs"] and not s["cp_pair_concurrency"]:
+                        s["comm_seconds_per_call"] *= 2.0
                     s["compiler_options"] = opts_c
                     body = parse_cycles(txt)[0]
                     if base_cycles.get(B) and 0 < body < base_cycles[B]:
@@ -952,7 +967,8 @@ def run_in_subprocess(t_1chip_s: Optional[float] = None,
                       timeout: int = 900, seq: int = 2424,
                       n_text_forwards: int = 128,
                       n_image_forwards: int = 64,
-                      backend: str = "cpu") -> Dict[str, Any]:
+                      backend: str = "cpu",
+                      q8: bool = True) -> Dict[str, Any]:
     """Run the census (+ the edit prediction when ``t_1chip_s`` is given)
     in a clean child process — usable from a process already attached to
     the TPU backend (bench.py) exactly like
@@ -972,7 +988,8 @@ def run_in_subprocess(t_1chip_s: Optional[float] = None,
     env = dict(os.environ)
     args = (f"--devices {n_devices} --depth {depth} --seq {seq} "
             f"--text-forwards {n_text_forwards} "
-            f"--image-forwards {n_image_forwards} --backend {backend}")
+            f"--image-forwards {n_image_forwards} --backend {backend} "
+            f"--q8 {int(q8)}")
     if t_1chip_s is not None:
         args += f" --t1 {t_1chip_s}"
     if backend == "tpu":
@@ -1020,6 +1037,8 @@ def main(argv=None):
     p.add_argument("--t1", type=float, default=None,
                    help="measured/fit 1-chip seconds per edit")
     p.add_argument("--backend", choices=("cpu", "tpu"), default="cpu")
+    p.add_argument("--q8", type=int, default=1,
+                   help="also census the opt-in int8-payload ring (tpu)")
     args = p.parse_args(argv)
     if args.backend == "tpu":
         from mmada_parallel_tpu.utils.compile_cache import (
@@ -1028,7 +1047,7 @@ def main(argv=None):
         out = analyze_8b_tpu(args.depth, args.full_depth,
                              n_text_forwards=args.text_forwards,
                              n_image_forwards=args.image_forwards,
-                             seq=args.seq)
+                             seq=args.seq, q8=bool(args.q8))
     else:
         out = analyze_8b(args.devices, args.depth, args.full_depth,
                          n_text_forwards=args.text_forwards,

@@ -161,6 +161,24 @@ def ring_ag_matmul(h: jax.Array, weights: Sequence[jax.Array], g: int,
             for a, b in zip(outs_a, outs_b)]
 
 
+def _ring_reduce_scatter(part_a, part_b, g: int,
+                         axis: str = AXIS) -> jax.Array:
+    """The σ-order reduce-scatter ring protocol, shared by
+    :func:`ring_matmul_rs` and the per-chunk-attention attn-out path:
+    ``part_a(k)``/``part_b(k)`` produce this chip's partial for the
+    σ-indexed chunk ``k`` (+ring first halves / -ring second halves);
+    the accumulators hop ``g-1`` times, each round adding the STATIC
+    σ-index ``(1+s) % g`` partial, landing chunk ``r`` in natural row
+    order."""
+    perm_f, perm_b = _perms(g)
+    acc_a = part_a(1)
+    acc_b = part_b(1)
+    for s in range(1, g):
+        acc_a = jax.lax.ppermute(acc_a, axis, perm_f) + part_a((1 + s) % g)
+        acc_b = jax.lax.ppermute(acc_b, axis, perm_b) + part_b((1 + s) % g)
+    return jnp.concatenate([acc_a, acc_b], axis=1)
+
+
 def ring_matmul_rs(a: jax.Array, w: jax.Array, g: int,
                    axis: str = AXIS) -> jax.Array:
     """Matmul-reduce-scatter: σ-ORDERED row-sharded GEMM input
@@ -184,7 +202,6 @@ def ring_matmul_rs(a: jax.Array, w: jax.Array, g: int,
     C = L // g
     C1 = C // 2
     C2 = C - C1
-    perm_f, perm_b = _perms(g)
     w = w.astype(a.dtype)
 
     def part_a(k):   # +ring: σ-index k holds chunk (r - k) % g, rows 0:C1
@@ -194,12 +211,7 @@ def ring_matmul_rs(a: jax.Array, w: jax.Array, g: int,
         off = g * C1
         return a[:, off + k * C2: off + (k + 1) * C2, :] @ w
 
-    acc_a = part_a(1)
-    acc_b = part_b(1)
-    for s in range(1, g):
-        acc_a = jax.lax.ppermute(acc_a, axis, perm_f) + part_a((1 + s) % g)
-        acc_b = jax.lax.ppermute(acc_b, axis, perm_b) + part_b((1 + s) % g)
-    return jnp.concatenate([acc_a, acc_b], axis=1)
+    return _ring_reduce_scatter(part_a, part_b, g, axis)
 
 
 # ---------------------------------------------------------------------------
@@ -252,22 +264,14 @@ def _block_tp(x: jax.Array, lp: Dict[str, jax.Array], cfg,
             impl=cfg.attention_impl)
 
     wo = lp["attn_out"].astype(cdt)
-    perm_f, perm_b = _perms(g)
 
-    def part_a(s):          # RS round s consumes σ-chunk (1+s) % g
-        kk = (1 + s) % g
-        return att_piece(kk * C1, C1) @ wo
+    def part_a(k):          # attention for σ-chunk k's queries, projected
+        return att_piece(k * C1, C1) @ wo
 
-    def part_b(s):
-        kk = (1 + s) % g
-        return att_piece(g * C1 + kk * C2, C2) @ wo
+    def part_b(k):
+        return att_piece(g * C1 + k * C2, C2) @ wo
 
-    acc_a = part_a(0)
-    acc_b = part_b(0)
-    for s in range(1, g):
-        acc_a = jax.lax.ppermute(acc_a, AXIS, perm_f) + part_a(s)
-        acc_b = jax.lax.ppermute(acc_b, AXIS, perm_b) + part_b(s)
-    x = x + jnp.concatenate([acc_a, acc_b], axis=1)
+    x = x + _ring_reduce_scatter(part_a, part_b, g)
 
     h = _norm(x, lp["ff_norm"], cfg)
     gate_in, up = ring_ag_matmul(h, [lp["ff_proj"], lp["up_proj"]], g,
