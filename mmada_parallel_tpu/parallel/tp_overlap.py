@@ -47,6 +47,14 @@ production shape), no padding mask / position_ids (the A/M samplers'
 exact-length batching never pads, see ``serving.py``), mesh
 ``fsdp == 1``.  The GSPMD path (:func:`~mmada_parallel_tpu.models.llada_forward`
 under ``param_shardings``) remains the general/default path.
+
+Validation status: algebra, wire volume, and token-exact end-to-end
+sampling are test-pinned on the 8-virtual-device CPU mesh; scheduling/
+overlap claims come from the compiled ``v5e:2x4`` modules.  What no test
+can see without 8 real chips: the per-chunk attention's kernel dispatch
+overhead on hardware (g kernel calls per layer instead of 1; the census
+cycle ratios use the XLA einsum attention — ``compile_edit_forward_8b``
+pins ``attention_impl="xla"``) and actual ICI contention.
 """
 
 from __future__ import annotations
