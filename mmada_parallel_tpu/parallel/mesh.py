@@ -13,8 +13,11 @@ parallelism the reference implements by hand:
 
 Parameters are placed with ``NamedSharding`` from the model's
 ``param_shardings`` pytree; ``jax.jit`` then inserts all-gathers and
-reduce-scatters exactly where FSDP does, but compiled into the program and
-overlapped by XLA's scheduler (riding ICI, not host NCCL).
+reduce-scatters exactly where FSDP does, compiled into the program and
+riding ICI, not host NCCL.  (The v5e census found the TPU scheduler does
+NOT overlap the inference all-reduces with compute — see
+:mod:`mmada_parallel_tpu.parallel.tp_overlap` for the decomposed-ring
+path whose overlap the compiled schedule evidences.)
 """
 
 from __future__ import annotations

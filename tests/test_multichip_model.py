@@ -319,3 +319,30 @@ def test_ring_order_mesh_is_boundary_cycle():
     for i in range(8):
         a, b = coords[i], coords[(i + 1) % 8]
         assert abs(a[0] - b[0]) + abs(a[1] - b[1]) == 1, (i, a, b)
+
+
+def test_bench_pick_headline_and_replay_constants():
+    """bench.pick_headline prefers the evidenced time only with overlap
+    evidence; the committed replay curves carry the depths the default
+    BENCH_DEPTHS needs."""
+    import importlib.util
+    import os
+    spec = importlib.util.spec_from_file_location(
+        "bench", os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "bench.py"))
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    floor_only = {"t_edit_s_no_overlap": 10.0}
+    t, note = bench.pick_headline(floor_only)
+    assert t == 10.0 and "floor" in note
+    evidenced = {"t_edit_s_no_overlap": 10.0, "t_edit_s_evidenced": 7.0,
+                 "overlap_evidence": {"text_forward": {"async_pairs": 64}}}
+    t, note = bench.pick_headline(evidenced)
+    assert t == 7.0 and "evidenced" in note
+    # evidence present but not better -> floor
+    same = {"t_edit_s_no_overlap": 10.0, "t_edit_s_evidenced": 10.0,
+            "overlap_evidence": {"x": {}}}
+    assert bench.pick_headline(same)[0] == 10.0
+    for variant in ("a", "m"):
+        assert set(bench.R3_MEASURED_CURVES[variant]) == {4, 8, 16}
