@@ -640,6 +640,35 @@ def _tpu_topology_mesh(shape: Tuple[int, int, int],
                 ("data", "fsdp", "tensor"))
 
 
+def _tpu_square_mesh():
+    """``(data=2, fsdp=1, tensor=4)`` mesh whose TENSOR groups are the 2x4
+    slice's two 2x2 SQUARES, each ordered along its 4-cycle — a 4-wide
+    ring of physical neighbors (a 4-chip ROW is a line: no cycle).  The
+    data axis pairs chips across squares; inference has no cross-data
+    collectives, so that adjacency is irrelevant.  Batch-2 forwards (M's
+    cond+uncond; A's image steps) put one row per square and ring within
+    it: quarter the ring payload of TP-8 per chip."""
+    import numpy as np
+    from jax.experimental import topologies
+    from jax.sharding import Mesh
+
+    topo = topologies.get_topology_desc("v5e:2x4", "tpu")
+    devices = list(topo.devices)
+    by_coord = {}
+    for d in devices:
+        c = getattr(d, "coords", None)
+        if c is None:
+            return None   # no coords: cannot build the square placement
+        by_coord[(c[0], c[1])] = d
+    want = [(0, 0), (0, 1), (1, 1), (1, 0),    # left square, 4-cycle order
+            (0, 2), (0, 3), (1, 3), (1, 2)]    # right square
+    if set(by_coord) != {(x, y) for x in (0, 1) for y in range(4)}:
+        return None
+    ordered = [by_coord[c] for c in want]
+    return Mesh(np.array(ordered).reshape(2, 1, 4),
+                ("data", "fsdp", "tensor"))
+
+
 def analyze_8b_tpu(n_layers_compile: int = 2, full_depth: int = 32,
                    edit_meshes: Optional[Sequence[Tuple[int, int, int]]] = None,
                    train_mesh: Tuple[int, int, int] = (2, 2, 2),
@@ -754,10 +783,23 @@ def analyze_8b_tpu(n_layers_compile: int = 2, full_depth: int = 32,
     # what the compiled schedule actually interleaved.  The "_ring_q8"
     # sibling is the OPT-IN int8-payload variant (approximate; excluded
     # from the exact-headline mesh selection, reported separately).
-    ring_modes = [("_ring", True)] + ([("_ring_q8", "int8")] if q8 else [])
-    for suffix, mode in ring_modes:
+    ring_configs = [("data1_fsdp1_tensor8_ring", True, 1, 8,
+                     lambda: _tpu_topology_mesh((1, 1, n_dev),
+                                                ring_order=True))]
+    if q8:
+        ring_configs.append(
+            ("data1_fsdp1_tensor8_ring_q8", "int8", 1, 8,
+             lambda: _tpu_topology_mesh((1, 1, n_dev), ring_order=True)))
+    # 2x2-square tensor groups: 4-wide physical rings + a data axis for
+    # batch-2 forwards (quarter the per-chip ring payload of TP-8; a
+    # 4-chip ROW cannot ring — no cycle on a line)
+    ring_configs.append(("data2_fsdp1_tensor4_sq_ring", True, 2, 4,
+                         _tpu_square_mesh))
+    for entry_name, mode, d_ax, t_ax, mesh_fn in ring_configs:
         try:
-            mesh_r = _tpu_topology_mesh((1, 1, n_dev), ring_order=True)
+            mesh_r = mesh_fn()
+            if mesh_r is None:
+                raise RuntimeError("square mesh unavailable (no coords)")
             per_batch = {}
             ratios = {}
             # async collective-permute is what makes the decomposition
@@ -771,6 +813,9 @@ def analyze_8b_tpu(n_layers_compile: int = 2, full_depth: int = 32,
                 if n_fwd == 0:
                     per_batch[B] = {"comm_seconds_per_call": 0.0,
                                     "wire_bytes_per_call": 0}
+                    continue
+                if B < d_ax:   # batch can't split across a wider data axis
+                    per_batch[B] = None
                     continue
                 attempts = []
                 best = None
@@ -819,6 +864,10 @@ def analyze_8b_tpu(n_layers_compile: int = 2, full_depth: int = 32,
                 if "compute_ratio" in best:
                     ratios[B] = best["compute_ratio"]
                 per_batch[B] = best
+            if per_batch.get(1) is None:
+                # data-idle text phase: B=2 census as an upper bound
+                # (same approximation as the all-reduce d2t4 entry)
+                per_batch[1] = per_batch[2]
             comm_edit = (per_batch[1]["comm_seconds_per_call"]
                          * n_text_forwards
                          + per_batch[2]["comm_seconds_per_call"]
@@ -827,19 +876,19 @@ def analyze_8b_tpu(n_layers_compile: int = 2, full_depth: int = 32,
                           * n_text_forwards
                           + per_batch[2]["wire_bytes_per_call"]
                           * n_image_forwards)
-            edits[f"data1_fsdp1_tensor{n_dev}{suffix}"] = {
-                "axes": {"data": 1, "tensor": n_dev},
+            edits[entry_name] = {
+                "axes": {"data": d_ax, "tensor": t_ax},
                 "decomposed_overlap": True,
                 "approximate": mode == "int8",
                 "text_forward": per_batch[1],
                 "image_forward": per_batch[2],
                 "comm_seconds_per_edit": comm_edit,
                 "wire_bytes_per_edit": int(bytes_edit),
-                "data_idle_on_text_steps": False,
+                "data_idle_on_text_steps": bool(d_ax > 1),
                 "compute_ratios": ratios,
             }
         except Exception as e:   # the ring path is an enrichment
-            out[f"ring{suffix}_error"] = repr(e)[:500]
+            out[f"{entry_name}_error"] = repr(e)[:500]
 
     d, f, t = train_mesh
     compiled, _ = compile_train_step_8b(_tpu_topology_mesh((d, f, t)),

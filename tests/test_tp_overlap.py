@@ -464,3 +464,23 @@ def test_generate_ti2ti_int8_payload_trajectory(mesh):
     # ~0.5 — payload-only quantization is strictly gentler
     assert text_agree > 0.5, text_agree
     assert code_agree > 0.3, code_agree
+
+
+def test_forward_parity_data2_tensor4(mesh):
+    """The ring also runs under a (data=2, fsdp=1, tensor=4) mesh — the
+    2x2-square placement the census prices for batch-2-heavy workloads
+    (M interleave; A image steps): batch splits over data, 4-wide rings
+    within each square."""
+    mesh24 = make_mesh(MeshConfig(data=2, fsdp=1, tensor=4))
+    cfg = _tp_cfg()                      # 8 heads over g=4 -> 2 local
+    params = init_llada_params(jax.random.key(12), cfg)
+    sharded = jax.tree_util.tree_map(
+        lambda p, s: jax.device_put(p, NamedSharding(mesh24, s)),
+        params, param_shardings(cfg))
+    ids = jax.random.randint(jax.random.key(13), (2, 40), 0,
+                             cfg.vocab_size)
+    ref = jax.jit(lambda p, i: llada_forward(p, cfg, i))(sharded, ids)
+    out = jax.jit(lambda p, i: llada_forward_tp_overlap(
+        p, cfg, i, mesh24))(sharded, ids)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
