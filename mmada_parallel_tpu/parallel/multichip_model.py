@@ -14,17 +14,14 @@ of toy dryrun dims.
 Counting model
 --------------
 The compiled HLO contains each collective instruction once even when it
-sits inside a ``while`` loop (a ``lax.scan`` body).  In the graphs
-compiled here every while is a scan over transformer layers (grad
-accumulation is fixed at 1), so collectives are attributed:
-
-* in the ``ENTRY`` computation -> executed once per call;
-* in any nested computation    -> executed once per layer (x depth).
-
-Compiling at reduced depth (2 layers) is exact for this census: the scan
-body is depth-independent and the entry census does not change with
-depth (verified by ``tests/test_multichip_model.py`` compiling two
-depths).
+sits inside a ``while`` loop (a ``lax.scan`` body).  Attribution is
+COMPUTATION-granular: the non-entry computation holding the most
+collectives is the layer-scan while body (executed once per layer,
+x depth); collectives in the entry or any other computation (e.g.
+GSPMD's head-span gather loops) count once per call.  Compiling at
+reduced depth (2 layers) is exact for this census: the scan body is
+depth-independent and the entry census does not change with depth
+(verified by ``tests/test_multichip_model.py`` compiling two depths).
 
 Wire model (ring collectives, per chip, bytes ``S`` = HLO result bytes):
 
