@@ -958,9 +958,21 @@ def predict_edit_scaling(analysis: Dict[str, Any], t_1chip_s: float,
         # (tpu-aot census; captures shard-size GEMM inefficiency) over the
         # linear 1/chips assumption.  The B=1 ratio only applies when the
         # whole slice serves the text forward (d == 1).
-        ratios = s.get("compute_ratios") or {}
+        # JSON round-trips stringify the batch keys; normalize to ints
+        ratios = {int(k): v
+                  for k, v in (s.get("compute_ratios") or {}).items()}
         r1, r2 = ratios.get(1), ratios.get(2)
-        t_text = t_unit * (r1 if (r1 and d == 1) else 1.0 / text_chips)
+        # Text forwards are batch-1.  On a d>1 mesh the single row cannot
+        # split over the data axis: GSPMD replicates it per data group, so
+        # the per-chip program IS one group's share of the batch-2 forward
+        # — the text forward's wall time equals an image forward's
+        # (2 * t_unit * r2), not a perfect 1/text_chips split.
+        if r1 and d == 1:
+            t_text = t_unit * r1
+        elif r2 and d > 1:
+            t_text = 2.0 * t_unit * r2
+        else:
+            t_text = t_unit / text_chips
         t_img = 2 * t_unit * (r2 if r2 else 1.0 / img_chips)
         t_comp = nt * t_text + ni * t_img
         t_comm = s["comm_seconds_per_edit"]
