@@ -395,7 +395,8 @@ def compile_edit_forward_8b(mesh, n_layers: int = 2, seq: int = 2424,
     ``tp_overlap=True`` compiles the ring collective-matmul forward
     (:mod:`mmada_parallel_tpu.parallel.tp_overlap`) instead of the GSPMD
     all-reduce path — same math, decomposed collectives the scheduler can
-    overlap (requires ``fsdp == data == 1``)."""
+    overlap (requires ``fsdp == 1``; ``batch`` must divide the data
+    axis)."""
     import jax
     import jax.numpy as jnp
     from jax.sharding import NamedSharding, PartitionSpec as P
@@ -601,6 +602,25 @@ def analyze_8b(n_devices: int = 8, n_layers_compile: int = 2,
     return out
 
 
+def _topo_devices_by_coord():
+    """``{(x, y): device}`` for the compile-only v5e:2x4 topology, or
+    ``None`` when devices carry no coords (single coord-handling path for
+    both mesh builders)."""
+    from jax.experimental import topologies
+
+    topo = topologies.get_topology_desc("v5e:2x4", "tpu")
+    by_coord = {}
+    for d in topo.devices:
+        c = getattr(d, "coords", None)
+        if c is None:
+            return None
+    # v5e coords are (x, y, z) with x spanning 2 and y spanning 4
+        by_coord[(c[0], c[1])] = d
+    if set(by_coord) != {(x, y) for x in (0, 1) for y in range(4)}:
+        return None
+    return by_coord
+
+
 def _tpu_topology_mesh(shape: Tuple[int, int, int],
                        ring_order: bool = False):
     """Mesh over compile-only devices of a real ``v5e:2x4`` topology
@@ -621,17 +641,10 @@ def _tpu_topology_mesh(shape: Tuple[int, int, int],
     topo = topologies.get_topology_desc("v5e:2x4", "tpu")
     devices = list(topo.devices)
     if ring_order:
-        def coord(d):
-            # v5e coords are (x, y, z) with x spanning 2 and y spanning 4
-            # on the 2x4 slice -> rows are x values, columns y values
-            c = getattr(d, "coords", None)
-            return (c[0], c[1]) if c is not None else (0, d.id)
-        by_coord = {coord(d): d for d in devices}
-        ys = sorted({y for y, _ in by_coord})
-        xs = sorted({x for _, x in by_coord})
-        if len(ys) == 2 and len(xs) == 4 and len(by_coord) == 8:
-            cycle = ([(ys[0], x) for x in xs]
-                     + [(ys[1], x) for x in reversed(xs)])
+        by_coord = _topo_devices_by_coord()
+        if by_coord is not None:
+            cycle = ([(0, y) for y in range(4)]
+                     + [(1, y) for y in reversed(range(4))])
             devices = [by_coord[c] for c in cycle]
     return Mesh(np.array(devices).reshape(shape),
                 ("data", "fsdp", "tensor"))
@@ -644,23 +657,16 @@ def _tpu_square_mesh():
     data axis pairs chips across squares; inference has no cross-data
     collectives, so that adjacency is irrelevant.  Batch-2 forwards (M's
     cond+uncond; A's image steps) put one row per square and ring within
-    it: quarter the ring payload of TP-8 per chip."""
+    it: ~3/7 the per-chip ring payload of TP-8 ((3/4) of half the rows
+    vs (7/8) of all of them)."""
     import numpy as np
-    from jax.experimental import topologies
     from jax.sharding import Mesh
 
-    topo = topologies.get_topology_desc("v5e:2x4", "tpu")
-    devices = list(topo.devices)
-    by_coord = {}
-    for d in devices:
-        c = getattr(d, "coords", None)
-        if c is None:
-            return None   # no coords: cannot build the square placement
-        by_coord[(c[0], c[1])] = d
+    by_coord = _topo_devices_by_coord()
+    if by_coord is None:
+        return None   # no coords: cannot build the square placement
     want = [(0, 0), (0, 1), (1, 1), (1, 0),    # left square, 4-cycle order
             (0, 2), (0, 3), (1, 3), (1, 2)]    # right square
-    if set(by_coord) != {(x, y) for x in (0, 1) for y in range(4)}:
-        return None
     ordered = [by_coord[c] for c in want]
     return Mesh(np.array(ordered).reshape(2, 1, 4),
                 ("data", "fsdp", "tensor"))
@@ -788,7 +794,7 @@ def analyze_8b_tpu(n_layers_compile: int = 2, full_depth: int = 32,
             ("data1_fsdp1_tensor8_ring_q8", "int8", 1, 8,
              lambda: _tpu_topology_mesh((1, 1, n_dev), ring_order=True)))
     # 2x2-square tensor groups: 4-wide physical rings + a data axis for
-    # batch-2 forwards (quarter the per-chip ring payload of TP-8; a
+    # batch-2 forwards (~3/7 the per-chip ring payload of TP-8; a
     # 4-chip ROW cannot ring — no cycle on a line)
     ring_configs.append(("data2_fsdp1_tensor4_sq_ring", True, 2, 4,
                          _tpu_square_mesh))
@@ -862,8 +868,15 @@ def analyze_8b_tpu(n_layers_compile: int = 2, full_depth: int = 32,
                     ratios[B] = best["compute_ratio"]
                 per_batch[B] = best
             if per_batch.get(1) is None:
-                # data-idle text phase: B=2 census as an upper bound
-                # (same approximation as the all-reduce d2t4 entry)
+                if n_image_forwards == 0:
+                    # no B=2 census exists to stand in for the replicated
+                    # B=1 text forwards: a zero sentinel would fabricate a
+                    # free-comm entry
+                    raise RuntimeError(
+                        "d>1 ring needs a B=2 census for B=1 fallback")
+                # data-idle text phase: the replicated B=1 forward runs
+                # each group's share of the B=2 program, so the B=2
+                # census is its exact comm
                 per_batch[1] = per_batch[2]
             comm_edit = (per_batch[1]["comm_seconds_per_call"]
                          * n_text_forwards
@@ -932,11 +945,16 @@ def predict_edit_scaling(analysis: Dict[str, Any], t_1chip_s: float,
     """Best-mesh predicted 8-chip edit time from a measured (depth-fit)
     1-chip edit time.
 
-    Compute model per mesh: batch-B forwards use ``data*tensor`` chips
-    when ``B >= data`` else only the tensor group (data idle), with the
-    1-chip time split over forwards proportionally to batch FLOPs.
-    No-overlap floor ``t = t_comp + t_comm``; full-overlap ceiling
-    ``max(t_comp, t_comm)``.
+    Compute model per mesh, preferring the TPU compiler's own per-layer
+    cycle ratios: batch-2 image forwards cost ``2 * t_unit * r2``; the
+    batch-1 text forwards cost ``t_unit * r1`` on a pure-TP mesh, and on
+    a ``data > 1`` mesh the single row REPLICATES per data group — each
+    group runs its share of the batch-2 program — so a text forward
+    costs one image forward's wall time (``2 * t_unit * r2``); linear
+    ``1/chips`` splits are the no-ratio fallback.  No-overlap floor
+    ``t = t_comp + t_comm``; full-overlap ceiling ``max(t_comp,
+    t_comm)``; ``t_edit_s_evidenced`` charges only the comm the compiled
+    schedule's overlap windows cannot hide.
     """
     nt = analysis["n_text_forwards"]
     ni = analysis["n_image_forwards"]

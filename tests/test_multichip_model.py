@@ -346,3 +346,30 @@ def test_bench_pick_headline_and_replay_constants():
     assert bench.pick_headline(same)[0] == 10.0
     for variant in ("a", "m"):
         assert set(bench.R3_MEASURED_CURVES[variant]) == {4, 8, 16}
+
+
+def test_predict_d2_text_priced_as_replicated_b2():
+    """On a data>1 mesh the batch-1 text forward replicates per data
+    group, so it costs one B=2 forward's wall time (2*t_unit*r2) — the
+    branch the 6.3 s/edit headline rests on.  Ratio keys survive a JSON
+    round-trip (stringified)."""
+    analysis = {
+        "n_text_forwards": 128, "n_image_forwards": 64,
+        "edit": {
+            "data2_fsdp1_tensor4_sq_ring": {
+                "axes": {"data": 2, "tensor": 4},
+                "comm_seconds_per_edit": 1.0,
+                "wire_bytes_per_edit": 10,
+                "text_forward": {}, "image_forward": {},
+                "data_idle_on_text_steps": True,
+                "compute_ratios": {"2": 0.1},   # JSON-stringified key
+            },
+        },
+    }
+    out = MM.predict_edit_scaling(analysis, t_1chip_s=48.0, n_devices=8)
+    # t_unit = 48/256 = 0.1875; t_img = 2*0.1875*0.1 = 0.0375
+    # t_text = SAME 0.0375 (replicated B=2 program), NOT 0.1875/4
+    # comp = 128*0.0375 + 64*0.0375 = 7.2
+    assert out["compute_model"] == "compiler-cycle-ratio"
+    assert out["t_compute_s"] == pytest.approx(192 * 0.0375)
+    assert out["t_edit_s_no_overlap"] == pytest.approx(7.2 + 1.0)
