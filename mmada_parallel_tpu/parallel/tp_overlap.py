@@ -1,13 +1,13 @@
 """Overlap-friendly manual tensor parallelism: ring collective-matmuls.
 
 The v5e-8 census (:mod:`mmada_parallel_tpu.parallel.multichip_model`)
-prices the GSPMD-sharded 8B edit at ~3.2 s/edit of ICI all-reduce time
-that the compiled schedule does NOT overlap with compute: the TPU
-backend emits plain ``all-reduce`` ops (zero ``-start``/``-done`` async
-pairs, probed directly including with async compiler options), so the
-"no-overlap floor" is the schedule.  A monolithic all-reduce gives the
-scheduler nothing to overlap *with* — every downstream op consumes its
-result.
+prices the GSPMD-sharded 8B edit at ~5.3 s/edit of ICI all-reduce time
+(link-capacity-true pricing) that the compiled schedule does NOT
+overlap with compute: the TPU backend emits plain ``all-reduce`` ops
+(zero ``-start``/``-done`` async pairs, probed directly including with
+async compiler options), so the "no-overlap floor" is the schedule.  A
+monolithic all-reduce gives the scheduler nothing to overlap *with* —
+every downstream op consumes its result.
 
 This module re-expresses the Megatron TP boundary collectives as ring
 algorithms decomposed into ``g`` explicit steps (``jax.lax.ppermute`` +
