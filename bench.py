@@ -6,9 +6,11 @@ sampler, bf16 — on one chip at two reduced depths (the 8B does not fit one
 v5e chip in bf16), fits ``t(L) = a + m*L`` to the measured depth curve, and
 extrapolates to the 8B depth (32 layers) from the fit, so the headline
 rests on measured per-layer marginal cost instead of a pure FLOPs ratio.
-The reported headline is the 8B-extrapolated seconds per edit on a v5e-8
-ASSUMING linear 8-chip scaling (the multichip path is compile-validated by
-``__graft_entry__.dryrun_multichip``, not timed on real chips);
+The reported headline is the 8B-extrapolated seconds per edit on a v5e-8,
+MODELED from the 1-chip depth fit + an HLO collective census of the
+AOT-compiled ``v5e:2x4`` modules (link-capacity ICI pricing, the TPU
+compiler's per-layer cycle ratios, comm priced at the schedule-evidenced
+overlap for the ring-TP path — see ``parallel/multichip_model.py``);
 ``vs_baseline`` is north-star-seconds / value (>1 beats the <=8 s target).
 
 MFU context (measured r2, see README "Performance analysis"): v5e bf16 peak
@@ -109,6 +111,38 @@ def extrapolate_depth(curve, target_layers=32):
             f"FLOPs-ratio extrapolation from {L} layers", None)
 
 
+def replay_curve_if_unreachable(variant, depths, blocked_by=""):
+    """``(replayed, curve, remaining_depths)`` — the shared
+    TPU-unreachable fallback for both bench variants: replay the
+    committed r3 depth curve (explicitly labeled downstream) so the
+    driver still gets a headline while the census runs live.
+
+    ``blocked_by`` names an env mode (quant/cached) that has NO committed
+    replay curve; with one active, an unreachable TPU is a hard error
+    rather than a silently-wrong replay.
+    """
+    err = lambda *a: print(*a, file=sys.stderr, flush=True)
+    if tpu_available():
+        return False, {}, depths
+    if blocked_by:
+        raise SystemExit("TPU backend unreachable; the committed replay "
+                         "curves cover only the exact bf16 sampler "
+                         f"({blocked_by} needs the real chip)")
+    tag = "[M] " if variant == "m" else ""
+    err(f"{tag}TPU backend unreachable (tunnel down?) — REPLAYING the r3 "
+        "measured depth curve; the multichip census still runs live "
+        "(local libtpu AOT)")
+    committed = R3_MEASURED_CURVES[variant]
+    curve = {L: committed[L] for L in depths if L in committed}
+    if not curve:
+        raise SystemExit("replay curves cover only depths "
+                         f"{sorted(committed)}; got BENCH_DEPTHS={depths}")
+    if len(curve) < len(depths):
+        err(f"{tag}replay: depths {sorted(set(depths) - set(curve))} "
+            "not in the committed curve; dropped")
+    return True, curve, []
+
+
 def bench_m(depths, quant):
     """Opt-in M-variant benchmark (``BENCH_VARIANT=m``): one interleave
     generation at the reference defaults (``MMaDA-Parallel-M/inference.py:
@@ -153,26 +187,10 @@ def bench_m(depths, quant):
     opts = InterleaveOptions()  # reference defaults; image_temp 1.0 -> key
     err(f"[M] sequence length: {seq}; depths: {depths}")
 
-    replayed = False
-    curve = {}
-    if not tpu_available():
-        if quant or cached_env:
-            raise SystemExit("TPU backend unreachable; the committed "
-                             "replay curves cover only the exact bf16 "
-                             "sampler")
-        err("[M] TPU backend unreachable — REPLAYING the r3 measured "
-            "depth curve; census runs live")
-        curve = {L: R3_MEASURED_CURVES["m"][L] for L in depths
-                 if L in R3_MEASURED_CURVES["m"]}
-        if not curve:
-            raise SystemExit("replay curves cover only depths "
-                             f"{sorted(R3_MEASURED_CURVES['m'])}; got "
-                             f"BENCH_DEPTHS={depths}")
-        if len(curve) < len(depths):
-            err(f"[M] replay: depths {sorted(set(depths) - set(curve))} "
-                "not in the committed curve; dropped")
-        replayed = True
-        depths = []
+    replayed, curve, depths = replay_curve_if_unreachable(
+        "m", depths,
+        blocked_by=("BENCH_QUANT" if quant
+                    else "BENCH_CACHED" if cached_env else ""))
     for L in depths:
         cfg = LLaDAConfig.llada_8b(n_layers=L, param_dtype=jnp.bfloat16,
                                    compute_dtype=jnp.bfloat16)
@@ -541,27 +559,8 @@ def main():
     un_img = np.asarray(prompt, np.int32)
     n_forwards = opts.text_steps + opts.timesteps  # cond + 1 uncond branch
 
-    replayed = False
-    curve = {}
-    if not tpu_available():
-        if quant:
-            raise SystemExit("TPU backend unreachable and the committed "
-                             "replay curves are bf16-only; BENCH_QUANT "
-                             "needs the real chip")
-        err("TPU backend unreachable (tunnel down?) — REPLAYING the r3 "
-            "measured depth curve; the multichip census still runs live "
-            "(local libtpu AOT)")
-        curve = {L: R3_MEASURED_CURVES["a"][L] for L in depths
-                 if L in R3_MEASURED_CURVES["a"]}
-        if not curve:
-            raise SystemExit("replay curves cover only depths "
-                             f"{sorted(R3_MEASURED_CURVES['a'])}; got "
-                             f"BENCH_DEPTHS={depths}")
-        if len(curve) < len(depths):
-            err(f"replay: depths {sorted(set(depths) - set(curve))} not "
-                "in the committed curve; dropped")
-        replayed = True
-        depths = []
+    replayed, curve, depths = replay_curve_if_unreachable(
+        "a", depths, blocked_by="BENCH_QUANT" if quant else "")
     for L in depths:
         cfg = LLaDAConfig.llada_8b(n_layers=L, param_dtype=jnp.bfloat16,
                                    compute_dtype=jnp.bfloat16)

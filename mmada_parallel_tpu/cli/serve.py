@@ -42,6 +42,7 @@ adaptive-feature-cache sampler (opt-in approximation, see README).
 import argparse
 import json
 import os
+import sys
 
 
 def build_parser():
@@ -181,12 +182,24 @@ def main(argv=None):
             raise SystemExit("--tp_ring currently serves variant a "
                              "(the M reference layout length 2341 does not "
                              "divide the TP degree)")
+        if args.tp_ring < 2:
+            raise SystemExit("--tp_ring needs N >= 2 (the ring protocols "
+                             "have no single-chip form)")
         from mmada_parallel_tpu.models import param_shardings
         from mmada_parallel_tpu.parallel import (MeshConfig, make_mesh,
                                                  shard_params)
-        from mmada_parallel_tpu.parallel.tp_overlap import ring_hidden_fn
+        from mmada_parallel_tpu.parallel.tp_overlap import (
+            ring_hidden_fn, ring_order_devices)
+        # order the ring along physical ICI neighbors (the census meshes'
+        # placement); enumeration order would route some hops multi-hop
+        devs, physical = ring_order_devices(jax.devices()[:args.tp_ring])
+        if not physical:
+            print("serve: --tp_ring devices form no physical ICI cycle "
+                  "(no coords, or the set is a line); ppermute hops may "
+                  "be multi-hop — comm will exceed the census model",
+                  file=sys.stderr)
         mesh = make_mesh(MeshConfig(data=1, fsdp=1, tensor=args.tp_ring),
-                         jax.devices()[:args.tp_ring])
+                         devs)
         params = shard_params(params, param_shardings(cfg), mesh)
         hidden_fn = ring_hidden_fn(mesh, int8_payload=args.tp_ring_int8)
 

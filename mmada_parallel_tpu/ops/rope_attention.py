@@ -342,40 +342,21 @@ def _axis_count(mesh, axes) -> int:
     return mesh.shape[axes]
 
 
-@functools.lru_cache(maxsize=None)
-def partitioned_flash_rope(n_heads: int, n_kv_heads: int, has_bias: bool,
-                           ragged: bool = False,
-                           interpret: bool = False):
-    """:func:`flash_attention_rope` wrapped in ``custom_partitioning`` so
-    GSPMD can shard it instead of treating the ``pallas_call`` as an opaque
-    custom call (which would force replicated operands — an all-gather of
-    every q/k/v under the TP mesh, exactly the collective the Megatron
-    sharding avoids by keeping attention head-local).
-
-    Attention is independent per head and per batch row, so the rule is:
-    shard batch by q's batch spec, heads by q's lane spec (head ``h`` is
-    lane slice ``h*D``, so a lane shard = a contiguous head shard whenever
-    the TP degree divides the head counts), and run the kernel per shard
-    with the *local* head count.  sin/cos are replicated ([L, D] tables) or
-    batch-sharded ([B, L, D] ragged); bias is batch-sharded.  Falls back to
-    replicated heads when the lane sharding does not divide evenly.
-
-    This is the GSPMD counterpart of the reference's explicit
-    tensor-parallel attention sharding (`finetune.py:54-61` fairscale
-    scaffolding); here the partitioner calls back into the same kernel with
-    smaller ``n_heads``.
-    """
+def _build_partitioned_rope(kernel, H: int, KV: int, has_bias: bool,
+                            ragged: bool, interpret: bool, qonly: bool):
+    """Shared ``custom_partitioning`` scaffolding for the two kernel
+    flavors (full rope vs q-only): identical infer/partition logic; only
+    the wrapped kernel and the Shardy factor bookkeeping differ (q-only
+    has a distinct kv sequence length, so its kv/bias maps carry a
+    separate ``m`` factor)."""
     from jax.experimental.custom_partitioning import custom_partitioning
     from jax.sharding import NamedSharding, PartitionSpec as P
-
-    H, KV = n_heads, n_kv_heads
 
     def impl(*args):
         q, k, v, sin, cos = args[:5]
         bias = args[5] if has_bias else None
-        return flash_attention_rope(q, k, v, sin, cos, bias,
-                                    n_heads=H, n_kv_heads=KV,
-                                    interpret=interpret)
+        return kernel(q, k, v, sin, cos, bias, n_heads=H, n_kv_heads=KV,
+                      interpret=interpret)
 
     fsa = custom_partitioning(impl)
 
@@ -405,7 +386,8 @@ def partitioned_flash_rope(n_heads: int, n_kv_heads: int, has_bias: bool,
 
         def rope_sh(shape):
             return NamedSharding(
-                mesh, P(batch, None, None) if len(shape) == 3 else P(None, None))
+                mesh,
+                P(batch, None, None) if len(shape) == 3 else P(None, None))
 
         arg_sh = [qkv_sh, qkv_sh, qkv_sh,
                   rope_sh(arg_shapes[3].shape), rope_sh(arg_shapes[4].shape)]
@@ -415,26 +397,30 @@ def partitioned_flash_rope(n_heads: int, n_kv_heads: int, has_bias: bool,
         def lower(*args):
             q, k, v, sin, cos = args[:5]
             bias = args[5] if has_bias else None
-            return flash_attention_rope(q, k, v, sin, cos, bias,
-                                        n_heads=lH, n_kv_heads=lKV,
-                                        interpret=interpret)
+            return kernel(q, k, v, sin, cos, bias, n_heads=lH,
+                          n_kv_heads=lKV, interpret=interpret)
 
         return mesh, lower, qkv_sh, tuple(arg_sh)
 
-    # Shardy propagation rule (einsum-like): batch `b` and packed lanes `x`
-    # are shardable passthrough factors; sequence and rope-table dims must be
-    # replicated (the kernel consumes the full sequence).  The legacy
-    # callbacks above serve the GSPMD partitioner when Shardy is off.
+    # Shardy propagation rule (einsum-like): batch `b` and packed lanes
+    # `x` are shardable passthrough factors; sequence and rope-table dims
+    # must be replicated (the kernel consumes the full sequence).  The
+    # legacy callbacks above serve the GSPMD partitioner when Shardy is
+    # off.  GQA: q's packed lanes (H*D) and k/v's (KV*D) are different
+    # sizes, so they need distinct factors; MHA shares one so lane
+    # sharding propagates.  q-only: k/v carry their own sequence factor
+    # ``m`` (Lk != Lq), and the bias is [B, 1, Lq, Lk] = ``b c l m``.
     rope_map = "b s e" if ragged else "s e"
-    # GQA: q's packed lanes (H*D) and k/v's (KV*D) are different sizes, so
-    # they need distinct factors; MHA shares one so lane sharding propagates
-    kv_map = "b l x" if n_heads == n_kv_heads else "b l y"
+    kv_seq = "m" if qonly else "l"
+    kv_map = f"b {kv_seq} " + ("x" if H == KV else "y")
     ops = ["b l x", kv_map, kv_map, rope_map, rope_map]
     if has_bias:
-        ops.append("b c m n")  # bias [B, 1, Lq, Lk] shares q's batch factor
+        ops.append("b c l m" if qonly else "b c m n")
     rule_str = ", ".join(ops) + " -> b l x"
-    need_repl = ("l", "s", "e") + (("c", "m", "n") if has_bias else ()) + \
-        (("y",) if n_heads != n_kv_heads else ())
+    seq_repl = ("l", "m", "s", "e") if qonly else ("l", "s", "e")
+    bias_repl = ("c",) if qonly else ("c", "m", "n")
+    need_repl = seq_repl + (bias_repl if has_bias else ()) + \
+        (("y",) if H != KV else ())
     from jax._src.custom_partitioning_sharding_rule import (
         str_to_sdy_sharding_rule)
     rule = str_to_sdy_sharding_rule(rule_str,
@@ -443,6 +429,34 @@ def partitioned_flash_rope(n_heads: int, n_kv_heads: int, has_bias: bool,
                       infer_sharding_from_operands=infer,
                       sharding_rule=rule)
     return fsa
+
+
+@functools.lru_cache(maxsize=None)
+def partitioned_flash_rope(n_heads: int, n_kv_heads: int, has_bias: bool,
+                           ragged: bool = False,
+                           interpret: bool = False):
+    """:func:`flash_attention_rope` wrapped in ``custom_partitioning`` so
+    GSPMD can shard it instead of treating the ``pallas_call`` as an opaque
+    custom call (which would force replicated operands — an all-gather of
+    every q/k/v under the TP mesh, exactly the collective the Megatron
+    sharding avoids by keeping attention head-local).
+
+    Attention is independent per head and per batch row, so the rule is:
+    shard batch by q's batch spec, heads by q's lane spec (head ``h`` is
+    lane slice ``h*D``, so a lane shard = a contiguous head shard whenever
+    the TP degree divides the head counts), and run the kernel per shard
+    with the *local* head count.  sin/cos are replicated ([L, D] tables) or
+    batch-sharded ([B, L, D] ragged); bias is batch-sharded.  Falls back to
+    replicated heads when the lane sharding does not divide evenly.
+
+    This is the GSPMD counterpart of the reference's explicit
+    tensor-parallel attention sharding (`finetune.py:54-61` fairscale
+    scaffolding); here the partitioner calls back into the same kernel with
+    smaller ``n_heads``.
+    """
+    return _build_partitioned_rope(flash_attention_rope, n_heads,
+                                   n_kv_heads, has_bias, ragged, interpret,
+                                   qonly=False)
 
 
 @functools.lru_cache(maxsize=None)
@@ -456,71 +470,6 @@ def partitioned_flash_rope_qonly(n_heads: int, n_kv_heads: int,
 
     Operands: ``(q [B,Lq,H*D], k [B,Lk,KV*D], v, sin_q, cos_q[, bias])``.
     """
-    from jax.experimental.custom_partitioning import custom_partitioning
-    from jax.sharding import NamedSharding, PartitionSpec as P
-
-    H, KV = n_heads, n_kv_heads
-
-    def impl(*args):
-        q, k, v, sin_q, cos_q = args[:5]
-        bias = args[5] if has_bias else None
-        return flash_attention_rope_qonly(q, k, v, sin_q, cos_q, bias,
-                                          n_heads=H, n_kv_heads=KV,
-                                          interpret=interpret)
-
-    fsa = custom_partitioning(impl)
-
-    def _spec_entry(sharding, i):
-        spec = getattr(sharding, "spec", None)
-        if spec is None or len(spec) <= i:
-            return None
-        return spec[i]
-
-    def infer(mesh, arg_shapes, result_shape):
-        qs = arg_shapes[0].sharding
-        batch = _spec_entry(qs, 0)
-        lane = _spec_entry(qs, 2)
-        if H % _axis_count(mesh, lane) or KV % _axis_count(mesh, lane):
-            lane = None
-        return NamedSharding(mesh, P(batch, None, lane))
-
-    def partition(mesh, arg_shapes, result_shape):
-        qs = arg_shapes[0].sharding
-        batch = _spec_entry(qs, 0)
-        lane = _spec_entry(qs, 2)
-        tp = _axis_count(mesh, lane)
-        if tp > 1 and (H % tp or KV % tp):
-            lane, tp = None, 1
-        lH, lKV = H // tp, KV // tp
-        qkv_sh = NamedSharding(mesh, P(batch, None, lane))
-        rope_sh = NamedSharding(
-            mesh, P(batch, None, None) if ragged else P(None, None))
-        arg_sh = [qkv_sh, qkv_sh, qkv_sh, rope_sh, rope_sh]
-        if has_bias:
-            arg_sh.append(NamedSharding(mesh, P(batch, None, None, None)))
-
-        def lower(*args):
-            q, k, v, sin_q, cos_q = args[:5]
-            bias = args[5] if has_bias else None
-            return flash_attention_rope_qonly(q, k, v, sin_q, cos_q, bias,
-                                              n_heads=lH, n_kv_heads=lKV,
-                                              interpret=interpret)
-
-        return mesh, lower, qkv_sh, tuple(arg_sh)
-
-    rope_map = "b s e" if ragged else "s e"
-    kv_map = "b m x" if H == KV else "b m y"
-    ops = ["b l x", kv_map, kv_map, rope_map, rope_map]
-    if has_bias:
-        ops.append("b c l m")   # [B, 1, Lq, Lk]
-    rule_str = ", ".join(ops) + " -> b l x"
-    need_repl = ("l", "m", "s", "e") + (("c",) if has_bias else ()) + \
-        (("y",) if H != KV else ())
-    from jax._src.custom_partitioning_sharding_rule import (
-        str_to_sdy_sharding_rule)
-    rule = str_to_sdy_sharding_rule(rule_str,
-                                    need_replication_factors=need_repl)
-    fsa.def_partition(partition=partition,
-                      infer_sharding_from_operands=infer,
-                      sharding_rule=rule)
-    return fsa
+    return _build_partitioned_rope(flash_attention_rope_qonly, n_heads,
+                                   n_kv_heads, has_bias, ragged, interpret,
+                                   qonly=True)

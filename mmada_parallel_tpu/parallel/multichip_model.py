@@ -572,6 +572,14 @@ def analyze_8b(n_devices: int = 8, n_layers_compile: int = 2,
                              full_depth, n_devices)
             per_batch[B] = s
         if per_batch[1] is None:
+            if n_image_forwards == 0 or per_batch[2] is None:
+                # no B=2 census exists to stand in for the replicated
+                # B=1 text forwards: aliasing the zero sentinel (or a
+                # skipped entry) would fabricate a free-comm text phase
+                raise RuntimeError(
+                    f"data{d}_fsdp{f}_tensor{t}: d>1 needs a B=2 census "
+                    "for the B=1 text-forward fallback (no batch fits "
+                    "this data axis otherwise)")
             # batch-1 text forwards run with the data axis idle: comm as
             # B=1 on the tensor-only part; approximate with the B=2 census
             # (activation ARs halve with per-chip batch, so this is an
@@ -762,6 +770,12 @@ def analyze_8b_tpu(n_layers_compile: int = 2, full_depth: int = 32,
                     s["compute_ratio_ex_attention"] = body_ex / base_ex[B]
             per_batch[B] = s
         if per_batch.get(1) is None:
+            if n_image_forwards == 0 or per_batch.get(2) is None:
+                # same guard as the ring loop below: the zero sentinel
+                # must never stand in for un-censused text forwards
+                raise RuntimeError(
+                    f"data{d}_fsdp{f}_tensor{t}: d>1 needs a B=2 census "
+                    "for the B=1 text-forward fallback")
             per_batch[1] = per_batch[2]
         comm_edit = (per_batch[1]["comm_seconds_per_call"] * n_text_forwards
                      + per_batch[2]["comm_seconds_per_call"]
@@ -1068,28 +1082,24 @@ def run_in_subprocess(t_1chip_s: Optional[float] = None,
             f"--q8 {int(q8)}")
     if t_1chip_s is not None:
         args += f" --t1 {t_1chip_s}"
-    if backend == "tpu":
-        # The v5e:2x4 AOT compiles go through the LOCAL libtpu compile-only
-        # PJRT client (jax.experimental.topologies) — they need neither the
-        # axon tunnel nor the live chip.  Pin the child's default platform
-        # to CPU so stray eager ops (PRNG keys, jnp.asarray) cannot touch —
-        # or hang on — the remote TPU backend.
-        code = (
-            "import jax; jax.config.update('jax_platforms', 'cpu'); "
-            "from mmada_parallel_tpu.parallel import multichip_model as m; "
-            f"m.main({args.split()!r})"
-        )
-    else:
+    # Both backends pin the child's default platform to CPU so stray eager
+    # ops (PRNG keys, jnp.asarray) cannot touch — or hang on — the remote
+    # TPU backend; for backend="tpu" the v5e:2x4 AOT compiles go through
+    # the LOCAL libtpu compile-only PJRT client
+    # (jax.experimental.topologies), needing neither the axon tunnel nor
+    # the live chip.  Only the env differs: the CPU census additionally
+    # needs the n_devices-wide virtual host platform.
+    code = (
+        "import jax; jax.config.update('jax_platforms', 'cpu'); "
+        "from mmada_parallel_tpu.parallel import multichip_model as m; "
+        f"m.main({args.split()!r})"
+    )
+    if backend != "tpu":
         flags = [f for f in env.get("XLA_FLAGS", "").split()
                  if "xla_force_host_platform_device_count" not in f]
         flags.append(f"--xla_force_host_platform_device_count={n_devices}")
         env["XLA_FLAGS"] = " ".join(flags)
         env["JAX_PLATFORMS"] = "cpu"
-        code = (
-            "import jax; jax.config.update('jax_platforms', 'cpu'); "
-            "from mmada_parallel_tpu.parallel import multichip_model as m; "
-            f"m.main({args.split()!r})"
-        )
     proc = subprocess.run([sys.executable, "-c", code], env=env, cwd=repo,
                           capture_output=True, text=True, timeout=timeout)
     if proc.returncode != 0:

@@ -68,9 +68,54 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 __all__ = ["ring_ag_matmul", "ring_matmul_rs", "sigma_positions",
            "llada_hidden_tp_overlap", "llada_forward_tp_overlap",
-           "ring_hidden_fn"]
+           "ring_hidden_fn", "ring_order_devices"]
 
 AXIS = "tensor"
+
+
+def ring_order_devices(devices: Sequence) -> Tuple[list, bool]:
+    """``(ordered_devices, is_physical_ring)`` — reorder live devices so
+    consecutive entries (and the wrap) are physical ICI neighbors, making
+    the logical ``(i, i+1)`` ppermute ring one-hop like the census meshes
+    (:func:`multichip_model._tpu_topology_mesh` ``ring_order``, which
+    serves the compile-only topology; this is the live-device sibling).
+
+    Finds a Hamiltonian cycle over the Manhattan-adjacency graph of
+    ``device.coords`` by backtracking (N <= 8 in practice).  Devices
+    without coords (CPU/virtual meshes) or sets with no cycle (e.g. a
+    4-chip ROW is a line) are returned unchanged with ``False`` — the
+    numerics never depend on the order, only the hop cost does.
+    """
+    devices = list(devices)
+    coords = [getattr(d, "coords", None) for d in devices]
+    if len(devices) < 3 or any(c is None for c in coords):
+        return devices, len(devices) == 2 and coords[0] is not None \
+            and coords[1] is not None \
+            and sum(abs(a - b) for a, b in zip(coords[0], coords[1])) == 1
+    n = len(devices)
+    adj = [{j for j in range(n) if j != i
+            and sum(abs(a - b)
+                    for a, b in zip(coords[i], coords[j])) == 1}
+           for i in range(n)]
+    path = [0]
+    used = {0}
+
+    def dfs() -> bool:
+        if len(path) == n:
+            return path[0] in adj[path[-1]]
+        for nxt in sorted(adj[path[-1]]):
+            if nxt not in used:
+                path.append(nxt)
+                used.add(nxt)
+                if dfs():
+                    return True
+                path.pop()
+                used.remove(nxt)
+        return False
+
+    if dfs():
+        return [devices[i] for i in path], True
+    return devices, False
 
 
 def _perms(g: int) -> Tuple[list, list]:
@@ -342,6 +387,11 @@ def llada_hidden_tp_overlap(
             "ring TP supports exact-length (maskless) batches only; "
             "use the GSPMD path for ragged/padded batches")
     g = mesh.shape[AXIS]
+    if g < 2:
+        raise ValueError(
+            f"ring TP needs tensor >= 2 (got {g}); the ring protocols "
+            "start accumulation one hop out and have no single-chip "
+            "degenerate form — use the GSPMD path")
     if mesh.shape.get("fsdp", 1) != 1:
         raise ValueError("tp_overlap requires fsdp == 1 "
                          f"(got {mesh.shape})")

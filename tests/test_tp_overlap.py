@@ -163,6 +163,41 @@ def test_rejects_unsupported_shapes(mesh):
     with pytest.raises(ValueError, match="MHA"):
         llada_forward_tp_overlap(
             params, _tp_cfg(n_kv_heads=4), ids, mesh)
+    # tensor=1 passes every shape check but the ring protocols have no
+    # single-chip form (accumulation starts one hop out) — must be a
+    # clear error, not a trace-time shape mismatch
+    mesh1 = make_mesh(MeshConfig(data=1, fsdp=1, tensor=1),
+                      jax.devices()[:1])
+    with pytest.raises(ValueError, match="tensor >= 2"):
+        llada_forward_tp_overlap(params, _tp_cfg(), ids, mesh1)
+
+
+def test_ring_order_devices_cycle_and_fallbacks():
+    """ring_order_devices finds the boundary Hamiltonian cycle on a 2x4
+    coord grid (every consecutive pair one hop apart, wrap included),
+    passes coord-less devices through unchanged, and reports a 4-chip
+    ROW (a line — no cycle) as not-a-ring."""
+    from types import SimpleNamespace
+
+    from mmada_parallel_tpu.parallel.tp_overlap import ring_order_devices
+
+    grid = [SimpleNamespace(coords=(x, y, 0), name=f"d{x}{y}")
+            for x in (0, 1) for y in range(4)]
+    ordered, physical = ring_order_devices(grid)
+    assert physical and len(ordered) == 8
+    assert {d.name for d in ordered} == {d.name for d in grid}
+    cs = [d.coords for d in ordered]
+    for i in range(8):
+        a, b = cs[i], cs[(i + 1) % 8]
+        assert sum(abs(u - v) for u, v in zip(a, b)) == 1
+
+    row = [SimpleNamespace(coords=(0, y, 0)) for y in range(4)]
+    same, physical = ring_order_devices(row)
+    assert not physical and same == row
+
+    bare = [SimpleNamespace() for _ in range(4)]
+    same, physical = ring_order_devices(bare)
+    assert not physical and same == bare
 
 
 def test_ring_wire_volume_equals_all_reduce(mesh):
