@@ -43,6 +43,14 @@ def build_parser():
                         "zero2=SHARD_GRAD_OP/SDP, ddp=NO_SHARD "
                         "(ref finetune.py:387-390)")
     p.add_argument("--mesh_tensor", type=int, default=1)
+    p.add_argument("--tp_ring", action="store_true",
+                   help="run the backbone on the ring collective-matmul "
+                        "TP path (parallel/tp_overlap.py) instead of plain "
+                        "GSPMD — same math, boundary all-reduces unrolled "
+                        "into compute-overlapped ppermute rings; requires "
+                        "--mesh_tensor >= 2, --mesh_fsdp 1, llama blocks, "
+                        "MHA (A training is already maskless, so the ring "
+                        "path's no-padding-mask contract holds)")
     p.add_argument("--tokenizer", type=str, default=None)
     p.add_argument("--tiny_model", action="store_true",
                    help="debug: random tiny model instead of a checkpoint")
@@ -88,7 +96,12 @@ def main(argv=None):
 
     # --- model ---
     if args.tiny_model:
-        cfg = LLaDAConfig.tiny(vocab_size=512)
+        # --tp_ring needs MHA with n_heads % tensor == 0 (true of the real
+        # 8B shape); the debug-tiny default is GQA, so widen it
+        tiny_kw = (dict(n_heads=2 * args.mesh_tensor,
+                        n_kv_heads=2 * args.mesh_tensor)
+                   if args.tp_ring else {})
+        cfg = LLaDAConfig.tiny(vocab_size=512, **tiny_kw)
         params = init_llada_params(jax.random.key(args.seed), cfg)
     else:
         cfg, params = CV.load_llada_checkpoint(args.init_from)
@@ -128,9 +141,26 @@ def main(argv=None):
     state, p_specs, o_specs = create_sharded_state(
         params, opt, param_shardings(cfg), mesh, args.shard_strategy)
 
+    if args.tp_ring:
+        # training over the ring backbone: gradients match GSPMD's
+        # (ppermute transposes to the inverse permutation; pinned by
+        # tests/test_tp_overlap.py::test_ring_{backbone_gradients,
+        # train_step}_*), so the optimizer trajectory is the same —
+        # only the collective schedule differs.  Collate buckets L to
+        # multiples of 128, which every supported g divides.
+        from mmada_parallel_tpu.parallel.tp_overlap import \
+            llada_forward_tp_overlap
+        if args.mesh_tensor < 2 or args.mesh_fsdp != 1:
+            raise SystemExit("--tp_ring needs --mesh_tensor >= 2 and "
+                             "--mesh_fsdp 1 (ring TP shards the sequence "
+                             "between blocks; fsdp would double-shard)")
+        forward = lambda p, ids: llada_forward_tp_overlap(p, cfg, ids, mesh)
+    else:
+        forward = lambda p, ids: llada_forward(p, cfg, ids)
+
     def loss_fn(p, batch, key):
         ids, labels, lengths = batch
-        logits = llada_forward(p, cfg, ids)
+        logits = forward(p, ids)
         out = a_variant_losses(logits, ids, labels, lengths)
         return out["loss"], {"text_loss": out["text_loss"],
                              "image_loss": out["image_loss"]}

@@ -210,6 +210,73 @@ def test_ring_backbone_gradients_match_gspmd(mesh):
             err_msg=f"grad mismatch at {jax.tree_util.keystr(path)}")
 
 
+def test_ring_train_step_matches_gspmd(mesh):
+    """Full training integration over the ring backbone: a jitted
+    ``make_train_step`` (AdamW + clip + 2-step grad accumulation, pinned
+    ``out_shardings``) built on ``llada_forward_tp_overlap`` produces the
+    same losses and updated parameters as the GSPMD step — what
+    ``cli/train_a.py --tp_ring`` runs.  Two steps, so the second
+    consumes ring-updated optimizer state."""
+    from jax.sharding import NamedSharding
+    from mmada_parallel_tpu.training.losses import a_variant_losses
+    from mmada_parallel_tpu.training.trainer import (
+        OptimizerConfig, create_sharded_state, make_optimizer,
+        make_train_step, state_shardings)
+    from mmada_parallel_tpu.parallel import batch_sharding
+
+    cfg = _tp_cfg()
+    params = init_llada_params(jax.random.key(7), cfg)
+    opt = make_optimizer(OptimizerConfig(lr=1e-3), params)
+
+    def make_loss(forward):
+        def loss_fn(p, batch, key):
+            ids, labels, lengths = batch
+            out = a_variant_losses(forward(p, ids), ids, labels, lengths)
+            return out["loss"], {"text_loss": out["text_loss"]}
+        return loss_fn
+
+    B, L = 4, 16                       # accum 2 -> microbatches of 2
+    ids = jax.random.randint(jax.random.key(8), (B, L), 0, cfg.vocab_size)
+    labels = jnp.where(jax.random.bernoulli(jax.random.key(9), 0.5, (B, L)),
+                       ids, -100)
+    lengths = jnp.full((B,), L, jnp.int32)
+    bsh = batch_sharding(mesh)
+    batch = tuple(jax.device_put(a, bsh) for a in (ids, labels, lengths))
+    key = jax.random.key(10)
+
+    results = {}
+    for name, forward in (
+            ("gspmd", lambda p, i: llada_forward(p, cfg, i)),
+            ("ring", lambda p, i: llada_forward_tp_overlap(p, cfg, i,
+                                                           mesh))):
+        # fresh buffers per branch: the jitted step donates the state, and
+        # create_sharded_state may alias already-placed leaves
+        state, p_specs, o_specs = create_sharded_state(
+            jax.tree_util.tree_map(jnp.array, params), opt,
+            param_shardings(cfg), mesh, "full")
+        out_sh = (state_shardings(state.params, state.opt_state, p_specs,
+                                  o_specs, mesh),
+                  NamedSharding(mesh, P()))
+        step = jax.jit(make_train_step(make_loss(forward), opt,
+                                       accum_steps=2),
+                       donate_argnums=0, out_shardings=out_sh)
+        losses = []
+        for _ in range(2):
+            state, metrics = step(state, batch, key)
+            losses.append(float(metrics["loss"]))
+        results[name] = (losses, jax.tree_util.tree_map(
+            lambda x: np.asarray(x, np.float32), state.params))
+
+    np.testing.assert_allclose(results["ring"][0], results["gspmd"][0],
+                               rtol=1e-4)
+    flat_ref = jax.tree_util.tree_leaves_with_path(results["gspmd"][1])
+    flat_ring = jax.tree_util.tree_leaves(results["ring"][1])
+    for (path, a), b in zip(flat_ref, flat_ring):
+        np.testing.assert_allclose(
+            b, a, rtol=5e-4, atol=5e-4 * max(float(np.max(np.abs(a))), 1.0),
+            err_msg=f"param mismatch at {jax.tree_util.keystr(path)}")
+
+
 def test_ring_order_devices_cycle_and_fallbacks():
     """ring_order_devices finds the boundary Hamiltonian cycle on a 2x4
     coord grid (every consecutive pair one hop apart, wrap included),
