@@ -194,13 +194,19 @@ def main(argv=None):
                           is_main=jax.process_index() == 0)
     bsh = batch_sharding(mesh)
 
+    # bucket to multiples of 128 so XLA compiles once per bucket, not per
+    # batch (replaces the reference's ragged repadding every step); the ring
+    # path additionally needs L % tensor == 0, so widen to lcm(128, g) and
+    # round the cap down to it (128 already covers any power-of-two g)
+    import math as _math
+    bucket = (_math.lcm(128, args.mesh_tensor) if args.tp_ring else 128)
+    seq_cap = max(args.max_seq_len // bucket * bucket, bucket)
+
     def collate(batch_indices):
         items = [ds[i] for i in batch_indices]
         toks, labs = zip(*items)
-        L = min(max(len(t) for t in toks), args.max_seq_len)
-        # bucket to multiples of 128 so XLA compiles once per bucket, not per
-        # batch (replaces the reference's ragged repadding every step)
-        L = min((L + 127) // 128 * 128, args.max_seq_len)
+        L = min(max(len(t) for t in toks), seq_cap)
+        L = min((L + bucket - 1) // bucket * bucket, seq_cap)
         ids = np.zeros((len(toks), L), np.int32)
         labels = np.full((len(toks), L), -100, np.int32)
         lengths = np.asarray([min(len(t), L) for t in toks], np.int32)
