@@ -49,7 +49,8 @@ def build_parser():
                         "GSPMD — same math, boundary all-reduces unrolled "
                         "into compute-overlapped ppermute rings; requires "
                         "--mesh_tensor >= 2, --mesh_fsdp 1, llama blocks, "
-                        "MHA (A training is already maskless, so the ring "
+                        "q and kv head counts divisible by the ring size "
+                        "(A training is already maskless, so the ring "
                         "path's no-padding-mask contract holds)")
     p.add_argument("--tokenizer", type=str, default=None)
     p.add_argument("--tiny_model", action="store_true",
@@ -96,10 +97,11 @@ def main(argv=None):
 
     # --- model ---
     if args.tiny_model:
-        # --tp_ring needs MHA with n_heads % tensor == 0 (true of the real
-        # 8B shape); the debug-tiny default is GQA, so widen it
+        # --tp_ring needs n_heads and n_kv_heads % tensor == 0 (true of
+        # the real 8B shape); the debug-tiny default (4q/2kv) breaks at
+        # tensor > 2, so widen it proportionally
         tiny_kw = (dict(n_heads=2 * args.mesh_tensor,
-                        n_kv_heads=2 * args.mesh_tensor)
+                        n_kv_heads=args.mesh_tensor)
                    if args.tp_ring else {})
         cfg = LLaDAConfig.tiny(vocab_size=512, **tiny_kw)
         params = init_llada_params(jax.random.key(args.seed), cfg)

@@ -42,10 +42,10 @@ The reference counterpart is the NCCL all-reduce inside fairscale's
 ``RowParallelLinear`` (``MMaDA-Parallel-A/xllm/solvers/finetune.py:54-61``
 scaffolding); decomposed-overlap collectives have no reference analogue.
 
-Scope: inference forward of the ``llama`` block flavor with MHA (the 8B
-production shape), no padding mask / position_ids (the A/M samplers'
-exact-length batching never pads, see ``serving.py``), mesh
-``fsdp == 1``.  The GSPMD path (:func:`~mmada_parallel_tpu.models.llada_forward`
+Scope: the ``llama`` block flavor, MHA or GQA with head counts dividing
+the ring size (the 8B production shape is 32-head MHA), no padding mask
+/ position_ids (the A/M samplers' exact-length batching never pads, see
+``serving.py``), mesh ``fsdp == 1``.  The GSPMD path (:func:`~mmada_parallel_tpu.models.llada_forward`
 under ``param_shardings``) remains the general/default path.
 
 Validation status: algebra, wire volume, and token-exact end-to-end
@@ -294,6 +294,7 @@ def _block_tp(x: jax.Array, lp: Dict[str, jax.Array], cfg,
 
     cdt = x.dtype
     nh_l = cfg.n_heads // g
+    nkv_l = cfg.effective_n_kv_heads // g
     B, C, _ = x.shape
     C1 = C // 2
     C2 = C - C1
@@ -305,14 +306,14 @@ def _block_tp(x: jax.Array, lp: Dict[str, jax.Array], cfg,
         q = q + lp["q_bias"].astype(cdt)
         k = k + lp["k_bias"].astype(cdt)
         v = v + lp["v_bias"].astype(cdt)
-    k = _rope_packed(k, sin_s, cos_s, nh_l, cfg.rope_full_precision)
+    k = _rope_packed(k, sin_s, cos_s, nkv_l, cfg.rope_full_precision)
 
     def att_piece(lo, size):
         return rope_attention_qonly(
             jax.lax.slice_in_dim(q, lo, lo + size, axis=1), k, v,
             jax.lax.slice_in_dim(sin_s, lo, lo + size, axis=0),
             jax.lax.slice_in_dim(cos_s, lo, lo + size, axis=0),
-            bias=None, n_heads=nh_l, n_kv_heads=nh_l,
+            bias=None, n_heads=nh_l, n_kv_heads=nkv_l,
             full_precision=cfg.rope_full_precision,
             impl=cfg.attention_impl)
 
@@ -371,7 +372,8 @@ def llada_hidden_tp_overlap(
     consumer actually reads (an entry-level collective the census
     prices; the full-logits head is NOT free — resharding the hidden to
     the vocab-sharded head costs one ``[B, L, d]`` gather).
-    Requires: llama block flavor, MHA, ``n_heads % g == 0``,
+    Requires: llama block flavor, ``n_heads % g == 0`` and
+    ``n_kv_heads % g == 0`` (MHA or GQA),
     ``L % g == 0``, ``mesh.shape['fsdp'] == 1``, no padding mask /
     ragged positions (the servers' exact-length grouping never pads —
     ``serving.py``).  Signature matches ``llada_hidden`` so samplers can
@@ -397,10 +399,12 @@ def llada_hidden_tp_overlap(
                          f"(got {mesh.shape})")
     if cfg.block_type != "llama":
         raise ValueError("tp_overlap supports the llama block flavor only")
-    if cfg.effective_n_kv_heads != cfg.n_heads:
-        raise ValueError("tp_overlap requires MHA (n_kv_heads == n_heads)")
     if cfg.n_heads % g:
         raise ValueError(f"n_heads {cfg.n_heads} not divisible by g={g}")
+    if cfg.effective_n_kv_heads % g:
+        raise ValueError(
+            f"n_kv_heads {cfg.effective_n_kv_heads} not divisible by "
+            f"g={g} (GQA groups must split evenly over the ring)")
     B, L = input_ids.shape
     if L % g:
         raise ValueError(f"sequence {L} not divisible by g={g}")

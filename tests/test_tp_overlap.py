@@ -160,9 +160,10 @@ def test_rejects_unsupported_shapes(mesh):
     with pytest.raises(ValueError, match="not divisible"):
         llada_forward_tp_overlap(params, cfg,
                                  jnp.zeros((1, 17), jnp.int32), mesh)
-    with pytest.raises(ValueError, match="MHA"):
+    # GQA is supported only when the kv heads split evenly over the ring
+    with pytest.raises(ValueError, match="n_kv_heads"):
         llada_forward_tp_overlap(
-            params, _tp_cfg(n_kv_heads=4), ids, mesh)
+            params, _tp_cfg(n_kv_heads=4), ids, mesh)   # 4 kv over g=8
     # tensor=1 passes every shape check but the ring protocols have no
     # single-chip form (accumulation starts one hop out) — must be a
     # clear error, not a trace-time shape mismatch
@@ -604,6 +605,27 @@ def test_generate_ti2ti_int8_payload_trajectory(mesh):
     # ~0.5 — payload-only quantization is strictly gentler
     assert text_agree > 0.5, text_agree
     assert code_agree > 0.3, code_agree
+
+
+def test_forward_parity_gqa(mesh):
+    """GQA splits over the ring when ``n_kv_heads % g == 0``: each chip's
+    local query heads group onto its local kv heads with the global
+    ``rep = n_heads / n_kv_heads`` ratio (contiguous head shards keep the
+    packed-layout grouping rank-local), so the per-chunk attention needs
+    no extra collective.  8 q / 4 kv heads over g=4 -> 2 q / 1 kv local."""
+    mesh4 = make_mesh(MeshConfig(data=2, fsdp=1, tensor=4))
+    cfg = _tp_cfg(n_kv_heads=4)
+    params = init_llada_params(jax.random.key(20), cfg)
+    sharded = jax.tree_util.tree_map(
+        lambda p, s: jax.device_put(p, NamedSharding(mesh4, s)),
+        params, param_shardings(cfg))
+    ids = jax.random.randint(jax.random.key(21), (2, 40), 0,
+                             cfg.vocab_size)
+    ref = jax.jit(lambda p, i: llada_forward(p, cfg, i))(sharded, ids)
+    out = jax.jit(lambda p, i: llada_forward_tp_overlap(
+        p, cfg, i, mesh4))(sharded, ids)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
 
 
 def test_forward_parity_data2_tensor4(mesh):
