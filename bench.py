@@ -41,18 +41,175 @@ def backbone_flops_per_token(d, h, n_layers, kv_ratio, seq):
 
 
 def time_best3(run_once, label, err):
-    """Compile+first run, then best of 3 timed runs.  ``run_once(i)`` must
-    end in a full host sync (``np.asarray``) — ``block_until_ready`` alone
-    has been observed not to block under the axon relay."""
+    """``(best_of_3, compile_first_s)`` — compile+first run, then best of
+    3 timed runs.  ``run_once(i)`` must end in a full host sync
+    (``np.asarray``) — ``block_until_ready`` alone has been observed not
+    to block under the axon relay.  ``compile_first_s`` makes remote
+    compile-cache misses visible in diagnostics (the same graph has cost
+    anywhere from 20 s to 35 min cold, CLAUDE.md)."""
     t0 = time.time()
     run_once(0)
-    err(f"[{label}] compile+first run: {time.time() - t0:.1f}s")
+    compile_s = time.time() - t0
+    err(f"[{label}] compile+first run: {compile_s:.1f}s"
+        + (" (COLD remote compile)" if compile_s > 120 else ""))
     times = []
     for i in range(3):
         t0 = time.time()
         run_once(1 + i)
         times.append(time.time() - t0)
-    return min(times)
+    return min(times), compile_s
+
+
+class HeadlineGuard:
+    """Guarantees the driver gets its one parsed JSON line.
+
+    BENCH_r03 was rc=124/parsed=null: the single JSON line printed only
+    after the depth curve AND the ~13-min census, and one cold remote
+    compile (1548 s) pushed that past the driver timeout.  The guard
+    inverts the contract: progressively ``arm()`` the best
+    currently-supportable headline payload as soon as ANY depth is
+    measured, and flush it on SIGTERM (what ``timeout`` sends) / SIGINT /
+    interpreter exit if the final ``emit()`` was never reached.  Exactly
+    one JSON line is printed either way."""
+
+    def __init__(self, err):
+        self._payload = None
+        self._printed = False
+        self._err = err
+        import atexit
+        import signal
+        atexit.register(self._flush)
+        for sig in (signal.SIGTERM, signal.SIGINT):
+            try:
+                signal.signal(sig, self._on_signal)
+            except (ValueError, OSError):   # non-main thread etc.
+                pass
+
+    def arm(self, payload):
+        self._payload = payload
+
+    def emit(self, payload=None):
+        if payload is not None:
+            self._payload = payload
+        self._flush()
+
+    def _flush(self):
+        if self._payload is not None and not self._printed:
+            self._printed = True
+            print(json.dumps(self._payload), flush=True)
+
+    def _on_signal(self, signum, frame):
+        self._err(f"[guard] signal {signum}: flushing armed headline JSON "
+                  "before dying")
+        self._flush()
+        os._exit(124)
+
+
+REPO_DIR = os.path.dirname(os.path.abspath(__file__))
+
+
+def load_committed_census(variant, err):
+    """Load ``artifacts/census_v5e8_<variant>.json`` (written by
+    ``tools/refresh_census.py``) and report freshness: ``(census, label,
+    fresh)`` or ``(None, None, False)``.  ``fresh`` means the artifact's
+    ``code_sha`` matches the current census-relevant sources, so a replay
+    is exactly what a live census would produce (the census is
+    deterministic given code)."""
+    path = os.path.join(REPO_DIR, "artifacts", f"census_v5e8_{variant}.json")
+    if not os.path.exists(path):
+        return None, None, False
+    try:
+        with open(path) as f:
+            census = json.load(f)
+    except (OSError, ValueError) as e:
+        err(f"committed census unreadable ({e!r})")
+        return None, None, False
+    meta = census.get("_meta", {})
+    sha = meta.get("code_sha")
+    try:
+        sys.path.insert(0, os.path.join(REPO_DIR, "tools"))
+        from refresh_census import census_code_sha
+        fresh = sha is not None and sha == census_code_sha()
+    except Exception as e:
+        err(f"code_sha check failed ({e!r}); treating artifact as stale")
+        fresh = False
+    label = (f"artifacts/census_v5e8_{variant}.json"
+             + ("" if fresh else " [STALE code fingerprint]"))
+    return census, label, fresh
+
+
+def predict_from_census(census, t_1chip_s, with_q8=True):
+    """In-process edit prediction from a census dict (replayed or live):
+    pure dict math (``predict_edit_scaling``), no compiles."""
+    from mmada_parallel_tpu.parallel.multichip_model import (
+        predict_edit_scaling)
+    n = census.get("n_devices", 8)
+    scaling = predict_edit_scaling(census, t_1chip_s, n)
+    scaling["train_step_comm"] = census.get("train_step")
+    scaling["q8"] = (predict_edit_scaling(census, t_1chip_s, n,
+                                          approximate=True)
+                     if with_q8 else None)
+    return scaling
+
+
+def resolve_census(variant, t_1chip_s, err, with_q8=True,
+                   predict_kw=None):
+    """``(scaling, census_src)`` under the replay-first policy.
+
+    * ``BENCH_MULTICHIP=0`` -> ``(None, ...)`` (linear label).
+    * ``BENCH_CENSUS=replay`` -> committed artifact, even stale (labeled).
+    * ``BENCH_CENSUS=auto`` (default) -> committed artifact when its
+      ``code_sha`` matches the sources; otherwise ONE live census bounded
+      by ``BENCH_CENSUS_BUDGET_S`` (default 900 s), falling back to the
+      stale artifact (labeled) and then the linear assumption.  Replay is
+      exact, not a compromise: the census is deterministic given code.
+    * ``BENCH_CENSUS=live`` -> bounded live census first (replay fallback).
+    * ``BENCH_MULTICHIP=cpu`` -> bounded live census on the virtual-CPU
+      backend (the pre-r3 census flavor), replay fallback.
+    """
+    mc = os.environ.get("BENCH_MULTICHIP", "1")
+    if mc == "0":
+        return None, None
+    mode = os.environ.get("BENCH_CENSUS", "auto")
+    budget = float(os.environ.get("BENCH_CENSUS_BUDGET_S", "900"))
+    census, label, fresh = load_committed_census(variant, err)
+
+    def replay():
+        if census is None:
+            return None, None
+        scaling = predict_from_census(census, t_1chip_s, with_q8)
+        err(f"census: replayed {label}")
+        return scaling, f"replayed@{label}"
+
+    if mode == "replay" or (mode == "auto" and fresh and mc != "cpu"):
+        scaling, src = replay()
+        if scaling is not None:
+            return scaling, src
+        mode = "auto"   # nothing to replay: fall through to live
+
+    # bounded live census (stale/missing artifact, or explicitly asked)
+    kw = dict(seq=2424, n_text_forwards=128, n_image_forwards=64,
+              q8=with_q8)
+    kw.update(predict_kw or {})
+    backend = "cpu" if mc == "cpu" else "tpu"
+    if budget > 60:
+        try:
+            from mmada_parallel_tpu.parallel.multichip_model import (
+                run_in_subprocess)
+            t0 = time.time()
+            live = run_in_subprocess(t_1chip_s=t_1chip_s, backend=backend,
+                                     timeout=budget, **kw)
+            err(f"census: live [{backend}] in {time.time() - t0:.0f}s")
+            scaling = live["prediction"]
+            scaling["train_step_comm"] = live.get("train_step")
+            scaling["q8"] = live.get("prediction_q8")
+            return scaling, f"live-{backend}"
+        except Exception as e:
+            err(f"live census [{backend}] failed/over budget ({e!r})")
+    scaling, src = replay()
+    if scaling is not None:
+        return scaling, src
+    return None, None
 
 
 def tpu_available(timeout_s: float = 240.0) -> bool:
@@ -130,8 +287,8 @@ def replay_curve_if_unreachable(variant, depths, blocked_by=""):
                          f"({blocked_by} needs the real chip)")
     tag = "[M] " if variant == "m" else ""
     err(f"{tag}TPU backend unreachable (tunnel down?) — REPLAYING the r3 "
-        "measured depth curve; the multichip census still runs live "
-        "(local libtpu AOT)")
+        "measured depth curve; the multichip census replays the committed "
+        "artifact (or runs live under BENCH_CENSUS_BUDGET_S if stale)")
     committed = R3_MEASURED_CURVES[variant]
     curve = {L: committed[L] for L in depths if L in committed}
     if not curve:
@@ -187,10 +344,84 @@ def bench_m(depths, quant):
     opts = InterleaveOptions()  # reference defaults; image_temp 1.0 -> key
     err(f"[M] sequence length: {seq}; depths: {depths}")
 
+    guard = HeadlineGuard(err)
+    compile_s = {}
+    n_fwd = InterleaveOptions().text_steps
+    f_tok_layer = backbone_flops_per_token(4096, 12288, 1, 1.0, seq)
+    o = InterleaveOptions()
+    m_census_kw = dict(seq=seq, n_text_forwards=0,
+                       n_image_forwards=o.text_steps + o.image_steps,
+                       q8=False)
+
+    def m_payload(curve, replayed, scaling, census_src):
+        t_8b, method, _ = extrapolate_depth(curve)
+        L0 = min(curve)
+        sustained = f_tok_layer * L0 * seq * 2 * n_fwd / curve[L0]
+        if scaling is not None:
+            t_8chip, note = pick_headline(scaling)
+        else:
+            t_8chip = t_8b / 8
+            note = "ASSUMES linear v5e-8 scaling"
+        tag = f" W8A8-{quant}" if quant.startswith("int8") else ""
+        diagnostics = {
+            "depth_curve_s": {str(k): round(v, 3)
+                              for k, v in curve.items()},
+            "compile_first_run_s": {str(k): round(v, 1)
+                                    for k, v in compile_s.items()},
+            "sustained_tflops_min_depth": round(sustained / 1e12, 1),
+            "seq_len": seq,
+            "t_8b_1chip_s": round(t_8b, 3),
+            "depth_curve_source": ("REPLAYED r3 measurement (TPU backend "
+                                   "unreachable at bench time)"
+                                   if replayed else "measured this run"),
+        }
+        if scaling is not None:
+            diagnostics["multichip"] = {
+                "census_source": census_src,
+                "mesh": scaling["mesh"],
+                "comm_seconds_per_gen": round(scaling["t_comm_s"], 3),
+                "predicted_scaling_efficiency":
+                    round(scaling["efficiency_no_overlap"], 3),
+                "t_gen_s_no_overlap":
+                    round(scaling["t_edit_s_no_overlap"], 3),
+                "t_gen_s_evidenced":
+                    round(scaling.get("t_edit_s_evidenced",
+                                      scaling["t_edit_s_no_overlap"]), 3),
+                "overlap_evidence": scaling.get("overlap_evidence"),
+                "t_gen_s_full_overlap":
+                    round(scaling["t_edit_s_full_overlap"], 3),
+            }
+        return {
+            "metric": "sec per 512x512 interleave generation, 128 text + "
+                      f"30 image steps{tag} (variant M; 8B depth from "
+                      + ("REPLAYED-r3 " if replayed else "")
+                      + f"{method}; {note})",
+            "value": round(t_8chip, 3),
+            "unit": "s",
+            "vs_baseline": None,
+            "diagnostics": diagnostics,
+        }, t_8b, sustained
+
+    def arm_from(curve, replayed):
+        try:
+            t1 = extrapolate_depth(curve)[0]
+            scaling = census_src = None
+            if os.environ.get("BENCH_MULTICHIP", "1") != "0":
+                census, label, _ = load_committed_census("m", err)
+                if census is not None:
+                    scaling = predict_from_census(census, t1,
+                                                  with_q8=False)
+                    census_src = f"replayed@{label}"
+            guard.arm(m_payload(curve, replayed, scaling, census_src)[0])
+        except Exception as e:
+            err(f"[guard] arm failed ({e!r})")
+
     replayed, curve, depths = replay_curve_if_unreachable(
         "m", depths,
         blocked_by=("BENCH_QUANT" if quant
                     else "BENCH_CACHED" if cached_env else ""))
+    if curve:
+        arm_from(curve, replayed)
     for L in depths:
         cfg = LLaDAConfig.llada_8b(n_layers=L, param_dtype=jnp.bfloat16,
                                    compute_dtype=jnp.bfloat16)
@@ -209,85 +440,33 @@ def bench_m(depths, quant):
             fin, _ = run(params, i_dev, u_dev, jax.random.key(1 + i))
             np.asarray(fin)
 
-        curve[L] = time_best3(run_once, f"M {L} layers", err)
+        curve[L], compile_s[L] = time_best3(run_once, f"M {L} layers", err)
         err(f"[M {L} layers] interleave time: {curve[L]:.2f}s")
         del params, run
         import gc
         jax.clear_caches()
         gc.collect()
-
-    # cond+uncond = batch 2 per forward, text_steps forwards
-    n_fwd = InterleaveOptions().text_steps
-    f_tok_layer = backbone_flops_per_token(4096, 12288, 1, 1.0, seq)
-    t_8b, method, _ = extrapolate_depth(curve)
-    L0 = min(curve)
-    sustained = f_tok_layer * L0 * seq * 2 * n_fwd / curve[L0]
-    err(f"[M] sustained at {L0} layers: {sustained / 1e12:.0f} TFLOP/s; "
-        f"8B-extrapolated {t_8b:.2f}s/gen 1-chip")
+        arm_from(curve, replayed)
 
     # same modeled v5e-8 scaling as the A headline: every M forward is
-    # batch-2 (cond+uncond always batched), text_steps + image_steps total
-    scaling = None
-    mc = os.environ.get("BENCH_MULTICHIP", "1")
-    if mc != "0":
-        o = InterleaveOptions()
-        for be in (["cpu"] if mc == "cpu" else ["tpu", "cpu"]):
-            try:
-                from mmada_parallel_tpu.parallel.multichip_model import (
-                    run_in_subprocess)
-                analysis = run_in_subprocess(
-                    t_1chip_s=t_8b, seq=seq, n_text_forwards=0,
-                    n_image_forwards=o.text_steps + o.image_steps,
-                    backend=be, timeout=3600, q8=False)
-                scaling = analysis["prediction"]
-                break
-            except Exception as e:
-                err(f"[M] multichip analysis [{be}] failed ({e!r})")
+    # batch-2 (cond+uncond always batched), text_steps + image_steps
+    # total; replay-first census policy (resolve_census)
+    t_8b = extrapolate_depth(curve)[0]
+    scaling, census_src = resolve_census("m", t_8b, err, with_q8=False,
+                                         predict_kw=m_census_kw)
     if scaling is not None:
-        t_8chip, note = pick_headline(scaling)
-        err(f"[M] modeled v5e-8: {scaling['t_edit_s_no_overlap']:.2f}s "
-            "no-overlap / "
-            f"{scaling.get('t_edit_s_evidenced', 0):.2f}s evidenced / "
+        err(f"[M] modeled v5e-8 [{census_src}]: "
+            f"{scaling['t_edit_s_no_overlap']:.2f}s no-overlap / "
+            f"{scaling.get('t_edit_s_evidenced', 0):.2f}s modeled "
+            "(schedule-evidenced overlap) / "
             f"{scaling['t_edit_s_full_overlap']:.2f}s full-overlap "
             f"({100 * scaling['efficiency_no_overlap']:.0f}% floor)")
-    else:
-        t_8chip = t_8b / 8
-        note = "ASSUMES linear v5e-8 scaling"
-    tag = f" W8A8-{quant}" if quant.startswith("int8") else ""
-    diagnostics = {
-        "depth_curve_s": {str(k): round(v, 3) for k, v in curve.items()},
-        "sustained_tflops_min_depth": round(sustained / 1e12, 1),
-        "seq_len": seq,
-        "t_8b_1chip_s": round(t_8b, 3),
-        "depth_curve_source": ("REPLAYED r3 measurement (TPU backend "
-                               "unreachable at bench time)" if replayed
-                               else "measured this run"),
-    }
-    if scaling is not None:
-        diagnostics["multichip"] = {
-            "mesh": scaling["mesh"],
-            "comm_seconds_per_gen": round(scaling["t_comm_s"], 3),
-            "predicted_scaling_efficiency":
-                round(scaling["efficiency_no_overlap"], 3),
-            "t_gen_s_no_overlap":
-                round(scaling["t_edit_s_no_overlap"], 3),
-            "t_gen_s_evidenced":
-                round(scaling.get("t_edit_s_evidenced",
-                                  scaling["t_edit_s_no_overlap"]), 3),
-            "overlap_evidence": scaling.get("overlap_evidence"),
-            "t_gen_s_full_overlap":
-                round(scaling["t_edit_s_full_overlap"], 3),
-        }
-    print(json.dumps({
-        "metric": "sec per 512x512 interleave generation, 128 text + 30 "
-                  f"image steps{tag} (variant M; 8B depth from "
-                  + ("REPLAYED-r3 " if replayed else "")
-                  + f"{method}; {note})",
-        "value": round(t_8chip, 3),
-        "unit": "s",
-        "vs_baseline": None,
-        "diagnostics": diagnostics,
-    }))
+    payload, t_8b, sustained = m_payload(curve, replayed, scaling,
+                                         census_src)
+    err(f"[M] sustained at {min(curve)} layers: "
+        f"{sustained / 1e12:.0f} TFLOP/s; 8B-extrapolated {t_8b:.2f}s/gen "
+        "1-chip")
+    guard.emit(payload)
 
 
 def bench_serve(depth: int, batch: int, n_requests: int):
@@ -432,7 +611,7 @@ def bench_train(depths):
             np.asarray(metrics["loss"])
 
         try:
-            curve[d] = time_best3(run_once, f"train {d} layers", err)
+            curve[d], _ = time_best3(run_once, f"train {d} layers", err)
             err(f"[train {d} layers] step time: {curve[d]:.3f}s")
         except Exception as e:  # deeper depths may not fit 16 GB w/ AdamW
             err(f"[train {d} layers] failed ({type(e).__name__}); skipping")
@@ -453,17 +632,29 @@ def bench_train(depths):
     scaling = None
     mc = os.environ.get("BENCH_MULTICHIP", "1")
     if mc not in ("0", "cpu"):
-        try:
-            from mmada_parallel_tpu.parallel.multichip_model import (
-                run_in_subprocess)
-            # train needs only the train-step census: skip the edit-mesh
-            # and ring compiles entirely (n_*_forwards=0)
-            analysis = run_in_subprocess(backend="tpu", timeout=3600,
-                                         n_text_forwards=0,
-                                         n_image_forwards=0, q8=False)
-            scaling = analysis["train_step"]
-        except Exception as e:
-            err(f"[train] multichip census failed ({e!r})")
+        # replay-first: the A census artifact carries the train-step
+        # census; a live census (n_*_forwards=0 -> train-step only) runs
+        # only when the artifact is stale/missing, under the budget cap
+        census, label, fresh = load_committed_census("a", err)
+        mode = os.environ.get("BENCH_CENSUS", "auto")
+        if census is not None and (fresh or mode == "replay"):
+            scaling = census.get("train_step")
+            err(f"[train] census: replayed {label}")
+        else:
+            try:
+                from mmada_parallel_tpu.parallel.multichip_model import (
+                    run_in_subprocess)
+                budget = float(os.environ.get("BENCH_CENSUS_BUDGET_S",
+                                              "900"))
+                analysis = run_in_subprocess(backend="tpu", timeout=budget,
+                                             n_text_forwards=0,
+                                             n_image_forwards=0, q8=False)
+                scaling = analysis["train_step"]
+            except Exception as e:
+                err(f"[train] live census failed ({e!r})")
+                if census is not None:
+                    scaling = census.get("train_step")
+                    err(f"[train] census: replayed {label} (stale)")
     diagnostics = {
         "depth_curve_s": {str(k): round(v, 3) for k, v in curve.items()},
         "extrapolation": method,
@@ -558,9 +749,113 @@ def main():
                         text_temperature=0.7, cfg_scale=0.0, cfg_img=4.0)
     un_img = np.asarray(prompt, np.int32)
     n_forwards = opts.text_steps + opts.timesteps  # cond + 1 uncond branch
+    f_tok_layer = backbone_flops_per_token(4096, 12288, 1, 1.0, seq)
+
+    guard = HeadlineGuard(err)
+    compile_s = {}
+
+    def a_payload(curve, replayed, scaling, census_src):
+        """The one driver JSON payload, buildable from any >=1-depth
+        curve — armed progressively so a driver timeout mid-bench still
+        yields a parsed artifact."""
+        t_8b_1chip, method, m_per_layer = extrapolate_depth(curve)
+        marginal_tflops = (f_tok_layer * seq * n_forwards / m_per_layer
+                           / 1e12 if m_per_layer else None)
+        if scaling is not None:
+            t_8b_8chip, scale_note = pick_headline(scaling)
+        else:
+            t_8b_8chip = t_8b_1chip / 8.0
+            scale_note = "ASSUMES linear v5e-8 scaling"
+        L0 = min(curve)
+        sustained = (f_tok_layer * L0 * seq * n_forwards) / curve[L0]
+        tag = f" W8A8-{quant}" if quant.startswith("int8") else ""
+        peak = 394e12 if quant.startswith("int8") else V5E_BF16_PEAK
+        diagnostics = {
+            "depth_curve_s": {str(k): round(v, 3)
+                              for k, v in curve.items()},
+            "compile_first_run_s": {str(k): round(v, 1)
+                                    for k, v in compile_s.items()},
+            "extrapolation": method,
+            "sustained_tflops_min_depth": round(sustained / 1e12, 1),
+            "marginal_backbone_tflops": (round(marginal_tflops, 1)
+                                         if marginal_tflops else None),
+            "v5e_peak_tflops": round(peak / 1e12),
+            "mfu_pct": round(100 * sustained / peak, 1),
+            "t_8b_1chip_s": round(t_8b_1chip, 3),
+            "depth_curve_source": ("REPLAYED r3 measurement (TPU backend "
+                                   "unreachable at bench time)" if replayed
+                                   else "measured this run"),
+        }
+        if scaling is not None:
+            diagnostics["multichip"] = {
+                "census_source": census_src,
+                "mesh": scaling["mesh"],
+                "t_edit_s_no_overlap":
+                    round(scaling["t_edit_s_no_overlap"], 3),
+                "t_edit_s_evidenced": round(
+                    scaling.get("t_edit_s_evidenced",
+                                scaling["t_edit_s_no_overlap"]), 3),
+                "overlap_evidence": scaling.get("overlap_evidence"),
+                "collective_bytes_per_edit":
+                    scaling["wire_bytes_per_edit"],
+                "comm_seconds_per_edit": round(scaling["t_comm_s"], 3),
+                "predicted_scaling_efficiency":
+                    round(scaling["efficiency_no_overlap"], 3),
+                "t_edit_s_full_overlap":
+                    round(scaling["t_edit_s_full_overlap"], 3),
+                "compute_model": scaling.get("compute_model", "linear"),
+                "compute_ratios": scaling.get("compute_ratios"),
+                # OPT-IN int8-payload ring (approximate; never headline)
+                "int8_payload_ring": (None if not scaling.get("q8") else {
+                    "t_edit_s_evidenced": round(
+                        scaling["q8"]["t_edit_s_evidenced"], 3),
+                    "t_comm_s": round(scaling["q8"]["t_comm_s"], 3),
+                    "overlap_evidence":
+                        scaling["q8"].get("overlap_evidence"),
+                }),
+                "model": (
+                    "HLO collective census at real 8B dims AOT-compiled "
+                    "for the v5e:2x4 topology; link-capacity-bounded ICI "
+                    "pricing; comm charged at the compiled schedule's "
+                    "evidenced overlap for decomposed-ring meshes, no "
+                    "overlap otherwise — a MODEL (schedule-evidenced "
+                    "overlap), not an 8-chip measurement"),
+            }
+            ts = scaling.get("train_step_comm") or {}
+            if ts:
+                diagnostics["multichip"]["collective_bytes_per_train_step"] \
+                    = ts.get("wire_bytes_per_call")
+                diagnostics["multichip"]["train_step_comm_seconds"] = round(
+                    ts.get("comm_seconds_per_call", 0.0), 3)
+        return {
+            "metric": f"sec per 512x512 edit, 64 img + 128 text steps{tag}"
+                      " (8B depth from "
+                      + ("REPLAYED-r3" if replayed else "measured")
+                      + f" depth-curve fit; {scale_note})",
+            "value": round(t_8b_8chip, 3),
+            "unit": "s",
+            "vs_baseline": round(8.0 / t_8b_8chip, 3),
+            "diagnostics": diagnostics,
+        }, t_8b_1chip, m_per_layer, marginal_tflops, sustained
+
+    def arm_from(curve, replayed):
+        """Cheap (replay-only, no compiles) arm of the timeout guard."""
+        try:
+            t1 = extrapolate_depth(curve)[0]
+            scaling = census_src = None
+            if os.environ.get("BENCH_MULTICHIP", "1") != "0":
+                census, label, _ = load_committed_census("a", err)
+                if census is not None:
+                    scaling = predict_from_census(census, t1)
+                    census_src = f"replayed@{label}"
+            guard.arm(a_payload(curve, replayed, scaling, census_src)[0])
+        except Exception as e:   # arming must never kill the bench
+            err(f"[guard] arm failed ({e!r})")
 
     replayed, curve, depths = replay_curve_if_unreachable(
         "a", depths, blocked_by="BENCH_QUANT" if quant else "")
+    if curve:
+        arm_from(curve, replayed)
     for L in depths:
         cfg = LLaDAConfig.llada_8b(n_layers=L, param_dtype=jnp.bfloat16,
                                    compute_dtype=jnp.bfloat16)
@@ -582,149 +877,51 @@ def main():
             fin, _ = run(params, ids_dev, jax.random.key(1 + i))
             np.asarray(fin)
 
-        curve[L] = time_best3(run_once, f"{L} layers", err)
+        curve[L], compile_s[L] = time_best3(run_once, f"{L} layers", err)
         err(f"[{L} layers] edit time: {curve[L]:.2f}s; "
             f"{n_forwards / curve[L]:.1f} denoise steps/s/chip")
         del params, run
         import gc
         jax.clear_caches()
         gc.collect()
+        arm_from(curve, replayed)   # each depth improves the timeout JSON
 
-    f_tok_layer = backbone_flops_per_token(4096, 12288, 1, 1.0, seq)
-    t_8b_1chip, method, m_per_layer = extrapolate_depth(curve)
+    # final headline: replay-first census policy (resolve_census) — the
+    # committed v5e:2x4 AOT census artifact replays instantly when its
+    # code fingerprint matches; a LIVE census (re-AOT, ~13 min) runs only
+    # when the artifact is stale/missing or BENCH_CENSUS=live, bounded by
+    # BENCH_CENSUS_BUDGET_S.  BENCH_MULTICHIP=0 keeps the r2-style
+    # "assume linear" label.
+    t_8b_1chip, _, m_per_layer = extrapolate_depth(curve)
     if m_per_layer is not None:
-        marginal_tflops = f_tok_layer * seq * n_forwards / m_per_layer / 1e12
         err(f"fit: fixed {t_8b_1chip - 32 * m_per_layer:.2f}s + "
-            f"{m_per_layer:.3f}s/layer; marginal backbone throughput "
-            f"{marginal_tflops:.0f} TFLOP/s "
+            f"{m_per_layer:.3f}s/layer")
+    scaling, census_src = resolve_census("a", t_8b_1chip, err)
+    if scaling is not None:
+        err(f"multichip census [{census_src}]: best mesh "
+            f"{scaling['mesh']}; per-edit wire "
+            f"{scaling['wire_bytes_per_edit'] / 1e9:.0f} GB -> "
+            f"comm {scaling['t_comm_s']:.2f}s; compute model "
+            f"{scaling.get('compute_model', 'linear')} "
+            f"{scaling.get('compute_ratios')}; modeled v5e-8 edit "
+            f"{scaling['t_edit_s_no_overlap']:.2f}s no-overlap / "
+            f"{scaling.get('t_edit_s_evidenced', 0):.2f}s modeled "
+            "(schedule-evidenced overlap) / "
+            f"{scaling['t_edit_s_full_overlap']:.2f}s full-overlap "
+            f"({100 * scaling['efficiency_no_overlap']:.0f}% "
+            "scaling efficiency floor)")
+    payload, t1, m_per_layer, marginal_tflops, sustained = a_payload(
+        curve, replayed, scaling, census_src)
+    if marginal_tflops is not None:
+        err(f"marginal backbone throughput {marginal_tflops:.0f} TFLOP/s "
             f"({100 * marginal_tflops * 1e12 / V5E_BF16_PEAK:.0f}% of "
-            f"v5e bf16 peak)")
-    else:
-        marginal_tflops = None
-
-    # v5e-8 scaling: AOT-compile the GSPMD-sharded 8B forward on an
-    # 8-device virtual mesh, census the HLO collectives, and model the ICI
-    # comm cost (parallel/multichip_model.py).  The reported time is the
-    # conservative NO-OVERLAP floor t_1/8 + t_comm; the full-overlap
-    # ceiling (t_1/8 when comm hides under compute) rides in diagnostics.
-    # BENCH_MULTICHIP=0 skips the analysis (falls back to the r2-style
-    # "assume linear" label).
-    scaling = None
-    census_backend = None
-    mc = os.environ.get("BENCH_MULTICHIP", "1")
-    if mc != "0":
-        # Prefer the real-target census: AOT-compile for the v5e:2x4
-        # topology on the TPU backend (bf16-native collectives + the
-        # compiler's own compute-scaling cycle ratios); fall back to the
-        # virtual-CPU census, then to the linear assumption.
-        backends = ["cpu"] if mc == "cpu" else ["tpu", "cpu"]
-        for be in backends:
-            try:
-                from mmada_parallel_tpu.parallel.multichip_model import (
-                    run_in_subprocess)
-                t0 = time.time()
-                analysis = run_in_subprocess(t_1chip_s=t_8b_1chip,
-                                             backend=be, timeout=3600)
-                scaling = analysis["prediction"]
-                scaling["train_step_comm"] = analysis["train_step"]
-                scaling["q8"] = analysis.get("prediction_q8")
-                census_backend = be
-                err(f"multichip HLO census [{be}] "
-                    f"({time.time() - t0:.0f}s): "
-                    f"best mesh {scaling['mesh']}; per-edit wire "
-                    f"{scaling['wire_bytes_per_edit'] / 1e9:.0f} GB -> "
-                    f"comm {scaling['t_comm_s']:.2f}s; compute model "
-                    f"{scaling.get('compute_model', 'linear')} "
-                    f"{scaling.get('compute_ratios')}; modeled v5e-8 edit "
-                    f"{scaling['t_edit_s_no_overlap']:.2f}s no-overlap / "
-                    f"{scaling.get('t_edit_s_evidenced', 0):.2f}s "
-                    "evidenced / "
-                    f"{scaling['t_edit_s_full_overlap']:.2f}s full-overlap "
-                    f"({100 * scaling['efficiency_no_overlap']:.0f}% "
-                    "scaling efficiency floor)")
-                break
-            except Exception as e:  # keep the bench alive without the model
-                err(f"multichip analysis [{be}] failed ({e!r})")
-                scaling = None
-
-    if scaling is not None:
-        t_8b_8chip, scale_note = pick_headline(scaling)
-    else:
-        t_8b_8chip = t_8b_1chip / 8.0
-        scale_note = "ASSUMES linear v5e-8 scaling"
-    err(f"8B-extrapolated: {t_8b_1chip:.2f}s/edit on 1 chip, "
-        f"{t_8b_8chip:.2f}s/edit on v5e-8 ({scale_note})")
-
-    L0 = min(curve)
-    sustained = (f_tok_layer * L0 * seq * n_forwards) / curve[L0]
-    err(f"sustained at {L0} layers: {sustained / 1e12:.0f} TFLOP/s == "
-        f"{100 * sustained / V5E_BF16_PEAK:.0f}% of v5e bf16 peak (197)")
-
-    tag = f" W8A8-{quant}" if quant.startswith("int8") else ""
-    peak = 394e12 if quant.startswith("int8") else V5E_BF16_PEAK
-    diagnostics = {
-        "depth_curve_s": {str(k): round(v, 3) for k, v in curve.items()},
-        "extrapolation": method,
-        "sustained_tflops_min_depth": round(sustained / 1e12, 1),
-        "marginal_backbone_tflops": (round(marginal_tflops, 1)
-                                     if marginal_tflops else None),
-        "v5e_peak_tflops": round(peak / 1e12),
-        "mfu_pct": round(100 * sustained / peak, 1),
-        "t_8b_1chip_s": round(t_8b_1chip, 3),
-        "depth_curve_source": ("REPLAYED r3 measurement (TPU backend "
-                               "unreachable at bench time)" if replayed
-                               else "measured this run"),
-    }
-    if scaling is not None:
-        diagnostics["multichip"] = {
-            "mesh": scaling["mesh"],
-            "t_edit_s_no_overlap": round(scaling["t_edit_s_no_overlap"], 3),
-            "t_edit_s_evidenced": round(
-                scaling.get("t_edit_s_evidenced",
-                            scaling["t_edit_s_no_overlap"]), 3),
-            "overlap_evidence": scaling.get("overlap_evidence"),
-            "collective_bytes_per_edit": scaling["wire_bytes_per_edit"],
-            "collective_bytes_per_train_step":
-                scaling["train_step_comm"]["wire_bytes_per_call"],
-            "comm_seconds_per_edit": round(scaling["t_comm_s"], 3),
-            "predicted_scaling_efficiency":
-                round(scaling["efficiency_no_overlap"], 3),
-            "t_edit_s_full_overlap":
-                round(scaling["t_edit_s_full_overlap"], 3),
-            "train_step_comm_seconds":
-                round(scaling["train_step_comm"]["comm_seconds_per_call"],
-                      3),
-            "compute_model": scaling.get("compute_model", "linear"),
-            "compute_ratios": scaling.get("compute_ratios"),
-            # OPT-IN int8-payload ring (approximate; never the headline)
-            "int8_payload_ring": (None if not scaling.get("q8") else {
-                "t_edit_s_evidenced": round(
-                    scaling["q8"]["t_edit_s_evidenced"], 3),
-                "t_comm_s": round(scaling["q8"]["t_comm_s"], 3),
-                "overlap_evidence": scaling["q8"].get("overlap_evidence"),
-            }),
-            "model": (
-                "HLO collective census at real 8B dims "
-                + ("AOT-compiled for the v5e:2x4 topology (real TPU "
-                   "backend; compute scaled by the compiler's per-layer "
-                   "cycle ratio)" if census_backend == "tpu" else
-                   "on 8-device virtual mesh")
-                + "; link-capacity-bounded ICI pricing (wrap-less 2x4 "
-                  "mesh: 10 links, 4.5e10 B/s per direction); bf16-native "
-                  "TPU collectives; comm charged at the compiled "
-                  "schedule's evidenced overlap for decomposed-ring "
-                  "meshes, no overlap otherwise"),
-        }
-    print(json.dumps({
-        "metric": f"sec per 512x512 edit, 64 img + 128 text steps{tag} "
-                  "(8B depth from "
-                  + ("REPLAYED-r3" if replayed else "measured")
-                  + f" depth-curve fit; {scale_note})",
-        "value": round(t_8b_8chip, 3),
-        "unit": "s",
-        "vs_baseline": round(8.0 / t_8b_8chip, 3),
-        "diagnostics": diagnostics,
-    }))
+            "v5e bf16 peak)")
+    err(f"8B-extrapolated: {t1:.2f}s/edit on 1 chip, "
+        f"{payload['value']:.2f}s/edit on v5e-8")
+    err(f"sustained at {min(curve)} layers: {sustained / 1e12:.0f} "
+        f"TFLOP/s == {100 * sustained / V5E_BF16_PEAK:.0f}% of v5e bf16 "
+        "peak (197)")
+    guard.emit(payload)
 
 
 if __name__ == "__main__":

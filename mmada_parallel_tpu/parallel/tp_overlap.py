@@ -54,7 +54,12 @@ overlap claims come from the compiled ``v5e:2x4`` modules.  What no test
 can see without 8 real chips: the per-chunk attention's kernel dispatch
 overhead on hardware (g kernel calls per layer instead of 1; the census
 cycle ratios use the XLA einsum attention — ``compile_edit_forward_8b``
-pins ``attention_impl="xla"``) and actual ICI contention.
+pins ``attention_impl="xla"``) and actual ICI contention.  Note on GQA:
+the fused packed-q TPU kernel dispatch is gated on ``H == KV``
+(``ops/attention.py`` ``rope_attention_qonly``), so GQA ring forwards
+fall back to the unpacked q-rope + ``dot_product_attention`` path on
+real TPUs — numerically identical, perf-only difference, and invisible
+to the census (which pins ``impl="xla"`` either way).
 """
 
 from __future__ import annotations

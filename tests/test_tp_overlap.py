@@ -173,22 +173,29 @@ def test_rejects_unsupported_shapes(mesh):
         llada_forward_tp_overlap(params, _tp_cfg(), ids, mesh1)
 
 
-def test_ring_backbone_gradients_match_gspmd(mesh):
+@pytest.mark.parametrize("kv", [8, 4])
+def test_ring_backbone_gradients_match_gspmd(mesh, kv):
     """The ring decomposition is differentiable: parameter gradients
     through ``llada_hidden_tp_overlap`` match the GSPMD backbone's
     (``ppermute`` transposes to the inverse permutation, the σ-order
     gathers are linear, and the per-chunk GEMMs accumulate the same
     cotangents) — the algebraic prerequisite for running TRAINING over
-    the ring backbone, not just sampling."""
+    the ring backbone, not just sampling.  ``kv=4`` pins the GQA shape
+    (8 q / 4 kv over g=4: backward through the local-group ``jnp.repeat``
+    + ring collectives), which ``train_a --tp_ring --tiny_model``
+    defaults to."""
     from mmada_parallel_tpu.models import llada_hidden
     from mmada_parallel_tpu.parallel import shard_params
     from mmada_parallel_tpu.parallel.tp_overlap import (
         llada_hidden_tp_overlap)
 
-    cfg = _tp_cfg()
+    if kv != 8:   # GQA: kv heads must divide the ring -> 4-wide rings
+        mesh = make_mesh(MeshConfig(data=2, fsdp=1, tensor=4))
+    cfg = _tp_cfg(n_kv_heads=kv)
     params = init_llada_params(jax.random.key(5), cfg)
     sharded = shard_params(params, param_shardings(cfg), mesh)
-    ids = jax.random.randint(jax.random.key(6), (1, 16), 0, cfg.vocab_size)
+    # B=2: divisible by the GQA case's data=2 mesh axis
+    ids = jax.random.randint(jax.random.key(6), (2, 16), 0, cfg.vocab_size)
 
     def loss_ref(p):
         h = llada_hidden(p, cfg, ids)
@@ -211,13 +218,15 @@ def test_ring_backbone_gradients_match_gspmd(mesh):
             err_msg=f"grad mismatch at {jax.tree_util.keystr(path)}")
 
 
-def test_ring_train_step_matches_gspmd(mesh):
+@pytest.mark.parametrize("kv", [8, 4])
+def test_ring_train_step_matches_gspmd(mesh, kv):
     """Full training integration over the ring backbone: a jitted
     ``make_train_step`` (AdamW + clip + 2-step grad accumulation, pinned
     ``out_shardings``) built on ``llada_forward_tp_overlap`` produces the
     same losses and updated parameters as the GSPMD step — what
     ``cli/train_a.py --tp_ring`` runs.  Two steps, so the second
-    consumes ring-updated optimizer state."""
+    consumes ring-updated optimizer state.  ``kv=4`` pins the GQA
+    training shape the CLI's ``--tiny_model`` defaults to."""
     from jax.sharding import NamedSharding
     from mmada_parallel_tpu.training.losses import a_variant_losses
     from mmada_parallel_tpu.training.trainer import (
@@ -225,7 +234,9 @@ def test_ring_train_step_matches_gspmd(mesh):
         make_train_step, state_shardings)
     from mmada_parallel_tpu.parallel import batch_sharding
 
-    cfg = _tp_cfg()
+    if kv != 8:   # GQA: kv heads must divide the ring -> 4-wide rings
+        mesh = make_mesh(MeshConfig(data=2, fsdp=1, tensor=4))
+    cfg = _tp_cfg(n_kv_heads=kv)
     params = init_llada_params(jax.random.key(7), cfg)
     opt = make_optimizer(OptimizerConfig(lr=1e-3), params)
 
