@@ -138,16 +138,34 @@ def load_committed_census(variant, err):
     return census, label, fresh
 
 
-def predict_from_census(census, t_1chip_s, with_q8=True):
+def load_chunk_overhead(err):
+    """Hardware-measured ring chunking-overhead entries
+    (``artifacts/chunk_overhead.json``, written by
+    ``tools/measure_chunk_overhead.py`` on the real chip), or None."""
+    path = os.path.join(REPO_DIR, "artifacts", "chunk_overhead.json")
+    if not os.path.exists(path):
+        return None
+    try:
+        with open(path) as f:
+            return json.load(f).get("entries")
+    except (OSError, ValueError) as e:
+        err(f"chunk_overhead artifact unreadable ({e!r})")
+        return None
+
+
+def predict_from_census(census, t_1chip_s, with_q8=True,
+                        chunk_overhead=None):
     """In-process edit prediction from a census dict (replayed or live):
     pure dict math (``predict_edit_scaling``), no compiles."""
     from mmada_parallel_tpu.parallel.multichip_model import (
         predict_edit_scaling)
     n = census.get("n_devices", 8)
-    scaling = predict_edit_scaling(census, t_1chip_s, n)
+    scaling = predict_edit_scaling(census, t_1chip_s, n,
+                                   chunk_overhead=chunk_overhead)
     scaling["train_step_comm"] = census.get("train_step")
     scaling["q8"] = (predict_edit_scaling(census, t_1chip_s, n,
-                                          approximate=True)
+                                          approximate=True,
+                                          chunk_overhead=chunk_overhead)
                      if with_q8 else None)
     return scaling
 
@@ -173,11 +191,13 @@ def resolve_census(variant, t_1chip_s, err, with_q8=True,
     mode = os.environ.get("BENCH_CENSUS", "auto")
     budget = float(os.environ.get("BENCH_CENSUS_BUDGET_S", "900"))
     census, label, fresh = load_committed_census(variant, err)
+    chunk = load_chunk_overhead(err)
 
     def replay():
         if census is None:
             return None, None
-        scaling = predict_from_census(census, t_1chip_s, with_q8)
+        scaling = predict_from_census(census, t_1chip_s, with_q8,
+                                      chunk_overhead=chunk)
         err(f"census: replayed {label}")
         return scaling, f"replayed@{label}"
 
@@ -200,9 +220,10 @@ def resolve_census(variant, t_1chip_s, err, with_q8=True,
             live = run_in_subprocess(t_1chip_s=t_1chip_s, backend=backend,
                                      timeout=budget, **kw)
             err(f"census: live [{backend}] in {time.time() - t0:.0f}s")
-            scaling = live["prediction"]
-            scaling["train_step_comm"] = live.get("train_step")
-            scaling["q8"] = live.get("prediction_q8")
+            # re-predict in-process so the measured chunk-overhead factor
+            # applies to the live census too
+            scaling = predict_from_census(live, t_1chip_s, with_q8,
+                                          chunk_overhead=chunk)
             return scaling, f"live-{backend}"
         except Exception as e:
             err(f"live census [{backend}] failed/over budget ({e!r})")
@@ -390,6 +411,8 @@ def bench_m(depths, quant):
                 "overlap_evidence": scaling.get("overlap_evidence"),
                 "t_gen_s_full_overlap":
                     round(scaling["t_edit_s_full_overlap"], 3),
+                "chunk_overhead_measured":
+                    scaling.get("chunk_overhead_applied"),
             }
         return {
             "metric": "sec per 512x512 interleave generation, 128 text + "
@@ -409,8 +432,9 @@ def bench_m(depths, quant):
             if os.environ.get("BENCH_MULTICHIP", "1") != "0":
                 census, label, _ = load_committed_census("m", err)
                 if census is not None:
-                    scaling = predict_from_census(census, t1,
-                                                  with_q8=False)
+                    scaling = predict_from_census(
+                        census, t1, with_q8=False,
+                        chunk_overhead=load_chunk_overhead(err))
                     census_src = f"replayed@{label}"
             guard.arm(m_payload(curve, replayed, scaling, census_src)[0])
         except Exception as e:
@@ -805,6 +829,8 @@ def main():
                     round(scaling["t_edit_s_full_overlap"], 3),
                 "compute_model": scaling.get("compute_model", "linear"),
                 "compute_ratios": scaling.get("compute_ratios"),
+                "chunk_overhead_measured":
+                    scaling.get("chunk_overhead_applied"),
                 # OPT-IN int8-payload ring (approximate; never headline)
                 "int8_payload_ring": (None if not scaling.get("q8") else {
                     "t_edit_s_evidenced": round(
@@ -846,7 +872,8 @@ def main():
             if os.environ.get("BENCH_MULTICHIP", "1") != "0":
                 census, label, _ = load_committed_census("a", err)
                 if census is not None:
-                    scaling = predict_from_census(census, t1)
+                    scaling = predict_from_census(
+                        census, t1, chunk_overhead=load_chunk_overhead(err))
                     census_src = f"replayed@{label}"
             guard.arm(a_payload(curve, replayed, scaling, census_src)[0])
         except Exception as e:   # arming must never kill the bench

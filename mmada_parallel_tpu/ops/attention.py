@@ -200,9 +200,23 @@ def _packed_qonly_reference(q, k, v, sin_q, cos_q, bias, H: int, KV: int,
 
 
 @functools.lru_cache(maxsize=None)
-def _packed_qonly_diff_fn(H: int, KV: int, interpret: bool = False):
+def _packed_qonly_diff_fn(H: int, KV: int, interpret: bool = False,
+                          bare: bool = False):
     @jax.custom_vjp
     def f(q, k, v, sin_q, cos_q, bias):
+        if bare:
+            # per-shard call with NO custom_partitioning wrapper: inside
+            # shard_map partitioning is already manual, and the AOT
+            # topology compile client cannot emit the partitioning
+            # callback ("Custom emitter for CustomSPMDPartitioning not
+            # found") — the bare Mosaic kernel it CAN compile, which is
+            # what lets the v5e-8 ring census carry the production
+            # attention kernel instead of the einsum stand-in
+            from mmada_parallel_tpu.ops.rope_attention import (
+                flash_attention_rope_qonly)
+            return flash_attention_rope_qonly(
+                q, k, v, sin_q, cos_q, bias=bias, n_heads=H,
+                n_kv_heads=KV, interpret=interpret)
         # routed through custom_partitioning for the same reason as the
         # main packed path (see _packed_diff_fn)
         from mmada_parallel_tpu.ops.rope_attention import (
@@ -232,7 +246,8 @@ def rope_attention_qonly(q: jax.Array, k: jax.Array, v: jax.Array,
                          bias: Optional[jax.Array] = None, *,
                          n_heads: int, n_kv_heads: Optional[int] = None,
                          full_precision: bool = True,
-                         impl: str = "auto") -> jax.Array:
+                         impl: str = "auto",
+                         bare: bool = False) -> jax.Array:
     """Packed attention where K/V arrive PRE-ROTATED (the feature cache
     stores post-RoPE K, ``models/llada.py``): q gets the fp32 rotation at
     its true positions (``sin_q``/``cos_q``: ``[Lq, hd]`` or per-row
@@ -240,16 +255,25 @@ def rope_attention_qonly(q: jax.Array, k: jax.Array, v: jax.Array,
     Dispatches to the fused kernel on qualifying TPU shapes, otherwise
     runs the unpacked q-rope chain over :func:`dot_product_attention`
     (which keeps the BLHD flash kernel for GQA / long-cache shapes and
-    preserves ``impl="pallas"``'s raise-on-unavailable semantics)."""
+    preserves ``impl="pallas"``'s raise-on-unavailable semantics).
+
+    ``impl="pallas"`` forces the fused path on qualifying shapes even when
+    the DEFAULT backend is not TPU — the AOT topology census compiles for
+    a v5e target from a CPU-platform process, where the ambient-platform
+    gate would wrongly route to the einsum stand-in.  ``bare=True`` (for
+    callers already inside ``shard_map``, e.g. the ring-TP block) skips
+    the ``custom_partitioning`` wrapper: partitioning there is manual,
+    and the compile-only client cannot emit the partitioning callback."""
     B, Lq, HD = q.shape
     H = n_heads
     KV = n_kv_heads if n_kv_heads is not None else H
     D = HD // H
     if impl in ("auto", "pallas"):
         on_tpu = jax.devices()[0].platform == "tpu"
-        if (on_tpu and full_precision and D % 128 == 0 and H == KV
-                and k.shape[1] <= 4096):
-            return _packed_qonly_diff_fn(H, KV)(q, k, v, sin_q, cos_q, bias)
+        if ((on_tpu or impl == "pallas") and full_precision
+                and D % 128 == 0 and H == KV and k.shape[1] <= 4096):
+            return _packed_qonly_diff_fn(H, KV, bare=bare)(
+                q, k, v, sin_q, cos_q, bias)
     from mmada_parallel_tpu.ops.rope_attention import rope_tensor
     q4 = rope_tensor(q.reshape(B, Lq, H, D), sin_q, cos_q, full_precision)
     k4 = k.reshape(B, k.shape[1], KV, D)

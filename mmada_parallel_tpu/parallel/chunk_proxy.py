@@ -1,0 +1,240 @@
+"""Single-chip proxy for the ring-TP path's per-chunk scheduling cost.
+
+The v5e-8 census prices the ring-decomposed TP path
+(:mod:`mmada_parallel_tpu.parallel.tp_overlap`) with the TPU compiler's
+cycle estimates; what no AOT compile can see is what the per-chunk
+schedule COSTS on real hardware — ``g`` GEMM dispatches per boundary
+instead of 1, ``2g`` small attention-kernel launches per layer instead
+of 1, and the small-GEMM MXU inefficiency at chunk shapes.  This module
+measures exactly that on the one real chip:
+
+* **chunked**: the literal :func:`tp_overlap._stack_tp` schedule — the
+  per-chip program of one ring member at the headline-mesh shard shapes —
+  run under ``shard_map`` on a 1-device mesh with ``ppermute`` replaced
+  by identity (the ``permute=`` hook).  Same chunk GEMM count/shapes,
+  same σ-order slices, same per-chunk attention calls as a real ring
+  chip; zero wire time.
+* **monolithic**: the FLOP-identical single-call program — each ring
+  boundary's ``g`` chunk GEMMs fused into one full-sequence GEMM, the
+  ``2g`` attention pieces into one call — i.e. what the per-chip compute
+  would cost with no decomposition (the Megatron/GSPMD per-chip shard
+  program).  The AG input is materialized by one ``jnp.tile`` per
+  boundary (the identity-permute ring consumes the same chunk ``g``
+  times), a small bandwidth cost the chunked side does not pay — biasing
+  the measured factor DOWN, i.e. conservative for the headline.
+
+``factor = t_chunked / t_monolithic`` (per-layer marginal, differencing
+two depths so entry-level costs cancel) is the hardware-measured
+chunking overhead the census folds into ring-mesh compute terms
+(:func:`multichip_model.predict_edit_scaling` ``chunk_overhead``).
+``tools/measure_chunk_overhead.py`` runs this on the chip and commits
+``artifacts/chunk_overhead.json``.
+
+Proxy fidelity notes: weights are random bf16 at the exact per-chip
+shard shapes (8B width over the given ring size); numerics between the
+two variants intentionally differ (identity-permute feeds the same chunk
+repeatedly) — this is a TIMING proxy, the ring's numerical parity is
+pinned separately (``tests/test_tp_overlap.py``).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from mmada_parallel_tpu.parallel.tp_overlap import AXIS, _stack_tp
+
+__all__ = ["make_shard_blocks", "chunked_stack_fn", "mono_stack_fn",
+           "measure_chunk_overhead"]
+
+
+def _identity_permute(x, axis, perm):
+    return x
+
+
+def make_shard_blocks(cfg, g: int, n_layers: int, key) -> Dict[str, Any]:
+    """Random bf16 block params at one ring chip's shard shapes, stacked
+    on a leading layer axis (the ``lax.scan`` layout ``_stack_tp``
+    consumes).  Shapes mirror ``models.param_shardings``'s tensor-axis
+    split of the 8B llama block."""
+    D = cfg.d_model
+    hd = cfg.head_dim
+    Hl = cfg.n_heads // g * hd
+    KVl = cfg.effective_n_kv_heads // g * hd
+    Ml = cfg.mlp_hidden_size // g
+    shapes = {
+        "attn_norm": (D,), "ff_norm": (D,),
+        "q_proj": (D, Hl), "k_proj": (D, KVl), "v_proj": (D, KVl),
+        "attn_out": (Hl, D),
+        "ff_proj": (D, Ml), "up_proj": (D, Ml), "ff_out": (Ml, D),
+    }
+    keys = jax.random.split(key, len(shapes))
+    out = {}
+    for (name, shape), k in zip(sorted(shapes.items()), keys):
+        scale = 0.02 if len(shape) == 2 else 1.0
+        out[name] = (jax.random.normal(k, (n_layers,) + shape,
+                                       jnp.float32) * scale
+                     ).astype(cfg.param_dtype)
+    return out
+
+
+def chunked_stack_fn(cfg, g: int, mesh1: Mesh):
+    """The per-chunk-scheduled stack on ONE device: ``_stack_tp`` under a
+    1-device shard_map (so ``axis_index`` resolves to rank 0) with
+    identity permute.  Input ``x [B, C, D]`` — one ring chip's local
+    sequence chunk."""
+    body = jax.shard_map(
+        functools.partial(_stack_tp, cfg=cfg, g=g,
+                          permute=_identity_permute),
+        mesh=mesh1,
+        in_specs=(P(None, AXIS, None), P(), P(None, None), P(None, None)),
+        out_specs=P(None, AXIS, None),
+        check_vma=False)
+
+    def fn(x, blocks, sin, cos):
+        return body(x, blocks, sin, cos)
+
+    return fn
+
+
+def mono_stack_fn(cfg, g: int):
+    """The FLOP-identical monolithic program: per boundary ONE
+    full-sequence GEMM (on the ``jnp.tile``-materialized AG input) and
+    ONE attention call, residual stream on the local chunk rows like the
+    ring's reduce-scatter output."""
+    from mmada_parallel_tpu.models.llada import _norm, _rope_packed
+    from mmada_parallel_tpu.ops.attention import rope_attention_qonly
+
+    nh_l = cfg.n_heads // g
+    nkv_l = cfg.effective_n_kv_heads // g
+
+    def block(x, lp, sin, cos):
+        cdt = x.dtype
+        C = x.shape[1]
+        h = _norm(x, lp["attn_norm"], cfg)
+        hg = jnp.tile(h, (1, g, 1))                       # the AG result
+        wq, wk, wv = (lp[n].astype(cdt)
+                      for n in ("q_proj", "k_proj", "v_proj"))
+        q = hg @ wq
+        k = _rope_packed(hg @ wk, sin, cos, nkv_l,
+                         cfg.rope_full_precision)
+        v = hg @ wv
+        att = rope_attention_qonly(
+            q, k, v, sin, cos, bias=None, n_heads=nh_l, n_kv_heads=nkv_l,
+            full_precision=cfg.rope_full_precision,
+            impl=cfg.attention_impl, bare=True)
+        x = x + (att @ lp["attn_out"].astype(cdt))[:, :C]
+        h = _norm(x, lp["ff_norm"], cfg)
+        hg = jnp.tile(h, (1, g, 1))
+        gate = hg @ lp["ff_proj"].astype(cdt)
+        up = hg @ lp["up_proj"].astype(cdt)
+        x = x + ((jax.nn.silu(gate) * up)
+                 @ lp["ff_out"].astype(cdt))[:, :C]
+        return x
+
+    def fn(x, blocks, sin, cos):
+        def body(carry, lp):
+            return block(carry, lp, sin, cos), None
+        x, _ = jax.lax.scan(body, x, blocks)
+        return x
+
+    return fn
+
+
+def measure_chunk_overhead(g: int = 4, seq: int = 2424, batch: int = 1,
+                           depths=(4, 8), attention_impl: str = "auto",
+                           err=print, cfg=None,
+                           repeats: int = 8) -> Dict[str, Any]:
+    """Measured per-layer chunking-overhead factor on the CURRENT default
+    backend (run on the real chip; CPU runs only smoke the machinery).
+
+    Returns ``{"factor", "t_layer_chunked_s", "t_layer_mono_s", ...}`` —
+    per-layer marginals from differencing ``depths`` so entry costs
+    cancel.  ``g=4, batch=1`` is one chip of the headline
+    ``data2_fsdp1_tensor4_sq_ring`` mesh (batch-2 edit forwards put one
+    CFG row per 4-chip square); ``g=8, batch=2`` is one chip of the TP-8
+    ring.  ``repeats`` iterates the whole stack inside the jit so one
+    dispatch carries ``repeats * depth`` layers — the ~24 ms/call axon
+    relay dispatch would otherwise swamp the ms-scale per-layer signal
+    (it also cancels in the depth differencing, but amplifying shrinks
+    the jitter's relative weight).
+    """
+    import time
+
+    from mmada_parallel_tpu.models import LLaDAConfig
+    from mmada_parallel_tpu.models.llada import _rope_sin_cos
+
+    if cfg is None:
+        cfg = LLaDAConfig.llada_8b(n_layers=max(depths),
+                                   param_dtype=jnp.bfloat16,
+                                   compute_dtype=jnp.bfloat16,
+                                   attention_impl=attention_impl)
+    if seq % g:
+        raise ValueError(f"seq {seq} % g {g} != 0")
+    C = seq // g
+    dev = jax.devices()[0]
+    mesh1 = Mesh(np.array([dev]).reshape(1, 1, 1),
+                 ("data", "fsdp", AXIS))
+    sin, cos = _rope_sin_cos(seq, cfg.head_dim, cfg.rope_theta)
+    sin, cos = jnp.asarray(sin), jnp.asarray(cos)
+    x = jax.random.normal(jax.random.key(1), (batch, C, cfg.d_model),
+                          jnp.float32).astype(cfg.compute_dtype)
+
+    out: Dict[str, Any] = {"g": g, "seq": seq, "batch": batch,
+                           "depths": list(depths), "repeats": repeats,
+                           "attention_impl": attention_impl,
+                           "platform": dev.platform}
+    times: Dict[str, Dict[int, float]] = {"chunked": {}, "mono": {}}
+    for name, make in (("chunked",
+                        lambda: chunked_stack_fn(cfg, g, mesh1)),
+                       ("mono", lambda: mono_stack_fn(cfg, g))):
+        for depth in depths:
+            blocks = jax.jit(
+                lambda k, d=depth: make_shard_blocks(cfg, g, d, k))(
+                jax.random.key(0))
+            stack = make()
+
+            def repeated(x, blocks, sin, cos, stack=stack):
+                def body(_, c):
+                    return stack(c, blocks, sin, cos)
+                # scalar output: the ~35 MB/s axon host transfer would
+                # otherwise swamp the per-layer signal (~140 ms for the
+                # [B, C, D] output vs ~50 ms of compute)
+                return jnp.sum(jax.lax.fori_loop(0, repeats, body, x)
+                               .astype(jnp.float32))
+
+            fn = jax.jit(repeated)
+
+            def run_once():
+                np.asarray(fn(x, blocks, sin, cos))
+
+            t0 = time.time()
+            run_once()
+            err(f"[chunk_proxy {name} d={depth}] compile+first: "
+                f"{time.time() - t0:.1f}s")
+            best = float("inf")
+            for _ in range(5):
+                t0 = time.time()
+                run_once()
+                best = min(best, time.time() - t0)
+            times[name][depth] = best
+            err(f"[chunk_proxy {name} d={depth}] best: {best * 1e3:.1f}ms")
+            del blocks, fn
+            jax.clear_caches()
+    d0, d1 = min(depths), max(depths)
+    per_layer = {name: (t[d1] - t[d0]) / (d1 - d0) / repeats
+                 for name, t in times.items()}
+    out["t_layer_chunked_s"] = per_layer["chunked"]
+    out["t_layer_mono_s"] = per_layer["mono"]
+    out["factor"] = per_layer["chunked"] / per_layer["mono"]
+    out["times_s"] = {n: {str(k): round(v, 5) for k, v in t.items()}
+                      for n, t in times.items()}
+    err(f"[chunk_proxy] g={g} B={batch}: chunked "
+        f"{per_layer['chunked'] * 1e3:.2f} ms/layer vs mono "
+        f"{per_layer['mono'] * 1e3:.2f} -> factor {out['factor']:.3f}")
+    return out

@@ -388,7 +388,7 @@ def _abstract_sharded(tree, specs, mesh):
 def compile_edit_forward_8b(mesh, n_layers: int = 2, seq: int = 2424,
                             batch: int = 2, tp_overlap: bool = False,
                             compiler_options: Optional[Dict[str, Any]]
-                            = None):
+                            = None, attention_impl: str = "xla"):
     """AOT-compile the sharded denoise-step forward (the edit hot path) at
     full 8B width.  Returns ``(compiled, cfg)``; nothing is executed.
 
@@ -403,14 +403,17 @@ def compile_edit_forward_8b(mesh, n_layers: int = 2, seq: int = 2424,
     from mmada_parallel_tpu.models import (LLaDAConfig, init_llada_params,
                                            param_shardings)
 
-    # attention_impl pinned to "xla": the census cares about collectives,
-    # which are identical (attention stays head-local under the TP lane
-    # sharding on both paths), and the AOT topology compile service cannot
-    # emit the Pallas path's custom_partitioning python callback
-    # ("Custom emitter for CustomSPMDPartitioning not found").
+    # attention_impl: "xla" is the GSPMD-path default — its fused kernel
+    # rides custom_partitioning, whose python callback the AOT topology
+    # compile service cannot emit ("Custom emitter for
+    # CustomSPMDPartitioning not found"); collectives are identical either
+    # way (attention stays head-local under the TP lane sharding).  The
+    # RING path's per-chunk attention runs BARE inside shard_map (no
+    # partitioning wrapper), so the census CAN compile it with the real
+    # Mosaic kernel: pass attention_impl="pallas" for ring entries.
     cfg = LLaDAConfig.llada_8b(n_layers=n_layers, param_dtype=jnp.bfloat16,
                                compute_dtype=jnp.bfloat16,
-                               attention_impl="xla")
+                               attention_impl=attention_impl)
     ab_params = _abstract_sharded(
         jax.eval_shape(lambda k: init_llada_params(k, cfg),
                        jax.random.key(0)),
@@ -880,6 +883,41 @@ def analyze_8b_tpu(n_layers_compile: int = 2, full_depth: int = 32,
                 best["attempts"] = attempts
                 if "compute_ratio" in best:
                     ratios[B] = best["compute_ratio"]
+                # Re-compile the winning module with the PRODUCTION Mosaic
+                # attention kernel (the ring block calls it bare inside
+                # shard_map, which the compile-only client CAN emit —
+                # unlike the GSPMD path's custom_partitioning wrapper) and
+                # take the overlap evidence from THAT schedule: the
+                # shipped path's own async windows, not the einsum
+                # stand-in's.  Cycle ratios stay einsum-vs-einsum (the
+                # compiler's custom-call pricing is not comparable to its
+                # einsum pricing); the kernel-true module's ratio rides
+                # along as a labeled diagnostic.
+                try:
+                    compiled_p, _ = compile_edit_forward_8b(
+                        mesh_r, n_layers_compile, seq=seq, batch=B,
+                        tp_overlap=mode,
+                        compiler_options=best.get("compiler_options"),
+                        attention_impl="pallas")
+                    txt_p = compiled_p.as_text()
+                    ov_p = parse_overlap(txt_p)
+                    if ov_p["async_pairs"]:
+                        best["overlap_xla_module"] = best["overlap"]
+                        best["overlap"] = ov_p
+                        best["overlap_attention_impl"] = "pallas"
+                        if (best.get("cp_pair_concurrency")
+                                and ov_p.get("max_open_windows", 0) < 2):
+                            # kernel-true schedule never holds the
+                            # opposite-direction pair open: charge the
+                            # serialized wire rate like the xla branch
+                            best["comm_seconds_per_call"] *= 2.0
+                            best["cp_pair_concurrency"] = False
+                        body_p = parse_cycles(txt_p)[0]
+                        if base_cycles.get(B) and 0 < body_p:
+                            best["compute_ratio_pallas_cycles"] = (
+                                body_p / base_cycles[B])
+                except Exception as e:
+                    best["pallas_module_error"] = repr(e)[:200]
                 per_batch[B] = best
             if per_batch.get(1) is None:
                 if n_image_forwards == 0:
@@ -954,8 +992,9 @@ def analyze_8b_tpu(n_layers_compile: int = 2, full_depth: int = 32,
 
 def predict_edit_scaling(analysis: Dict[str, Any], t_1chip_s: float,
                          n_devices: int = 8,
-                         approximate: bool = False) -> Optional[Dict[str,
-                                                                     Any]]:
+                         approximate: bool = False,
+                         chunk_overhead: Optional[Dict[str, Any]] = None
+                         ) -> Optional[Dict[str, Any]]:
     """Best-mesh predicted 8-chip edit time from a measured (depth-fit)
     1-chip edit time.
 
@@ -969,10 +1008,27 @@ def predict_edit_scaling(analysis: Dict[str, Any], t_1chip_s: float,
     ``t = t_comp + t_comm``; full-overlap ceiling ``max(t_comp,
     t_comm)``; ``t_edit_s_evidenced`` charges only the comm the compiled
     schedule's overlap windows cannot hide.
+
+    ``chunk_overhead``: the hardware-measured per-chunk-scheduling cost
+    of the ring decomposition (``chunk_proxy.measure_chunk_overhead``
+    entries keyed ``g{ring}_B{per_chip_batch}``).  Ring-mesh compute
+    terms are multiplied by ``max(1.0, factor)`` — conservative on two
+    counts: a sub-1 measurement never flatters the headline, and the
+    factor's chunk-shape GEMM inefficiency may partly double-count what
+    the compiler cycle ratio already prices (the dispatch-gap part it
+    cannot see is the point of the measurement).
     """
     nt = analysis["n_text_forwards"]
     ni = analysis["n_image_forwards"]
     units = nt + 2 * ni                 # batch-1-equivalent forwards
+
+    def _chunk_factor(g_ax: int, per_chip_b: int):
+        if not chunk_overhead:
+            return None
+        e = (chunk_overhead.get(f"g{g_ax}_B{per_chip_b}")
+             or chunk_overhead.get(f"g{g_ax}_B{3 - per_chip_b}"))
+        return None if e is None else e.get("factor")
+
     best = None
     for name, s in analysis["edit"].items():
         # exact-headline selection excludes opt-in approximations (the
@@ -1006,6 +1062,19 @@ def predict_edit_scaling(analysis: Dict[str, Any], t_1chip_s: float,
         else:
             t_text = t_unit / text_chips
         t_img = 2 * t_unit * (r2 if r2 else 1.0 / img_chips)
+        chunk_applied = None
+        if s.get("decomposed_overlap"):
+            # hardware-measured per-chunk scheduling cost of the ring
+            # decomposition (see the chunk_overhead docstring note)
+            f_img = _chunk_factor(t_axis, 2 // min(d, 2))
+            f_text = _chunk_factor(t_axis, 1)
+            if f_img is not None:
+                t_img *= max(1.0, f_img)
+                t_text *= max(1.0, f_text if f_text is not None else f_img)
+                chunk_applied = {
+                    "factor_image": round(f_img, 4),
+                    "factor_text": round(f_text if f_text is not None
+                                         else f_img, 4)}
         t_comp = nt * t_text + ni * t_img
         t_comm = s["comm_seconds_per_edit"]
         floor = t_comp + t_comm
@@ -1044,6 +1113,7 @@ def predict_edit_scaling(analysis: Dict[str, Any], t_1chip_s: float,
             "compute_model": ("compiler-cycle-ratio" if (r1 or r2)
                               else "linear"),
             "compute_ratios": ratios or None,
+            "chunk_overhead_applied": chunk_applied,
         }
         if overlap_evidence:
             cand["overlap_evidence"] = overlap_evidence

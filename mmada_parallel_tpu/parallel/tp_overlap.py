@@ -166,7 +166,8 @@ def _dequantize_rows(q: jax.Array, scale: jax.Array, dtype) -> jax.Array:
 
 def ring_ag_matmul(h: jax.Array, weights: Sequence[jax.Array], g: int,
                    axis: str = AXIS,
-                   int8_payload: bool = False) -> List[jax.Array]:
+                   int8_payload: bool = False,
+                   permute=None) -> List[jax.Array]:
     """All-gather-matmul: local sequence chunk ``h [B, C, Din]`` against
     column-sharded ``W [Din, F_local]`` weights -> ``[B, g*C, F_local]``
     outputs in σ-ORDER (:func:`sigma_positions`).
@@ -186,7 +187,12 @@ def ring_ag_matmul(h: jax.Array, weights: Sequence[jax.Array], g: int,
     noise.  The local (round 0) GEMM uses the dequantized values too, so
     every chip computes from identical inputs and temperature-0
     trajectories stay batch-invariant.
+
+    ``permute`` overrides ``jax.lax.ppermute`` — the single-chip
+    chunk-overhead proxy (:mod:`.chunk_proxy`) passes identity so the
+    exact per-chunk schedule runs on one device.
     """
+    permute = permute or jax.lax.ppermute
     half = h.shape[1] // 2
     ha, hb = h[:, :half], h[:, half:]
     perm_f, perm_b = _perms(g)
@@ -203,24 +209,24 @@ def ring_ag_matmul(h: jax.Array, weights: Sequence[jax.Array], g: int,
                 outs_a[i].append(da @ w)
                 outs_b[i].append(db @ w)
             if s < g - 1:
-                qa = jax.lax.ppermute(qa, axis, perm_f)
-                sa = jax.lax.ppermute(sa, axis, perm_f)
-                qb = jax.lax.ppermute(qb, axis, perm_b)
-                sb = jax.lax.ppermute(sb, axis, perm_b)
+                qa = permute(qa, axis, perm_f)
+                sa = permute(sa, axis, perm_f)
+                qb = permute(qb, axis, perm_b)
+                sb = permute(sb, axis, perm_b)
     else:
         for s in range(g):
             for i, w in enumerate(ws):
                 outs_a[i].append(ha @ w)
                 outs_b[i].append(hb @ w)
             if s < g - 1:
-                ha = jax.lax.ppermute(ha, axis, perm_f)
-                hb = jax.lax.ppermute(hb, axis, perm_b)
+                ha = permute(ha, axis, perm_f)
+                hb = permute(hb, axis, perm_b)
     return [jnp.concatenate(a + b, axis=1)
             for a, b in zip(outs_a, outs_b)]
 
 
 def _ring_reduce_scatter(part_a, part_b, g: int,
-                         axis: str = AXIS) -> jax.Array:
+                         axis: str = AXIS, permute=None) -> jax.Array:
     """The σ-order reduce-scatter ring protocol, shared by
     :func:`ring_matmul_rs` and the per-chunk-attention attn-out path:
     ``part_a(k)``/``part_b(k)`` produce this chip's partial for the
@@ -228,17 +234,18 @@ def _ring_reduce_scatter(part_a, part_b, g: int,
     the accumulators hop ``g-1`` times, each round adding the STATIC
     σ-index ``(1+s) % g`` partial, landing chunk ``r`` in natural row
     order."""
+    permute = permute or jax.lax.ppermute
     perm_f, perm_b = _perms(g)
     acc_a = part_a(1)
     acc_b = part_b(1)
     for s in range(1, g):
-        acc_a = jax.lax.ppermute(acc_a, axis, perm_f) + part_a((1 + s) % g)
-        acc_b = jax.lax.ppermute(acc_b, axis, perm_b) + part_b((1 + s) % g)
+        acc_a = permute(acc_a, axis, perm_f) + part_a((1 + s) % g)
+        acc_b = permute(acc_b, axis, perm_b) + part_b((1 + s) % g)
     return jnp.concatenate([acc_a, acc_b], axis=1)
 
 
 def ring_matmul_rs(a: jax.Array, w: jax.Array, g: int,
-                   axis: str = AXIS) -> jax.Array:
+                   axis: str = AXIS, permute=None) -> jax.Array:
     """Matmul-reduce-scatter: σ-ORDERED row-sharded GEMM input
     ``a [B, L, K_local]`` (the layout :func:`ring_ag_matmul` produces)
     against ``w [K_local, F]`` -> the fully-reduced LOCAL sequence chunk
@@ -269,7 +276,7 @@ def ring_matmul_rs(a: jax.Array, w: jax.Array, g: int,
         off = g * C1
         return a[:, off + k * C2: off + (k + 1) * C2, :] @ w
 
-    return _ring_reduce_scatter(part_a, part_b, g, axis)
+    return _ring_reduce_scatter(part_a, part_b, g, axis, permute)
 
 
 # ---------------------------------------------------------------------------
@@ -279,7 +286,7 @@ def ring_matmul_rs(a: jax.Array, w: jax.Array, g: int,
 
 def _block_tp(x: jax.Array, lp: Dict[str, jax.Array], cfg,
               sin_s: jax.Array, cos_s: jax.Array, g: int,
-              int8_payload: bool = False) -> jax.Array:
+              int8_payload: bool = False, permute=None) -> jax.Array:
     """One llama-flavor block on a local ``[B, C, D]`` sequence chunk with
     tensor-sharded weights (``models.param_shardings`` layout, local
     shards).  Mirrors :func:`mmada_parallel_tpu.models.llada._block`;
@@ -306,7 +313,7 @@ def _block_tp(x: jax.Array, lp: Dict[str, jax.Array], cfg,
 
     h = _norm(x, lp["attn_norm"], cfg)
     q, k, v = ring_ag_matmul(h, [lp["q_proj"], lp["k_proj"], lp["v_proj"]],
-                             g, int8_payload=int8_payload)
+                             g, int8_payload=int8_payload, permute=permute)
     if "q_bias" in lp:
         q = q + lp["q_bias"].astype(cdt)
         k = k + lp["k_bias"].astype(cdt)
@@ -314,13 +321,17 @@ def _block_tp(x: jax.Array, lp: Dict[str, jax.Array], cfg,
     k = _rope_packed(k, sin_s, cos_s, nkv_l, cfg.rope_full_precision)
 
     def att_piece(lo, size):
+        # bare=True: inside shard_map partitioning is manual, so the
+        # custom_partitioning wrapper is dead weight — and skipping it is
+        # what lets the AOT topology census compile this block with the
+        # real Mosaic kernel (attention_impl="pallas")
         return rope_attention_qonly(
             jax.lax.slice_in_dim(q, lo, lo + size, axis=1), k, v,
             jax.lax.slice_in_dim(sin_s, lo, lo + size, axis=0),
             jax.lax.slice_in_dim(cos_s, lo, lo + size, axis=0),
             bias=None, n_heads=nh_l, n_kv_heads=nkv_l,
             full_precision=cfg.rope_full_precision,
-            impl=cfg.attention_impl)
+            impl=cfg.attention_impl, bare=True)
 
     wo = lp["attn_out"].astype(cdt)
 
@@ -330,17 +341,18 @@ def _block_tp(x: jax.Array, lp: Dict[str, jax.Array], cfg,
     def part_b(k):
         return att_piece(g * C1 + k * C2, C2) @ wo
 
-    x = x + _ring_reduce_scatter(part_a, part_b, g)
+    x = x + _ring_reduce_scatter(part_a, part_b, g, permute=permute)
 
     h = _norm(x, lp["ff_norm"], cfg)
     gate_in, up = ring_ag_matmul(h, [lp["ff_proj"], lp["up_proj"]], g,
-                                 int8_payload=int8_payload)
-    x = x + ring_matmul_rs(jax.nn.silu(gate_in) * up, lp["ff_out"], g)
+                                 int8_payload=int8_payload, permute=permute)
+    x = x + ring_matmul_rs(jax.nn.silu(gate_in) * up, lp["ff_out"], g,
+                           permute=permute)
     return x
 
 
 def _stack_tp(x, blocks, sin, cos, cfg, g, axis=AXIS,
-              int8_payload=False):
+              int8_payload=False, permute=None):
     # σ-gather the RoPE tables once (rank-dependent, layer-invariant)
     r = jax.lax.axis_index(axis)
     pos = sigma_positions(g, x.shape[1], r)
@@ -349,7 +361,7 @@ def _stack_tp(x, blocks, sin, cos, cfg, g, axis=AXIS,
 
     def body(carry, lp):
         return _block_tp(carry, lp, cfg, sin_s, cos_s, g,
-                         int8_payload=int8_payload), None
+                         int8_payload=int8_payload, permute=permute), None
 
     x, _ = jax.lax.scan(body, x, blocks)
     return x
