@@ -35,6 +35,11 @@ import numpy as np
 TVS, CB = 64, 16
 GRID = 4                      # 4x4 codes -> 64x64px at patch 16
 N_VQ = GRID * GRID
+# 6 words (not 4): the eval sequence lands on total_len 64, divisible by
+# the ring-TP width 4 — so the trained demo checkpoint can also judge the
+# opt-in int8-payload ring's task-accuracy delta (the ring requires
+# L % g == 0; the prompt is a free demo choice)
+PROMPT = "shift the palette by one one"
 
 
 class WordTokA:
@@ -88,7 +93,7 @@ def write_grid_pickles(out_dir, n_items, rng):
                              "height": GRID * 16, "width": GRID * 16}, f)
             paths.append(p)
         items.append({"system_prompt": "edit",
-                      "user_prompt": "shift the palette by",
+                      "user_prompt": PROMPT,
                       "user_image": paths[0], "answer_image": paths[1],
                       "answer_text": "rotated colors done",
                       "_codes_in": codes_in})
@@ -100,7 +105,7 @@ def assemble_eval_sequence(tokz, T, codes_in):
     ``(ids, layout, ans_len)`` — shared by the demo eval loop and
     ``pararl_resteer_demo.py``."""
     from mmada_parallel_tpu import tokens as tk
-    cond, _ = tk.make_ti2ti_prompt("shift the palette by", "edit")
+    cond, _ = tk.make_ti2ti_prompt(PROMPT, "edit")
     prompt_ids = tokz(cond)["input_ids"]
     end_ids = tokz("</answer>", add_special_tokens=False)["input_ids"]
     ans_len = len(tokz("rotated colors done")["input_ids"])  # bos..eos
@@ -113,12 +118,15 @@ def assemble_eval_sequence(tokz, T, codes_in):
 
 
 def eval_a_model(params, cfg, T, tokz, seed=0, use_cached=False,
-                 **cache_kw):
+                 hidden_fn=None, **cache_kw):
     """Shared eval protocol for the trained A demo model: 4 seeded palette
     edits through the reference TI2TI template; returns ``(accs, codes,
     texts, inputs)``.  ``use_cached=True`` routes through the opt-in
     ``generate_ti2ti_cached`` (the README approximation-envelope protocol:
-    every opt-in path is judged by the accuracy delta on this task)."""
+    every opt-in path is judged by the accuracy delta on this task);
+    ``hidden_fn`` swaps the backbone (e.g. ``ring_hidden_fn(mesh,
+    int8_payload=True)`` — the eval sequence is ring-compatible: 64
+    tokens, maskless, B=1)."""
     import jax.numpy as jnp
     from mmada_parallel_tpu.samplers.parallel_ti2ti import (
         TI2TIOptions, generate_ti2ti, generate_ti2ti_cached)
@@ -139,7 +147,8 @@ def eval_a_model(params, cfg, T, tokz, seed=0, use_cached=False,
                 params, cfg, jnp.asarray(ids)[None], lay, opts, **cache_kw)
         else:
             fin, out_codes = generate_ti2ti(
-                params, cfg, jnp.asarray(ids)[None], lay, opts)
+                params, cfg, jnp.asarray(ids)[None], lay, opts,
+                hidden_fn=hidden_fn)
         got = np.asarray(out_codes)[0]   # raw codes
         want = (codes_in + 1) % CB
         accs.append(float((got == want).mean()))
@@ -152,7 +161,8 @@ def eval_a_model(params, cfg, T, tokz, seed=0, use_cached=False,
 
 
 def run_demo_a(steps=600, batch=32, lr=3e-3, out_dir=None, seed=0,
-               log_every=50, work_dir=None, return_params=False):
+               log_every=50, work_dir=None, return_params=False,
+               param_store=None):
     import jax
     import jax.numpy as jnp
     from mmada_parallel_tpu import tokens as tk
@@ -170,6 +180,17 @@ def run_demo_a(steps=600, batch=32, lr=3e-3, out_dir=None, seed=0,
                            mlp_hidden_size=256, vocab_size=T.full_vocab_size,
                            mask_token_id=T.mask)
     params = init_llada_params(jax.random.key(seed), cfg)
+    restored_from_store = False
+    if param_store and os.path.exists(param_store):
+        from mmada_parallel_tpu.utils.param_store import load_params
+        try:
+            params = load_params(param_store, params)
+            steps, restored_from_store = 0, True
+            print(f"[param_store] loaded trained params from "
+                  f"{param_store}; skipping training", file=sys.stderr)
+        except Exception as e:   # drift -> retrain
+            print(f"[param_store] unusable ({e!r}); retraining",
+                  file=sys.stderr)
 
     import atexit
     import shutil
@@ -226,6 +247,9 @@ def run_demo_a(steps=600, batch=32, lr=3e-3, out_dir=None, seed=0,
                   f"img {float(metrics['image_loss']):8.4f}  "
                   f"txt {float(metrics['text_loss']):8.4f}", file=sys.stderr)
     train_s = time.time() - t0
+    if param_store and not restored_from_store:
+        from mmada_parallel_tpu.utils.param_store import save_params
+        save_params(param_store, state.params)
 
     # ---- generation via the reference TI2TI template ----
     accs, gen_codes, gen_texts, inputs = eval_a_model(

@@ -20,8 +20,35 @@ import sys
 import numpy as np
 import pytest
 
+from conftest import fixture_store_path
+
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), "examples"))
+
+pytestmark = pytest.mark.heavy
+
+# sources whose changes must invalidate the cached trained fixtures: the
+# demo script plus the training stack it exercises (conftest docstring)
+_M_SOURCES = [
+    "examples/train_edit_demo.py",
+    "mmada_parallel_tpu/models/llada.py",
+    "mmada_parallel_tpu/training/losses.py",
+    "mmada_parallel_tpu/training/trainer.py",
+    "mmada_parallel_tpu/training/masking.py",
+    "mmada_parallel_tpu/training/lr_schedules.py",
+    "mmada_parallel_tpu/data/prompting.py",
+    "mmada_parallel_tpu/samplers/interleave.py",
+    "mmada_parallel_tpu/tokens.py",
+]
+_A_SOURCES = [
+    "examples/train_edit_demo_a.py",
+    "mmada_parallel_tpu/models/llada.py",
+    "mmada_parallel_tpu/training/losses.py",
+    "mmada_parallel_tpu/training/trainer.py",
+    "mmada_parallel_tpu/data/item_processor.py",
+    "mmada_parallel_tpu/samplers/parallel_ti2ti.py",
+    "mmada_parallel_tpu/tokens.py",
+]
 
 
 @pytest.fixture(scope="module")
@@ -34,9 +61,11 @@ def trained_m(tmp_path_factory):
     # half of random streams spiked around step 300-400 and plateaued
     # (surfaced in r3 when the masking draw pattern changed to the
     # reference's single-argsort form, which reshuffled the stream)
+    kw = dict(steps=800, batch=32, lr=1.5e-3, log_every=200)
     metrics, params, cfg, T, tokz = run_demo(
-        steps=800, batch=32, lr=1.5e-3, out_dir=str(out), log_every=200,
-        return_params=True)
+        out_dir=str(out), return_params=True,
+        param_store=fixture_store_path("edit_demo_m", _M_SOURCES, **kw),
+        **kw)
     return metrics, params, cfg, T, tokz, out
 
 
@@ -92,9 +121,11 @@ def trained_a(tmp_path_factory):
     from train_edit_demo_a import run_demo_a
 
     work = tmp_path_factory.mktemp("edit_demo_a")
+    kw = dict(steps=800, batch=32, lr=3e-3, log_every=400)
     m, params, cfg, T, tokz = run_demo_a(
-        steps=800, batch=32, lr=3e-3, out_dir=None, log_every=400,
-        work_dir=str(work / "grids"), return_params=True)
+        out_dir=None, work_dir=str(work / "grids"), return_params=True,
+        param_store=fixture_store_path("edit_demo_a", _A_SOURCES, **kw),
+        **kw)
     return m, params, cfg, T, tokz
 
 
@@ -106,6 +137,37 @@ def test_edit_demo_a_learns_and_generates(trained_a):
     m = trained_a[0]
     assert m["eval_code_accuracy"] >= 0.85, m
     assert m["generated_text"][0] == "rotated colors done"
+
+
+def test_int8_ring_preserves_trained_task_accuracy(trained_a):
+    """The opt-in int8-payload ring (`serve --tp_ring` with
+    ``int8_payload=True``) judged by the SAME unified protocol as every
+    other opt-in approximation: task-accuracy delta on the trained demo
+    checkpoint.  The demo template was sized for this (prompt chosen so
+    the eval sequence is 64 tokens — divisible by the ring width 4; see
+    ``train_edit_demo_a.PROMPT``).  The exact bf16 ring must match the
+    solo run identically at temperature 0; the int8 payload must hold
+    the trained-task accuracy within the envelope bar."""
+    import jax
+    from mmada_parallel_tpu.parallel import MeshConfig, make_mesh
+    from mmada_parallel_tpu.parallel.tp_overlap import ring_hidden_fn
+    from train_edit_demo_a import eval_a_model
+
+    m, params, cfg, T, tokz = trained_a
+    mesh = make_mesh(MeshConfig(data=1, fsdp=1, tensor=4),
+                     jax.devices()[:4])
+    base = m["eval_code_accuracy"]
+
+    accs, _, texts, _ = eval_a_model(params, cfg, T, tokz,
+                                     hidden_fn=ring_hidden_fn(mesh))
+    assert float(np.mean(accs)) == pytest.approx(base), (accs, base)
+    assert "rotated" in texts[0], texts
+
+    accs_q, _, texts_q, _ = eval_a_model(
+        params, cfg, T, tokz,
+        hidden_fn=ring_hidden_fn(mesh, int8_payload=True))
+    assert float(np.mean(accs_q)) >= base - 0.1, (accs_q, base)
+    assert "rotated" in texts_q[0], texts_q
 
 
 def test_a_cached_sampler_preserves_trained_task_accuracy(trained_a):

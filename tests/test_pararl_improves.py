@@ -6,6 +6,7 @@ The reward is :func:`make_target_match_reward` — fraction of generated image
 codes matching a fixed target image — a self-contained proxy for the paper's
 semantic scorers (``README.md:51``)."""
 
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -18,6 +19,8 @@ from mmada_parallel_tpu.training.pararl import (
     make_keyword_reward, code_diversity_reward, extract_image_codes)
 from mmada_parallel_tpu.training.trainer import (
     OptimizerConfig, make_optimizer, make_train_step, TrainState)
+
+pytestmark = pytest.mark.heavy
 
 T = tk.VariantATokens(mask=250, newline=251, answer_start=252,
                       answer_end=253, boi=254, eoi=255, uncondition=249,

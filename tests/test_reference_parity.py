@@ -38,9 +38,12 @@ torch = pytest.importorskip("torch")
 REF_A = "/root/reference/MMaDA-Parallel-A"
 REF_M = "/root/reference/MMaDA-Parallel-M"
 
-pytestmark = pytest.mark.skipif(
-    not (os.path.isdir(REF_A) and os.path.isdir(REF_M)),
-    reason="reference checkout not available")
+pytestmark = [
+    pytest.mark.heavy,
+    pytest.mark.skipif(
+        not (os.path.isdir(REF_A) and os.path.isdir(REF_M)),
+        reason="reference checkout not available"),
+]
 
 from mmada_parallel_tpu import tokens as tk
 from mmada_parallel_tpu.models.llada import (

@@ -173,6 +173,7 @@ def test_rejects_unsupported_shapes(mesh):
         llada_forward_tp_overlap(params, _tp_cfg(), ids, mesh1)
 
 
+@pytest.mark.heavy
 @pytest.mark.parametrize("kv", [8, 4])
 def test_ring_backbone_gradients_match_gspmd(mesh, kv):
     """The ring decomposition is differentiable: parameter gradients
@@ -218,6 +219,7 @@ def test_ring_backbone_gradients_match_gspmd(mesh, kv):
             err_msg=f"grad mismatch at {jax.tree_util.keystr(path)}")
 
 
+@pytest.mark.heavy
 @pytest.mark.parametrize("kv", [8, 4])
 def test_ring_train_step_matches_gspmd(mesh, kv):
     """Full training integration over the ring backbone: a jitted
@@ -374,6 +376,7 @@ def test_ring_8b_dims_partitioner_and_volume(mesh):
     assert wires[True] == pytest.approx(2 * wires[False], rel=0.02)
 
 
+@pytest.mark.heavy
 def test_generate_ti2ti_over_ring_tp_matches_solo(mesh):
     """End-to-end: the full fused TI2TI trajectory with the ring-TP
     backbone (``hidden_fn=ring_hidden_fn(mesh)``) reproduces the
@@ -424,6 +427,7 @@ def _TOK():
                              text_vocab_size=256, codebook_size=32)
 
 
+@pytest.mark.heavy
 def test_interleave_generate_over_ring_tp_matches_solo(mesh):
     """M-variant end-to-end over the ring backbone (cond+uncond batch-2
     forwards, the M production shape) == the solo run at temperature 0.
@@ -468,6 +472,7 @@ def test_interleave_generate_over_ring_tp_matches_solo(mesh):
                                   np.asarray(r_codes))
 
 
+@pytest.mark.heavy
 def test_ti2ti_server_over_ring_tp(mesh):
     """TI2TIServer with hidden_fn=ring_hidden_fn(mesh): exact-length
     grouping (the maskless-backbone contract), results equal the direct
@@ -573,6 +578,7 @@ def test_forward_int8_payload_fidelity(mesh):
     assert agree > 0.9, agree
 
 
+@pytest.mark.heavy
 def test_generate_ti2ti_int8_payload_trajectory(mesh):
     """Trajectory-level agreement of the int8-payload ring vs the exact
     ring on a RANDOM toy (worst case, same protocol as the other opt-in
