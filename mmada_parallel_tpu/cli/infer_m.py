@@ -46,7 +46,18 @@ def load_pipeline(checkpoint: str, vq_checkpoint: str):
                               compute_dtype=jnp.bfloat16)
     params = jax.tree_util.tree_map(lambda x: jnp.asarray(x, jnp.bfloat16),
                                     params)
+    # honor a config.json in the VQ dir (the reference's from_pretrained
+    # reads the architecture from the checkpoint, MMaDA-Parallel-M/
+    # models/modeling_magvitv2.py); absent one, the production defaults
     vq_cfg = MagvitConfig()
+    vq_cfg_path = os.path.join(vq_checkpoint, "config.json")
+    if os.path.exists(vq_cfg_path):
+        import json
+        names = {f.name for f in dataclasses.fields(MagvitConfig)}
+        with open(vq_cfg_path) as f:
+            fields = {k: (tuple(v) if isinstance(v, list) else v)
+                      for k, v in json.load(f).items() if k in names}
+        vq_cfg = MagvitConfig(**fields)
     vq_tensors = CV.load_safetensors_dir(vq_checkpoint)
     vq_params = CV.magvit_params_from_torch(vq_tensors, vq_cfg)
     return InterleavePipeline(cfg, params, vq_cfg, vq_params, tokenizer)

@@ -174,7 +174,9 @@ def amused_quantize(params: Dict[str, Any], cfg: AmusedVQConfig,
     distance; the reference consumes ``[2][2]`` = indices,
     ``image_utils.py:167``)."""
     B, H, W, D = latents.shape
-    emb = params["quant"]["embedding"].astype(jnp.float32)       # [N, D]
+    # jnp.asarray (not .astype): params straight off safetensors are host
+    # numpy arrays, and numpy fancy-indexing with a traced idx fails
+    emb = jnp.asarray(params["quant"]["embedding"], jnp.float32)  # [N, D]
     z = latents.astype(jnp.float32).reshape(-1, D)
     d = (jnp.sum(z * z, axis=1, keepdims=True)
          - 2.0 * z @ emb.T
