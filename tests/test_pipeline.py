@@ -133,3 +133,48 @@ def test_interleave_demo_stream_frames(tmp_path):
     pcts = [r["image_masked_pct"] for r in recs]
     assert all(a >= b for a, b in zip(pcts, pcts[1:]))
     assert preview.size == (16, 16)
+
+
+def test_ti2ti_demo_stream_full_knobs(ti2ti_pipe, tmp_path):
+    """run_stream drives the A-variant stepwise sampler with the full demo
+    knob surface — painting mode AND both CFG prefixes (reference
+    ``app.py:460-522``) — and streams shrinking-mask frames."""
+    import json
+    from mmada_parallel_tpu.cli.demo import run_stream
+
+    opts = TI2TIOptions(text_steps=6, timesteps=2, temperature=0.0,
+                        text_temperature=0.0, cfg_scale=2.5, cfg_img=4.0)
+    out = tmp_path / "frames"
+    text, preview = run_stream(ti2ti_pipe, "fill the hole", _img(), 32, 32,
+                               opts, 8, 3, str(out),
+                               painting_mode="inpainting",
+                               mask_h_ratio=0.5, mask_w_ratio=0.5)
+    recs = [json.loads(l) for l in open(out / "status.jsonl")]
+    assert recs and recs[-1]["step"] == opts.text_steps
+    pcts = [r["image_masked_pct"] for r in recs]
+    # inpainting: visible tokens mean the span never starts fully masked
+    assert pcts[0] < 100.0
+    assert all(a >= b for a, b in zip(pcts, pcts[1:]))
+    assert preview.size == (32, 32)
+    assert isinstance(text, str) and text
+
+
+def test_demo_knobs_to_options():
+    """The UI knob mapper mirrors the reference panel's functional knobs
+    (``app.py:646-681``; its Block Length slider is collected but never
+    forwarded to the sampler, so it is deliberately absent here)."""
+    from mmada_parallel_tpu.cli.demo import knobs_to_options
+
+    opts, paint = knobs_to_options(
+        text_steps=64, cfg_scale=2.5, cfg_img=4.0, temperature=1.0,
+        text_temperature=0.7, remasking="random",
+        painting_mode="outpainting", mask_h_ratio=0.3, mask_w_ratio=0.9)
+    assert opts.text_steps == 64 and opts.timesteps == 19
+    assert opts.cfg_scale == 2.5 and opts.cfg_img == 4.0
+    assert opts.remasking == "random"
+    assert paint == {"painting_mode": "outpainting",
+                     "mask_h_ratio": 0.3, "mask_w_ratio": 0.9}
+    # gradio's None dropdown value stays falsy for run_stream
+    _, paint_off = knobs_to_options(32, 0, 0, 1, 0, "low_confidence",
+                                    None, 0.5, 0.5)
+    assert paint_off["painting_mode"] is None
