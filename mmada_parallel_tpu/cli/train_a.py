@@ -52,6 +52,10 @@ def build_parser():
                         "q and kv head counts divisible by the ring size "
                         "(A training is already maskless, so the ring "
                         "path's no-padding-mask contract holds)")
+    p.add_argument("--cache_ann_on_disk", action="store_true",
+                   help="process 0 builds a shared mmap annotation cache; "
+                        "other processes spin-wait on its ready sentinel "
+                        "(reference finetune.py:182)")
     p.add_argument("--tokenizer", type=str, default=None)
     p.add_argument("--tiny_model", action="store_true",
                    help="debug: random tiny model instead of a checkpoint")
@@ -125,7 +129,9 @@ def main(argv=None):
         tokenizer = AutoTokenizer.from_pretrained(tok_src,
                                                   trust_remote_code=True)
     proc = AItemProcessor(tokenizer, max_len=args.max_seq_len)
-    ds = MetaDataset(args.data_config, proc)
+    ds = MetaDataset(args.data_config, proc,
+                     cache_on_disk=args.cache_ann_on_disk,
+                     rank=jax.process_index())
     sampler = LengthClusteredSampler(
         ds.lengths(), ds.types, batch_size=args.batch_size,
         world_size=jax.process_count(), rank=jax.process_index(),

@@ -11,17 +11,26 @@ Mirrors the A-variant data stack:
   windows), grad-accum grouping, and ``set_epoch(epoch, start_iter)``
   mid-epoch resume (``xllm/data/sampler.py:50-222``).
 
-The reference's rank0-builds-h5-cache dance (``dataset.py:99-145``) is
-unnecessary here: annotation lists are loaded per process (hosts are fat on
-TPU pods) and token caching belongs to the pre-tokenizer.
+The reference's rank0-builds-h5-cache dance (``dataset.py:99-145``) has a
+host-native equivalent here: ``cache_on_disk=True`` makes process 0 build an
+offset-indexed JSON blob store next to the config, write a ``ready``
+sentinel, and every process (including 0) then reads items lazily through
+one shared ``mmap`` of the file — on a fat TPU host running several
+processes, the page cache holds ONE copy of a multi-GB annotation list
+instead of one deserialized copy per process, which is exactly what the
+reference's h5 file buys its ranks.  Token caching still belongs to the
+pre-tokenizer.
 """
 
 from __future__ import annotations
 
 import dataclasses
+import hashlib
 import json
+import os
 import pickle
 import random
+import time
 from typing import Any, Callable, Dict, Iterator, List, Optional, Sequence
 
 import numpy as np
@@ -30,33 +39,154 @@ import yaml
 __all__ = ["MetaDataset", "LengthClusteredSampler"]
 
 
+_BLOB_MAGIC = b"MPTBLOB1"
+
+
+def _write_blob_store(path: str, records: Sequence[bytes]) -> None:
+    """Offset-indexed byte-blob file: magic, count, offsets u64[n+1], bytes.
+
+    Written to ``path + '.tmp'`` then renamed so readers never see a
+    half-written store.
+    """
+    offsets = np.zeros(len(records) + 1, dtype=np.uint64)
+    for i, r in enumerate(records):
+        offsets[i + 1] = offsets[i] + len(r)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(_BLOB_MAGIC)
+        f.write(np.asarray([len(records)], dtype=np.uint64).tobytes())
+        f.write(offsets.tobytes())
+        for r in records:
+            f.write(r)
+    os.replace(tmp, path)
+
+
+class _BlobStore(Sequence):
+    """mmap-backed lazy reader for :func:`_write_blob_store` files."""
+
+    def __init__(self, path: str):
+        with open(path, "rb") as f:
+            if f.read(8) != _BLOB_MAGIC:
+                raise ValueError(f"not a blob store: {path}")
+            (self._n,) = np.frombuffer(f.read(8), dtype=np.uint64)
+        self._n = int(self._n)
+        head = 16 + 8 * (self._n + 1)
+        self._offsets = np.memmap(path, dtype=np.uint64, mode="r",
+                                  offset=16, shape=(self._n + 1,))
+        self._data = np.memmap(path, dtype=np.uint8, mode="r", offset=head)
+
+    def __len__(self) -> int:
+        return self._n
+
+    def __getitem__(self, i: int) -> bytes:
+        if not 0 <= i < self._n:
+            raise IndexError(i)
+        a, b = int(self._offsets[i]), int(self._offsets[i + 1])
+        return self._data[a:b].tobytes()
+
+
+class _LazyJsonList(Sequence):
+    """Decodes one annotation per access from a :class:`_BlobStore`."""
+
+    def __init__(self, store: _BlobStore):
+        self._store = store
+
+    def __len__(self) -> int:
+        return len(self._store)
+
+    def __getitem__(self, i: int):
+        return json.loads(self._store[i])
+
+
+def _load_annotations(cfg: Dict) -> tuple:
+    annotations: List[Dict] = []
+    types: List[str] = []
+    for meta in cfg["META"]:
+        path = meta["path"]
+        mtype = meta.get("type", "default")
+        if path.endswith(".json"):
+            with open(path) as f:
+                items = json.load(f)
+        elif path.endswith(".jsonl"):
+            with open(path) as f:
+                items = [json.loads(l) for l in f if l.strip()]
+        elif path.endswith((".pkl", ".pth")):
+            with open(path, "rb") as f:
+                items = pickle.load(f)
+        else:
+            raise ValueError(f"unsupported annotation format: {path}")
+        ratio = meta.get("ratio")
+        if ratio is not None and ratio < 1.0:
+            rng = random.Random(0)
+            items = rng.sample(items, int(len(items) * ratio))
+        annotations.extend(items)
+        types.extend([mtype] * len(items))
+    return annotations, types
+
+
+def _cache_key(config_path: str, cfg: Dict) -> str:
+    """Config bytes + each annotation file's (size, mtime) — a changed
+    source invalidates the cache, mirroring a rebuilt h5."""
+    h = hashlib.sha256()
+    with open(config_path, "rb") as f:
+        h.update(f.read())
+    for meta in cfg["META"]:
+        st = os.stat(meta["path"])
+        h.update(f"{meta['path']}:{st.st_size}:{st.st_mtime_ns}".encode())
+    return h.hexdigest()[:16]
+
+
 class MetaDataset:
-    def __init__(self, config_path: str, item_processor: Any = None):
+    """YAML ``META`` dataset with optional shared on-disk cache.
+
+    ``cache_on_disk=True`` reproduces the reference's rank0-builds /
+    others-spin-wait protocol (``xllm/data/dataset.py:99-145``): the
+    process with ``rank == 0`` parses the annotation sources once, writes
+    an offset-indexed blob store plus a ``ready`` sentinel (both via
+    tmp+rename, so a crash mid-build never publishes a torn cache), and
+    every other process polls for the sentinel before mmap-opening the
+    store. Items decode lazily per access; the OS page cache shares the
+    bytes across all processes on the host.
+    """
+
+    def __init__(self, config_path: str, item_processor: Any = None,
+                 cache_on_disk: bool = False,
+                 cache_dir: Optional[str] = None, rank: int = 0,
+                 cache_wait_s: float = 600.0):
         with open(config_path) as f:
             cfg = yaml.safe_load(f)
         self.item_processor = item_processor
-        self.annotations: List[Dict] = []
-        self.types: List[str] = []
-        for meta in cfg["META"]:
-            path = meta["path"]
-            mtype = meta.get("type", "default")
-            if path.endswith(".json"):
-                with open(path) as f:
-                    items = json.load(f)
-            elif path.endswith(".jsonl"):
-                with open(path) as f:
-                    items = [json.loads(l) for l in f if l.strip()]
-            elif path.endswith((".pkl", ".pth")):
-                with open(path, "rb") as f:
-                    items = pickle.load(f)
-            else:
-                raise ValueError(f"unsupported annotation format: {path}")
-            ratio = meta.get("ratio")
-            if ratio is not None and ratio < 1.0:
-                rng = random.Random(0)
-                items = rng.sample(items, int(len(items) * ratio))
-            self.annotations.extend(items)
-            self.types.extend([mtype] * len(items))
+        if not cache_on_disk:
+            self.annotations, self.types = _load_annotations(cfg)
+            return
+        key = _cache_key(config_path, cfg)
+        cdir = cache_dir or config_path + ".cache"
+        os.makedirs(cdir, exist_ok=True)
+        blob = os.path.join(cdir, f"annotations-{key}.blob")
+        types_path = os.path.join(cdir, f"annotations-{key}.types.json")
+        ready = blob + ".ready"
+        if rank == 0 and not os.path.exists(ready):
+            annotations, types = _load_annotations(cfg)
+            _write_blob_store(
+                blob, [json.dumps(a).encode() for a in annotations])
+            tmp = types_path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(types, f)
+            os.replace(tmp, types_path)
+            with open(ready + ".tmp", "w") as f:
+                f.write("ready\n")
+            os.replace(ready + ".tmp", ready)
+        else:
+            deadline = time.monotonic() + cache_wait_s
+            while not os.path.exists(ready):
+                if time.monotonic() > deadline:
+                    raise TimeoutError(
+                        f"rank {rank}: annotation cache never became ready "
+                        f"({ready}); is rank 0 alive?")
+                time.sleep(0.05)
+        self.annotations = _LazyJsonList(_BlobStore(blob))
+        with open(types_path) as f:
+            self.types = json.load(f)
 
     def __len__(self):
         return len(self.annotations)

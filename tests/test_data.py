@@ -118,6 +118,83 @@ def test_meta_dataset_and_sampler(tmp_path):
     assert resumed == batches[4:]  # 2 global batches x acc_grad 2
 
 
+def _write_meta_config(tmp_path, items, name="a.json"):
+    ann = tmp_path / name
+    ann.write_text(json.dumps(items))
+    cfgf = tmp_path / "data.yaml"
+    cfgf.write_text(f"META:\n  - path: {ann}\n    type: edit\n")
+    return cfgf, ann
+
+
+def test_meta_dataset_disk_cache_roundtrip(tmp_path):
+    """cache_on_disk items/types/lengths match the eager path exactly."""
+    from mmada_parallel_tpu.data.dataset import _LazyJsonList
+
+    items = [{"input_ids": list(range(i % 5 + 1)), "k": f"v{i}"}
+             for i in range(40)]
+    cfgf, _ = _write_meta_config(tmp_path, items)
+    eager = MetaDataset(str(cfgf))
+    cached = MetaDataset(str(cfgf), cache_on_disk=True, rank=0)
+    assert isinstance(cached.annotations, _LazyJsonList)
+    assert len(cached) == len(eager) == 40
+    assert list(cached.annotations) == list(eager.annotations)
+    assert cached.types == eager.types
+    assert cached.lengths() == eager.lengths()
+    assert cached.get_raw(7) == eager.get_raw(7)
+    # a second rank-0 construction reuses the published cache: the blob's
+    # mtime must not change (no rebuild)
+    cdir = str(cfgf) + ".cache"
+    blobs = [f for f in os.listdir(cdir) if f.endswith(".blob")]
+    assert len(blobs) == 1
+    before = os.path.getmtime(os.path.join(cdir, blobs[0]))
+    again = MetaDataset(str(cfgf), cache_on_disk=True, rank=0)
+    assert os.path.getmtime(os.path.join(cdir, blobs[0])) == before
+    assert list(again.annotations) == list(eager.annotations)
+
+
+def test_meta_dataset_cache_spinwait_and_timeout(tmp_path):
+    """Non-zero ranks spin-wait for rank 0's ready sentinel
+    (reference ``xllm/data/dataset.py:99-145`` protocol)."""
+    import threading
+    import time
+
+    items = [{"input_ids": [i]} for i in range(8)]
+    cfgf, _ = _write_meta_config(tmp_path, items)
+
+    # no rank 0 anywhere: rank 1 must time out, not hang
+    with pytest.raises(TimeoutError):
+        MetaDataset(str(cfgf), cache_on_disk=True, rank=1, cache_wait_s=0.2)
+
+    result = {}
+
+    def rank1():
+        ds = MetaDataset(str(cfgf), cache_on_disk=True, rank=1,
+                         cache_wait_s=30.0)
+        result["items"] = list(ds.annotations)
+
+    t = threading.Thread(target=rank1)
+    t.start()
+    time.sleep(0.3)  # rank 1 is now polling
+    ds0 = MetaDataset(str(cfgf), cache_on_disk=True, rank=0)
+    t.join(timeout=30)
+    assert not t.is_alive()
+    assert result["items"] == list(ds0.annotations) == items
+
+
+def test_meta_dataset_cache_invalidation(tmp_path):
+    """Changed annotation source => new cache key => rank 0 rebuilds."""
+    items = [{"input_ids": [1]}]
+    cfgf, ann = _write_meta_config(tmp_path, items)
+    ds1 = MetaDataset(str(cfgf), cache_on_disk=True, rank=0)
+    assert list(ds1.annotations) == items
+    items2 = [{"input_ids": [1, 2, 3]}, {"input_ids": [4]}]
+    ann.write_text(json.dumps(items2))
+    ds2 = MetaDataset(str(cfgf), cache_on_disk=True, rank=0)
+    assert list(ds2.annotations) == items2
+    cdir = str(cfgf) + ".cache"
+    assert len([f for f in os.listdir(cdir) if f.endswith(".blob")]) == 2
+
+
 def test_universal_prompting_t2i_layout():
     up = UniversalPrompting(FakeTokenizer(), max_text_len=8,
                             cond_dropout_prob=0.0)
