@@ -7,8 +7,10 @@ commented out, ``MMaDA-Parallel-A/README.md:149-150``): train (or load)
 the palette-edit demo checkpoint, build a batch of held-out edit
 requests, sweep them through ``evaluation.run_parabench_sweep``
 (bucketed batched fused sampler), score each output with
-``eval_scorers.default_edit_scorer`` (consistency / target_match /
-text_alignment / code_diversity), and aggregate.
+``eval_scorers.pixel_edit_scorer(default_edit_scorer)`` (consistency /
+target_match / text_alignment / code_diversity, plus decoded-pixel
+PSNR/SSIM through the demo's deterministic palette decoder), and
+aggregate.
 
 Run: ``python examples/parabench_demo.py [--out results_ti2ti/parabench_demo]``
 """
@@ -50,7 +52,8 @@ def build_requests(tokz, T, n_requests=8, seed=0):
 def run(out_dir=None, n_requests=8, steps=800, seed=0):
     from mmada_parallel_tpu.evaluation import run_parabench_sweep
     from mmada_parallel_tpu.eval_scorers import (aggregate_scores,
-                                                 default_edit_scorer)
+                                                 default_edit_scorer,
+                                                 pixel_edit_scorer)
     from mmada_parallel_tpu.samplers.parallel_ti2ti import TI2TIOptions
     from train_edit_demo_a import CB, GRID, TVS, run_demo_a
 
@@ -69,11 +72,23 @@ def run(out_dir=None, n_requests=8, steps=800, seed=0):
                         text_vocab_size=TVS, codebook_size=CB,
                         mask_token=T.mask)
     end_ids = tokz("</answer>", add_special_tokens=False)["input_ids"]
+
+    # pixel axes: the demo's "decoder" maps each palette code to a fixed
+    # RGB color — deterministic, so PSNR/SSIM against the decoded
+    # input/target measure the edit in pixel space as well as code space
+    cvec = np.arange(CB)
+    palette = np.stack([(cvec % CB) / CB, (cvec * 7 % CB) / CB,
+                        (cvec * 3 % CB) / CB], axis=-1)
+
+    def decode(codes):
+        return palette[np.asarray(codes).reshape(GRID, GRID) % CB]
+
+    scorer = pixel_edit_scorer(decode, base=default_edit_scorer())
     sweep = run_parabench_sweep(
         params, cfg, requests, grid_hw=(GRID, GRID),
         text_gen_length=ans_len, end_token_ids=end_ids, opts=opts,
         batch_size=4, tokenizer=tokz, seed=seed,
-        scorer=default_edit_scorer(), tokens=T)
+        scorer=scorer, tokens=T)
 
     agg = aggregate_scores(sweep["results"])
     metrics = {
@@ -87,7 +102,8 @@ def run(out_dir=None, n_requests=8, steps=800, seed=0):
              "scores": {k: (round(v, 4) if isinstance(v, float) else v)
                         for k, v in r["scores"].items()}}
             for r in sweep["results"]],
-        "scorer": "eval_scorers.default_edit_scorer (local proxies; "
+        "scorer": "eval_scorers.pixel_edit_scorer(default_edit_scorer) "
+                  "(local proxies incl. decoded-pixel PSNR/SSIM; "
                   "not comparable to published GPT-judged ParaBench "
                   "numbers)",
     }

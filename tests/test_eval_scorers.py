@@ -15,8 +15,9 @@ from conftest import fixture_store_path
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), "examples"))
 
-from mmada_parallel_tpu.eval_scorers import (aggregate_scores,
-                                             default_edit_scorer)
+from mmada_parallel_tpu.eval_scorers import (PSNR_CAP_DB, aggregate_scores,
+                                             default_edit_scorer,
+                                             pixel_edit_scorer, psnr, ssim)
 from mmada_parallel_tpu.evaluation import EvalRequest
 
 
@@ -36,6 +37,68 @@ def test_default_scorer_fields():
     agg = aggregate_scores([{"scores": s}, {"scores": s2}])
     assert agg["code_diversity"] == pytest.approx(0.625)
     assert agg["target_match"] == 0.75      # present in one entry only
+
+
+def test_psnr_ssim_properties():
+    rng = np.random.default_rng(0)
+    a = rng.random((32, 32, 3))
+    # identity: PSNR capped, SSIM exactly 1
+    assert psnr(a, a) == PSNR_CAP_DB
+    assert ssim(a, a) == pytest.approx(1.0)
+    # monotone under growing noise
+    small = np.clip(a + rng.normal(0, 0.02, a.shape), 0, 1)
+    big = np.clip(a + rng.normal(0, 0.2, a.shape), 0, 1)
+    assert psnr(a, small) > psnr(a, big)
+    assert 1.0 > ssim(a, small) > ssim(a, big)
+    # known PSNR: uniform offset of 0.1 -> MSE 0.01 -> 20 dB
+    assert psnr(np.zeros((8, 8)), np.full((8, 8), 0.1)) == pytest.approx(20.0)
+    # grayscale + tiny images (window clamps) still score
+    assert ssim(np.zeros((4, 4)), np.zeros((4, 4))) == pytest.approx(1.0)
+    with pytest.raises(ValueError):
+        ssim(np.zeros((4, 4)), np.zeros((5, 4)))
+
+
+def test_edit_locality_axes():
+    scorer = default_edit_scorer()
+    inp = [1, 1, 1, 1, 2, 2, 2, 2]
+    mask = [True] * 4 + [False] * 4        # the edit should hit codes 0-3
+    req = EvalRequest(prompt_ids=[1], meta={"input_codes": inp,
+                                            "edit_mask": mask})
+    # perfect edit: whole region changed, everything else preserved
+    s = scorer(req, None, np.array([9, 9, 9, 9, 2, 2, 2, 2]))
+    assert s["region_change"] == 1.0
+    assert s["offregion_survival"] == 1.0
+    # sloppy edit: half the region untouched, one collateral change outside
+    s = scorer(req, None, np.array([9, 9, 1, 1, 2, 2, 2, 5]))
+    assert s["region_change"] == 0.5
+    assert s["offregion_survival"] == 0.75
+    # no mask in meta -> axes absent
+    s = scorer(EvalRequest(prompt_ids=[1], meta={"input_codes": inp}),
+               None, np.asarray(inp))
+    assert "region_change" not in s and "offregion_survival" not in s
+
+
+def test_pixel_edit_scorer_composes():
+    palette = np.array([[0.0, 0.0, 0.0], [1.0, 0.0, 0.0],
+                        [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]])
+
+    def decode(codes):
+        return palette[np.asarray(codes).reshape(4, 4) % 4]
+
+    scorer = pixel_edit_scorer(decode)
+    inp = list(range(16))
+    req = EvalRequest(prompt_ids=[1], meta={
+        "input_codes": inp, "target_codes": [(c + 1) % 4 for c in inp]})
+    out_codes = np.array([(c + 1) % 4 for c in inp])  # = the target
+    s = scorer(req, "text", out_codes)
+    # base axes still present, pixel axes added
+    assert s["target_match"] == 1.0
+    assert s["pixel_target_psnr"] == PSNR_CAP_DB
+    assert s["pixel_target_ssim"] == pytest.approx(1.0)
+    assert s["pixel_consistency_psnr"] < PSNR_CAP_DB
+    assert s["pixel_consistency_ssim"] < 1.0
+    # deterministic
+    assert scorer(req, "text", out_codes) == s
 
 
 @pytest.mark.heavy
