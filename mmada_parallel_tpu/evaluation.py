@@ -28,12 +28,24 @@ from mmada_parallel_tpu.samplers.parallel_ti2ti import (TI2TIOptions,
                                                         generate_ti2ti,
                                                         decode_text)
 
-__all__ = ["EvalRequest", "run_parabench_sweep"]
+__all__ = ["EvalRequest", "InterleaveEvalRequest", "run_parabench_sweep",
+           "run_interleave_sweep"]
 
 
 @dataclasses.dataclass
 class EvalRequest:
     prompt_ids: Sequence[int]          # assembled conditional prompt ids
+    meta: Optional[Dict] = None
+
+
+@dataclasses.dataclass
+class InterleaveEvalRequest:
+    """One variant-M sweep item: a raw instruction plus exactly one of
+    ``codes`` (VQ-offset image tokens, ``[num_vq_tokens]``) or ``image``
+    (pixels for on-device MagViT encode)."""
+    instr_ids: Sequence[int]
+    codes: Optional[np.ndarray] = None
+    image: Optional[Any] = None
     meta: Optional[Dict] = None
 
 
@@ -139,4 +151,77 @@ def run_parabench_sweep(
         "total_time_s": total_time,
         "edits_per_min": 60.0 * n / max(total_time, 1e-9),
         "edits_per_min_per_chip": 60.0 * n / max(total_time, 1e-9) / n_dev,
+    }
+
+
+def run_interleave_sweep(
+    params: Any,
+    cfg: LLaDAConfig,
+    requests: Sequence["InterleaveEvalRequest"],
+    num_vq_tokens: int,
+    opts: Any = None,
+    max_seq_length: int = 256,
+    batch_size: int = 4,
+    tokenizer=None,
+    get_code: Optional[Callable] = None,
+    scorer: Optional[Callable] = None,
+    tokens: tk.VariantMTokens = tk.TOKENS_M,
+    seed: int = 42,
+    use_cache: bool = False,
+    cache_kw: Optional[Dict[str, Any]] = None,
+    warmup_lens: Optional[Sequence[int]] = None,
+) -> Dict[str, Any]:
+    """Variant-M counterpart of :func:`run_parabench_sweep`.
+
+    Rather than re-deriving the interleave batch assembly (cond/uncond
+    rows, eos-padded attended uncond tail, maskless exact-length grouping
+    for the cached path — all pinned in ``tests/test_serving.py``), the
+    sweep drives :class:`mmada_parallel_tpu.serving.InterleaveServer`:
+    every request is submitted concurrently, the server's worker groups
+    compatible rows into one compiled ragged-batch ``interleave_generate``
+    call per bucket, and each result is scored with the same
+    ``scorer(request, text, codes)`` interface the A sweep takes (codes
+    are raw codebook indices, matching ``interleave_generate``'s return).
+    """
+    import concurrent.futures as cf
+
+    from mmada_parallel_tpu.samplers.interleave import InterleaveOptions
+    from mmada_parallel_tpu.serving import InterleaveServer
+
+    server = InterleaveServer(
+        params, cfg, opts if opts is not None else InterleaveOptions(),
+        num_vq_tokens=num_vq_tokens, max_seq_length=max_seq_length,
+        batch_size=batch_size, tokenizer=tokenizer, get_code=get_code,
+        tokens=tokens, seed=seed, use_cache=use_cache, cache_kw=cache_kw)
+    try:
+        if warmup_lens:
+            server.warmup(warmup_lens)
+        t0 = time.time()
+        with cf.ThreadPoolExecutor(max_workers=max(len(requests), 1)) as ex:
+            futs = [ex.submit(server.submit, r.instr_ids, codes=r.codes,
+                              image=r.image) for r in requests]
+            outs = [f.result() for f in futs]
+        total_time = time.time() - t0
+        stats = server.stats()
+    finally:
+        server.close()
+
+    results: List[Dict] = []
+    for i, (r, o) in enumerate(zip(requests, outs)):
+        text = o["text"] if isinstance(o["text"], str) else None
+        entry = {"index": i, "text": text, "text_ids": o["text_ids"],
+                 "codes": o["codes"], "meta": r.meta}
+        if scorer is not None:
+            entry["scores"] = scorer(r, text, o["codes"])
+        results.append(entry)
+
+    n = len(requests)
+    n_dev = len(jax.devices())
+    return {
+        "results": results,
+        "num_requests": n,
+        "total_time_s": total_time,
+        "gens_per_min": 60.0 * n / max(total_time, 1e-9),
+        "gens_per_min_per_chip": 60.0 * n / max(total_time, 1e-9) / n_dev,
+        "server_stats": stats,
     }

@@ -270,6 +270,44 @@ def test_interleave_server_image_encode(model):
         server.close()
 
 
+def test_run_interleave_sweep_matches_solo_and_scores(model):
+    """The M eval sweep (evaluation.run_interleave_sweep) produces
+    per-request outputs identical to solo interleave_generate runs, plus
+    scores from the shared scorer interface."""
+    from mmada_parallel_tpu.eval_scorers import default_edit_scorer
+    from mmada_parallel_tpu.evaluation import (InterleaveEvalRequest,
+                                               run_interleave_sweep)
+
+    cfg, params = model
+    rng = np.random.default_rng(11)
+    reqs = []
+    for instr in (list(range(10, 14)), list(range(30, 37)),
+                  list(range(60, 62))):
+        codes = rng.integers(TVS, TVS + CB, N_VQ)
+        reqs.append(InterleaveEvalRequest(
+            instr_ids=instr, codes=codes,
+            meta={"input_codes": (codes - TOK_M.vq_offset).tolist()}))
+
+    sweep = run_interleave_sweep(
+        params, cfg, reqs, num_vq_tokens=N_VQ, opts=M_OPTS,
+        max_seq_length=MSL, batch_size=3, tokens=TOK_M,
+        scorer=default_edit_scorer())
+    assert sweep["num_requests"] == 3
+    assert sweep["server_stats"]["requests"] == 3
+    for i, r in enumerate(reqs):
+        want_text, want_codes = _m_solo(cfg, params, list(r.instr_ids),
+                                        np.asarray(r.codes))
+        got = sweep["results"][i]
+        np.testing.assert_array_equal(got["text_ids"], want_text,
+                                      err_msg=f"row {i} text")
+        np.testing.assert_array_equal(got["codes"], want_codes,
+                                      err_msg=f"row {i} codes")
+        s = got["scores"]
+        assert 0.0 <= s["consistency"] <= 1.0
+        assert 0.0 < s["code_diversity"] <= 1.0
+    assert sweep["gens_per_min"] > 0
+
+
 def test_http_serve_cli_variant_m(model, monkeypatch):
     """Drive cli/serve.py --variant m over localhost HTTP (tiny model)."""
     import mmada_parallel_tpu.cli.serve as sv
