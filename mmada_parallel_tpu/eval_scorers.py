@@ -99,15 +99,17 @@ def default_edit_scorer() -> Callable:
 
     def scorer(request, text: Optional[str], codes) -> Dict[str, Any]:
         meta = request.meta or {}
-        codes = np.asarray(codes).reshape(-1)
+        # codes is None for text-only sweeps (run_mmu_sweep) — skip the
+        # code axes so one default scorer serves every sweep flavor
+        codes = None if codes is None else np.asarray(codes).reshape(-1)
         out: Dict[str, Any] = {}
-        if meta.get("input_codes") is not None:
+        if codes is not None and meta.get("input_codes") is not None:
             inp = np.asarray(meta["input_codes"]).reshape(-1)
             out["consistency"] = float((codes == inp).mean())
-        if meta.get("target_codes") is not None:
+        if codes is not None and meta.get("target_codes") is not None:
             tgt = np.asarray(meta["target_codes"]).reshape(-1)
             out["target_match"] = float((codes == tgt).mean())
-        if (meta.get("edit_mask") is not None
+        if (codes is not None and meta.get("edit_mask") is not None
                 and meta.get("input_codes") is not None):
             m = np.asarray(meta["edit_mask"], dtype=bool).reshape(-1)
             inp = np.asarray(meta["input_codes"]).reshape(-1)
@@ -121,8 +123,9 @@ def default_edit_scorer() -> Callable:
             low = text.lower()
             out["text_alignment"] = float(
                 np.mean([kw.lower() in low for kw in kws]))
-        out["code_diversity"] = float(
-            len(np.unique(codes)) / max(codes.size, 1))
+        if codes is not None:
+            out["code_diversity"] = float(
+                len(np.unique(codes)) / max(codes.size, 1))
         out["text_len"] = len(text) if isinstance(text, str) else 0
         return out
 

@@ -28,13 +28,30 @@ from mmada_parallel_tpu.samplers.parallel_ti2ti import (TI2TIOptions,
                                                         generate_ti2ti,
                                                         decode_text)
 
-__all__ = ["EvalRequest", "InterleaveEvalRequest", "run_parabench_sweep",
-           "run_interleave_sweep"]
+__all__ = ["EvalRequest", "InterleaveEvalRequest", "T2IEvalRequest",
+           "MMUEvalRequest", "run_parabench_sweep", "run_interleave_sweep",
+           "run_t2i_sweep", "run_mmu_sweep"]
 
 
 @dataclasses.dataclass
 class EvalRequest:
     prompt_ids: Sequence[int]          # assembled conditional prompt ids
+    meta: Optional[Dict] = None
+
+
+@dataclasses.dataclass
+class T2IEvalRequest:
+    """One text-to-image sweep item: raw text ids (templated by the
+    server into ``[<|t2i|>] bos text eos``, ``prompting_utils.py``)."""
+    text_ids: Sequence[int]
+    meta: Optional[Dict] = None
+
+
+@dataclasses.dataclass
+class MMUEvalRequest:
+    """One multimodal-understanding sweep item: the fully assembled MMU
+    prompt (``[<|mmu|>][soi] image [eoi]`` + question)."""
+    prompt_ids: Sequence[int]
     meta: Optional[Dict] = None
 
 
@@ -154,6 +171,39 @@ def run_parabench_sweep(
     }
 
 
+def _drive_server(server, submit_calls, warmup_lens=None):
+    """Submit thunks concurrently against a batch server so its worker can
+    group compatible rows; returns ``(outputs, total_time_s, stats)`` and
+    always closes the server."""
+    import concurrent.futures as cf
+
+    try:
+        if warmup_lens:
+            server.warmup(warmup_lens)
+        t0 = time.time()
+        with cf.ThreadPoolExecutor(max_workers=max(len(submit_calls), 1)) as ex:
+            futs = [ex.submit(fn) for fn in submit_calls]
+            outs = [f.result() for f in futs]
+        total_time = time.time() - t0
+        stats = server.stats()
+    finally:
+        server.close()
+    return outs, total_time, stats
+
+
+def _sweep_summary(results, n, total_time, stats, rate_key):
+    n_dev = len(jax.devices())
+    rate = 60.0 * n / max(total_time, 1e-9)
+    return {
+        "results": results,
+        "num_requests": n,
+        "total_time_s": total_time,
+        rate_key: rate,
+        f"{rate_key}_per_chip": rate / n_dev,
+        "server_stats": stats,
+    }
+
+
 def run_interleave_sweep(
     params: Any,
     cfg: LLaDAConfig,
@@ -183,8 +233,6 @@ def run_interleave_sweep(
     ``scorer(request, text, codes)`` interface the A sweep takes (codes
     are raw codebook indices, matching ``interleave_generate``'s return).
     """
-    import concurrent.futures as cf
-
     from mmada_parallel_tpu.samplers.interleave import InterleaveOptions
     from mmada_parallel_tpu.serving import InterleaveServer
 
@@ -193,18 +241,11 @@ def run_interleave_sweep(
         num_vq_tokens=num_vq_tokens, max_seq_length=max_seq_length,
         batch_size=batch_size, tokenizer=tokenizer, get_code=get_code,
         tokens=tokens, seed=seed, use_cache=use_cache, cache_kw=cache_kw)
-    try:
-        if warmup_lens:
-            server.warmup(warmup_lens)
-        t0 = time.time()
-        with cf.ThreadPoolExecutor(max_workers=max(len(requests), 1)) as ex:
-            futs = [ex.submit(server.submit, r.instr_ids, codes=r.codes,
-                              image=r.image) for r in requests]
-            outs = [f.result() for f in futs]
-        total_time = time.time() - t0
-        stats = server.stats()
-    finally:
-        server.close()
+    outs, total_time, stats = _drive_server(
+        server,
+        [lambda r=r: server.submit(r.instr_ids, codes=r.codes, image=r.image)
+         for r in requests],
+        warmup_lens)
 
     results: List[Dict] = []
     for i, (r, o) in enumerate(zip(requests, outs)):
@@ -215,13 +256,86 @@ def run_interleave_sweep(
             entry["scores"] = scorer(r, text, o["codes"])
         results.append(entry)
 
-    n = len(requests)
-    n_dev = len(jax.devices())
-    return {
-        "results": results,
-        "num_requests": n,
-        "total_time_s": total_time,
-        "gens_per_min": 60.0 * n / max(total_time, 1e-9),
-        "gens_per_min_per_chip": 60.0 * n / max(total_time, 1e-9) / n_dev,
-        "server_stats": stats,
-    }
+    return _sweep_summary(results, len(requests), total_time, stats,
+                          "gens_per_min")
+
+
+def run_t2i_sweep(
+    params: Any,
+    cfg: LLaDAConfig,
+    requests: Sequence["T2IEvalRequest"],
+    num_vq_tokens: int,
+    opts: Any = None,
+    batch_size: int = 4,
+    bucket_quantum: int = 32,
+    max_text_len: int = 512,
+    tokenizer=None,
+    scorer: Optional[Callable] = None,
+    tokens: tk.VariantMTokens = tk.TOKENS_M,
+    seed: int = 42,
+    warmup_lens: Optional[Sequence[int]] = None,
+) -> Dict[str, Any]:
+    """Text-to-image sweep over :class:`~mmada_parallel_tpu.serving.T2IServer`
+    (``t2i_generate``, reference ``generate.py`` t2i loop).  Scorer is
+    called as ``scorer(request, None, codes)`` — codes are raw codebook
+    indices, so code-level scorers (diversity, ``meta["target_codes"]``
+    match) apply directly."""
+    from mmada_parallel_tpu.serving import T2IServer
+
+    server = T2IServer(params, cfg, opts, num_vq_tokens=num_vq_tokens,
+                       batch_size=batch_size, bucket_quantum=bucket_quantum,
+                       max_text_len=max_text_len, tokenizer=tokenizer,
+                       tokens=tokens, seed=seed)
+    outs, total_time, stats = _drive_server(
+        server, [lambda r=r: server.submit(r.text_ids) for r in requests],
+        warmup_lens)
+
+    results: List[Dict] = []
+    for i, (r, o) in enumerate(zip(requests, outs)):
+        entry = {"index": i, "codes": o["codes"], "meta": r.meta}
+        if scorer is not None:
+            entry["scores"] = scorer(r, None, o["codes"])
+        results.append(entry)
+    return _sweep_summary(results, len(requests), total_time, stats,
+                          "images_per_min")
+
+
+def run_mmu_sweep(
+    params: Any,
+    cfg: LLaDAConfig,
+    requests: Sequence["MMUEvalRequest"],
+    opts: Any = None,
+    batch_size: int = 4,
+    bucket_quantum: int = 64,
+    max_prompt_len: int = 2048,
+    tokenizer=None,
+    scorer: Optional[Callable] = None,
+    tokens: tk.VariantMTokens = tk.TOKENS_M,
+    seed: int = 42,
+    warmup_lens: Optional[Sequence[int]] = None,
+) -> Dict[str, Any]:
+    """Multimodal-understanding sweep over
+    :class:`~mmada_parallel_tpu.serving.MMUServer` (``mmu_generate``
+    semi-AR block decoding).  Scorer is called as
+    ``scorer(request, text, None)`` — text scorers (keyword alignment via
+    ``meta["keywords"]``) apply directly."""
+    from mmada_parallel_tpu.serving import MMUServer
+
+    server = MMUServer(params, cfg, opts, batch_size=batch_size,
+                       bucket_quantum=bucket_quantum,
+                       max_prompt_len=max_prompt_len, tokenizer=tokenizer,
+                       tokens=tokens, seed=seed)
+    outs, total_time, stats = _drive_server(
+        server, [lambda r=r: server.submit(r.prompt_ids) for r in requests],
+        warmup_lens)
+
+    results: List[Dict] = []
+    for i, (r, o) in enumerate(zip(requests, outs)):
+        text = o["text"] if isinstance(o["text"], str) else None
+        entry = {"index": i, "text": text, "text_ids": o["text_ids"],
+                 "meta": r.meta}
+        if scorer is not None:
+            entry["scores"] = scorer(r, text, None)
+        results.append(entry)
+    return _sweep_summary(results, len(requests), total_time, stats,
+                          "answers_per_min")

@@ -564,14 +564,35 @@ from mmada_parallel_tpu.samplers.mmu import MMUOptions, mmu_generate
 from mmada_parallel_tpu.serving import T2IServer, MMUServer
 
 
+T2I_OPTS = T2IOptions(timesteps=4, temperature=0.0, guidance_scale=1.5,
+                      text_vocab_size=TVS, codebook_size=CB, mask_token=MASK)
+T2I_NVQ = 6
+
+
+def _t2i_solo(cfg, params, text):
+    """Unpadded single-row t2i oracle following the server/reference
+    template (prompting_utils.py t2i_gen; uncond LEFT-padded with ipad,
+    pads mask-hidden)."""
+    temp = [TOK_M.t2i, TOK_M.bos] + list(text) + [TOK_M.eos]
+    tail = [TOK_M.soi] + [MASK] * T2I_NVQ + [TOK_M.eoi]
+    ids = np.asarray(temp + tail, np.int32)
+    un = np.asarray([TOK_M.ipad] * (len(temp) - 3)
+                    + [TOK_M.t2i, TOK_M.bos, TOK_M.eos] + tail, np.int32)
+    um = np.ones(len(ids), bool)
+    um[:len(temp) - 3] = False
+    return np.asarray(t2i_generate(
+        params, cfg, jnp.asarray(ids)[None], jnp.asarray(un)[None],
+        prompt_len=len(temp), num_vq_tokens=T2I_NVQ, opts=T2I_OPTS,
+        attn_mask=jnp.ones((1, len(ids)), bool),
+        uncond_attn_mask=jnp.asarray(um)[None], key=None))[0]
+
+
 def test_t2i_server_matches_solo(model):
     """Ragged co-batched t2i requests equal their unpadded solo runs."""
     cfg, params = model
-    opts = T2IOptions(timesteps=4, temperature=0.0, guidance_scale=1.5,
-                      text_vocab_size=TVS, codebook_size=CB, mask_token=MASK)
-    n_vq = 6
-    server = T2IServer(params, cfg, opts, num_vq_tokens=n_vq, batch_size=2,
-                       max_wait_ms=100.0, bucket_quantum=8, tokens=TOK_M)
+    server = T2IServer(params, cfg, T2I_OPTS, num_vq_tokens=T2I_NVQ,
+                       batch_size=2, max_wait_ms=100.0, bucket_quantum=8,
+                       tokens=TOK_M)
     try:
         reqs = [list(range(10, 13)), list(range(30, 36))]
         results = [None] * 2
@@ -587,26 +608,73 @@ def test_t2i_server_matches_solo(model):
             t.join()
 
         for i, text in enumerate(reqs):
-            temp = [TOK_M.t2i, TOK_M.bos] + text + [TOK_M.eos]
-            tail = [TOK_M.soi] + [MASK] * n_vq + [TOK_M.eoi]
-            ids = np.asarray(temp + tail, np.int32)
-            # uncond is LEFT-padded with ipad like the server/reference
-            # template (prompting_utils.py t2i_gen), pads mask-hidden
-            un = np.asarray([TOK_M.ipad] * (len(temp) - 3)
-                            + [TOK_M.t2i, TOK_M.bos, TOK_M.eos] + tail,
-                            np.int32)
-            um = np.ones(len(ids), bool)
-            um[:len(temp) - 3] = False
-            want = np.asarray(t2i_generate(
-                params, cfg, jnp.asarray(ids)[None], jnp.asarray(un)[None],
-                prompt_len=len(temp), num_vq_tokens=n_vq, opts=opts,
-                attn_mask=jnp.ones((1, len(ids)), bool),
-                uncond_attn_mask=jnp.asarray(um)[None], key=None))[0]
-            np.testing.assert_array_equal(results[i]["codes"], want,
+            np.testing.assert_array_equal(results[i]["codes"],
+                                          _t2i_solo(cfg, params, text),
                                           err_msg=f"row {i}")
         assert server.stats()["requests"] == 2
     finally:
         server.close()
+
+
+def test_run_t2i_sweep_matches_solo_and_scores(model):
+    """evaluation.run_t2i_sweep drives T2IServer: per-request codes equal
+    solo t2i_generate runs; the shared scorer gets (request, None, codes)."""
+    from mmada_parallel_tpu.eval_scorers import default_edit_scorer
+    from mmada_parallel_tpu.evaluation import T2IEvalRequest, run_t2i_sweep
+
+    cfg, params = model
+    texts = [list(range(10, 13)), list(range(30, 36))]
+    want0 = _t2i_solo(cfg, params, texts[0])
+    reqs = [T2IEvalRequest(text_ids=texts[0],
+                           meta={"target_codes": want0.tolist()}),
+            T2IEvalRequest(text_ids=texts[1])]
+    sweep = run_t2i_sweep(params, cfg, reqs, num_vq_tokens=T2I_NVQ,
+                          opts=T2I_OPTS, batch_size=2, bucket_quantum=8,
+                          tokens=TOK_M, scorer=default_edit_scorer())
+    assert sweep["num_requests"] == 2
+    for i, text in enumerate(texts):
+        np.testing.assert_array_equal(sweep["results"][i]["codes"],
+                                      _t2i_solo(cfg, params, text),
+                                      err_msg=f"row {i}")
+    s0 = sweep["results"][0]["scores"]
+    assert s0["target_match"] == 1.0            # scored against its own solo
+    assert 0.0 < s0["code_diversity"] <= 1.0
+    assert sweep["images_per_min"] > 0
+    assert sweep["server_stats"]["requests"] == 2
+
+
+def test_run_mmu_sweep_matches_solo_and_scores(model):
+    """evaluation.run_mmu_sweep drives MMUServer: per-request answers equal
+    solo mmu_generate runs; the scorer gets (request, text, None) and the
+    default scorer skips its code axes."""
+    from mmada_parallel_tpu.eval_scorers import default_edit_scorer
+    from mmada_parallel_tpu.evaluation import MMUEvalRequest, run_mmu_sweep
+
+    cfg, params = model
+    opts = MMUOptions(max_new_tokens=8, steps=8, block_length=4,
+                      temperature=0.0, cfg_scale=0.0, mask_token=MASK)
+    prompts = [
+        [TOK_M.mmu, TOK_M.soi] + list(range(TVS, TVS + 4))
+        + [TOK_M.eoi, TOK_M.bos, 11, 12, TOK_M.eos],
+        [TOK_M.mmu, TOK_M.soi] + list(range(TVS + 8, TVS + 12))
+        + [TOK_M.eoi, TOK_M.bos, 21, TOK_M.eos],
+    ]
+    reqs = [MMUEvalRequest(prompt_ids=p, meta={"q": i})
+            for i, p in enumerate(prompts)]
+    sweep = run_mmu_sweep(params, cfg, reqs, opts=opts, batch_size=2,
+                          bucket_quantum=8, tokens=TOK_M,
+                          scorer=default_edit_scorer())
+    assert sweep["num_requests"] == 2
+    for i, prompt in enumerate(prompts):
+        want = np.asarray(mmu_generate(
+            params, cfg, jnp.asarray(prompt, np.int32)[None],
+            opts=opts, key=None))[0][len(prompt):]
+        np.testing.assert_array_equal(sweep["results"][i]["text_ids"], want,
+                                      err_msg=f"row {i}")
+    s = sweep["results"][0]["scores"]
+    assert "code_diversity" not in s            # no codes in an MMU sweep
+    assert s["text_len"] == 0                   # no tokenizer -> ids only
+    assert sweep["answers_per_min"] > 0
 
 
 def test_mmu_server_matches_solo(model):

@@ -11,6 +11,9 @@ sources so bench.py can tell a fresh replay from a stale one.
 Run after changing any file in :data:`CENSUS_CODE_FILES`:
 
     /opt/venv/bin/python tools/refresh_census.py [a|m|all]
+
+``--check`` just compares each committed artifact's ``code_sha`` to the
+current sources (exit 1 if any is stale) without recompiling anything.
 """
 
 import hashlib
@@ -73,7 +76,26 @@ def refresh(variant: str, timeout: int = 3600) -> str:
     return path
 
 
+def check() -> bool:
+    sha = census_code_sha()
+    ok = True
+    for v in VARIANTS:
+        path = artifact_path(v)
+        try:
+            with open(path) as f:
+                got = json.load(f)["_meta"]["code_sha"]
+        except (OSError, KeyError, ValueError):
+            got = "<missing>"
+        fresh = got == sha
+        ok = ok and fresh
+        print(f"[{v}] {path}: artifact {got} vs current {sha} -> "
+              f"{'FRESH' if fresh else 'STALE'}")
+    return ok
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    if which == "--check":
+        sys.exit(0 if check() else 1)
     for v in (VARIANTS if which == "all" else [which]):
         refresh(v)
