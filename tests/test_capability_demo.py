@@ -116,6 +116,51 @@ def test_cached_sampler_preserves_trained_task_accuracy(trained_m):
         assert "rotated" in texts[0], (kw, texts)
 
 
+_MT_SOURCES = [
+    "examples/train_multitask_demo.py",
+    "mmada_parallel_tpu/models/llada.py",
+    "mmada_parallel_tpu/training/losses.py",
+    "mmada_parallel_tpu/training/m_tasks.py",
+    "mmada_parallel_tpu/training/trainer.py",
+    "mmada_parallel_tpu/training/masking.py",
+    "mmada_parallel_tpu/data/prompting.py",
+    "mmada_parallel_tpu/samplers/t2i.py",
+    "mmada_parallel_tpu/samplers/mmu.py",
+    "mmada_parallel_tpu/serving.py",
+    "mmada_parallel_tpu/evaluation.py",
+    "mmada_parallel_tpu/tokens.py",
+]
+
+
+@pytest.fixture(scope="module")
+def trained_mt(tmp_path_factory):
+    from train_multitask_demo import run_demo
+
+    out = tmp_path_factory.mktemp("multitask_demo")
+    kw = dict(steps=1000, batch=16, lr=1.5e-3, log_every=250)
+    metrics, params, cfg, T, tokz = run_demo(
+        out_dir=str(out), return_params=True,
+        param_store=fixture_store_path("multitask_demo", _MT_SOURCES, **kw),
+        **kw)
+    return metrics, params, cfg, T, tokz, out
+
+
+def test_multitask_demo_learns_both_tasks_through_sweeps(trained_mt):
+    """Joint t2i+mmu training through ``forward_process_separate`` must
+    produce a model BOTH eval sweeps score highly: the t2i sweep's
+    target_match (through T2IServer's CFG serving path) and the mmu
+    sweep's positional keyword alignment (through MMUServer's semi-AR
+    decoding).  A train/serve template mismatch in either task caps its
+    score near chance (1/8 colors)."""
+    m, _, _, _, _, out = trained_mt
+    assert m["t2i_target_match"] >= 0.9, m
+    assert m["mmu_text_alignment"] >= 0.9, m
+    # the t2i worlds are two-color grids: diversity = 2/16 (1/16 when a==b)
+    assert 0.05 <= m["t2i_code_diversity"] <= 0.2, m
+    assert (out / "metrics.json").exists()
+    assert (out / "t2i0_generated.png").exists()
+
+
 @pytest.fixture(scope="module")
 def trained_a(tmp_path_factory):
     from train_edit_demo_a import run_demo_a
