@@ -1,0 +1,238 @@
+"""Batched-evaluation CLI over the sweep harness (``evaluation.py``).
+
+The reference leaves evaluation to external services (its README eval
+section is commented out, ``MMaDA-Parallel-A/README.md:149-150``); this
+CLI runs any of the four batched sweeps on a checkpoint from a JSONL
+request file and writes aggregated metrics — the user-facing form of the
+harness the examples drive programmatically.
+
+    python -m mmada_parallel_tpu.cli.eval_sweep --task edit \
+        --checkpoint /ckpts/mmada-a --requests reqs.jsonl \
+        --out metrics.json --grid 16,16 --text_gen_length 256
+
+Request JSONL lines by ``--task`` (``meta`` is optional everywhere and
+feeds the default scorer: ``input_codes`` / ``target_codes`` /
+``keywords`` / ``edit_mask``):
+
+    edit        {"prompt_ids": [...], "meta": {...}}
+    interleave  {"instr_ids": [...], "codes": [...], "meta": {...}}
+                (codes = RAW VQ codes without the vocab offset, like
+                 serve's /interleave image_tokens)
+    t2i         {"text_ids": [...]} or {"text": "..."}  (needs tokenizer)
+    mmu         {"prompt_ids": [...], "meta": {...}}
+
+Output JSON: ``{"task", "num_requests", "aggregate", <rate-key>,
+"per_request": [...]}``.  Codes are written as plain lists so the file
+is self-contained; pass ``--no_scores`` to skip scoring (throughput-only
+sweeps).
+"""
+
+import argparse
+import json
+import os
+import sys
+
+
+def build_parser():
+    p = argparse.ArgumentParser()
+    p.add_argument("--task", required=True,
+                   choices=["edit", "interleave", "t2i", "mmu"])
+    p.add_argument("--requests", required=True,
+                   help="JSONL file, one request per line (see module doc)")
+    p.add_argument("--out", default=None, help="metrics JSON path (default: "
+                   "stdout only)")
+    p.add_argument("--checkpoint", type=str, default=None)
+    p.add_argument("--tiny_model", action="store_true",
+                   help="debug: random tiny model instead of a checkpoint")
+    p.add_argument("--batch_size", type=int, default=4)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--no_scores", action="store_true")
+    # task=edit (variant A) knobs — defaults mirror cli/infer_a
+    p.add_argument("--grid", type=str, default="16,16",
+                   help="edit: image grid 'h,w' in VQ tokens")
+    p.add_argument("--text_gen_length", type=int, default=256)
+    p.add_argument("--end_token_ids", type=str, default="",
+                   help="edit: comma ids appended after the answer span "
+                        "(default: tokenizer('</answer>'))")
+    p.add_argument("--timesteps", type=int, default=64)
+    p.add_argument("--text_steps", type=int, default=128)
+    p.add_argument("--cfg_scale", type=float, default=0.0)
+    p.add_argument("--cfg_img", type=float, default=4.0)
+    # variant M knobs (defaults = MMaDA-Parallel-M/inference.py:114-124)
+    p.add_argument("--num_vq_tokens", type=int, default=1024)
+    p.add_argument("--max_seq_length", type=int, default=256)
+    p.add_argument("--image_steps", type=int, default=30)
+    p.add_argument("--text_cfg", type=float, default=2.5)
+    p.add_argument("--image_cfg", type=float, default=4.0)
+    p.add_argument("--t2i_guidance", type=float, default=3.5)
+    p.add_argument("--t2i_timesteps", type=int, default=18)
+    p.add_argument("--mmu_max_new_tokens", type=int, default=128)
+    p.add_argument("--mmu_block_length", type=int, default=128)
+    p.add_argument("--temperature", type=float, default=0.0)
+    return p
+
+
+def _load_requests(path):
+    reqs = []
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if line:
+                reqs.append(json.loads(line))
+    if not reqs:
+        raise SystemExit(f"no requests in {path}")
+    return reqs
+
+
+def _jsonable(x):
+    import numpy as np
+    if isinstance(x, np.ndarray):
+        return x.tolist()
+    if isinstance(x, (np.integer, np.floating)):
+        return x.item()
+    return x
+
+
+def main(argv=None):
+    from mmada_parallel_tpu.utils.compile_cache import \
+        enable_compilation_cache
+    enable_compilation_cache()
+    import numpy as np
+    import jax
+
+    from mmada_parallel_tpu import tokens as tk
+    from mmada_parallel_tpu import evaluation as EV
+    from mmada_parallel_tpu.eval_scorers import (aggregate_scores,
+                                                 default_edit_scorer)
+    from mmada_parallel_tpu.models import LLaDAConfig, init_llada_params
+    from mmada_parallel_tpu.models import convert as CV
+
+    args = build_parser().parse_args(argv)
+    if args.checkpoint is None and not args.tiny_model:
+        raise SystemExit("--checkpoint is required (or pass --tiny_model "
+                         "explicitly for a random-weight debug sweep)")
+    variant_a = args.task == "edit"
+    T = tk.TOKENS_A if variant_a else tk.TOKENS_M
+    if args.tiny_model or args.checkpoint is None:
+        cfg = LLaDAConfig.tiny(vocab_size=T.full_vocab_size,
+                               mask_token_id=T.mask)
+        params = init_llada_params(jax.random.key(0), cfg)
+        tokenizer = None
+    else:
+        from transformers import AutoTokenizer
+        tokenizer = AutoTokenizer.from_pretrained(args.checkpoint,
+                                                  trust_remote_code=True)
+        cfg, params = CV.load_llada_checkpoint(args.checkpoint)
+        import dataclasses
+        import jax.numpy as jnp
+        cfg = dataclasses.replace(cfg, compute_dtype=jnp.bfloat16)
+        params = jax.tree_util.tree_map(jnp.asarray, params)
+
+    raw = _load_requests(args.requests)
+    scorer = None if args.no_scores else default_edit_scorer()
+
+    if args.task == "edit":
+        from mmada_parallel_tpu.samplers.parallel_ti2ti import TI2TIOptions
+        gh, gw = (int(v) for v in args.grid.split(","))
+        if args.end_token_ids:
+            end_ids = [int(v) for v in args.end_token_ids.split(",")]
+        elif tokenizer is not None:
+            end_ids = tokenizer("</answer>",
+                                add_special_tokens=False)["input_ids"]
+        else:
+            raise SystemExit("--end_token_ids is required with --tiny_model")
+        opts = TI2TIOptions(
+            text_steps=args.text_steps, timesteps=args.timesteps,
+            temperature=args.temperature, text_temperature=args.temperature,
+            cfg_scale=args.cfg_scale, cfg_img=args.cfg_img,
+            text_vocab_size=T.text_vocab_size, codebook_size=T.codebook_size,
+            mask_token=T.mask)
+        reqs = [EV.EvalRequest(prompt_ids=r["prompt_ids"],
+                               meta=r.get("meta")) for r in raw]
+        sweep = EV.run_parabench_sweep(
+            params, cfg, reqs, grid_hw=(gh, gw),
+            text_gen_length=args.text_gen_length, end_token_ids=end_ids,
+            opts=opts, batch_size=args.batch_size, tokenizer=tokenizer,
+            seed=args.seed, scorer=scorer, tokens=T)
+        rate_key = "edits_per_min"
+    elif args.task == "interleave":
+        from mmada_parallel_tpu.samplers.interleave import InterleaveOptions
+        opts = InterleaveOptions(
+            text_steps=args.max_seq_length, image_steps=args.image_steps,
+            text_cfg=args.text_cfg, image_cfg=args.image_cfg,
+            text_temperature=args.temperature,
+            image_temperature=args.temperature,
+            text_vocab_size=T.text_vocab_size, codebook_size=T.codebook_size,
+            mask_token=T.mask)
+        reqs = [EV.InterleaveEvalRequest(
+            instr_ids=r["instr_ids"],
+            codes=np.asarray(r["codes"]) + T.vq_offset
+            if r.get("codes") is not None else None,
+            meta=r.get("meta")) for r in raw]
+        sweep = EV.run_interleave_sweep(
+            params, cfg, reqs, num_vq_tokens=args.num_vq_tokens, opts=opts,
+            max_seq_length=args.max_seq_length, batch_size=args.batch_size,
+            tokenizer=tokenizer, scorer=scorer, tokens=T, seed=args.seed)
+        rate_key = "gens_per_min"
+    elif args.task == "t2i":
+        from mmada_parallel_tpu.samplers.t2i import T2IOptions
+        opts = T2IOptions(
+            timesteps=args.t2i_timesteps, temperature=args.temperature,
+            guidance_scale=args.t2i_guidance,
+            text_vocab_size=T.text_vocab_size, codebook_size=T.codebook_size,
+            mask_token=T.mask)
+
+        def text_ids(r):
+            if r.get("text_ids") is not None:
+                return r["text_ids"]
+            if tokenizer is None:
+                raise SystemExit('"text" requests need --checkpoint '
+                                 "(tokenizer); pass text_ids with "
+                                 "--tiny_model")
+            return tokenizer(r["text"])["input_ids"]
+
+        reqs = [EV.T2IEvalRequest(text_ids=text_ids(r), meta=r.get("meta"))
+                for r in raw]
+        sweep = EV.run_t2i_sweep(
+            params, cfg, reqs, num_vq_tokens=args.num_vq_tokens, opts=opts,
+            batch_size=args.batch_size, tokenizer=tokenizer, scorer=scorer,
+            tokens=T, seed=args.seed)
+        rate_key = "images_per_min"
+    else:  # mmu
+        from mmada_parallel_tpu.samplers.mmu import MMUOptions
+        opts = MMUOptions(
+            max_new_tokens=args.mmu_max_new_tokens,
+            steps=args.mmu_max_new_tokens,
+            block_length=args.mmu_block_length,
+            temperature=args.temperature, cfg_scale=args.cfg_scale,
+            mask_token=T.mask)
+        reqs = [EV.MMUEvalRequest(prompt_ids=r["prompt_ids"],
+                                  meta=r.get("meta")) for r in raw]
+        sweep = EV.run_mmu_sweep(
+            params, cfg, reqs, opts=opts, batch_size=args.batch_size,
+            tokenizer=tokenizer, scorer=scorer, tokens=T, seed=args.seed)
+        rate_key = "answers_per_min"
+
+    agg = aggregate_scores(sweep["results"]) if scorer else {}
+    metrics = {
+        "task": args.task,
+        "num_requests": sweep["num_requests"],
+        "aggregate": {k: round(v, 4) for k, v in agg.items()},
+        rate_key: round(sweep[rate_key], 2),
+        "total_time_s": round(sweep["total_time_s"], 2),
+        "per_request": [
+            {k: _jsonable(v) for k, v in r.items() if k != "meta"}
+            for r in sweep["results"]],
+    }
+    out = json.dumps(metrics, indent=2)
+    if args.out:
+        os.makedirs(os.path.dirname(os.path.abspath(args.out)),
+                    exist_ok=True)
+        with open(args.out, "w") as f:
+            f.write(out)
+    print(out)
+    return metrics
+
+
+if __name__ == "__main__":
+    main()

@@ -677,6 +677,60 @@ def test_run_mmu_sweep_matches_solo_and_scores(model):
     assert sweep["answers_per_min"] > 0
 
 
+def test_eval_sweep_cli(model, monkeypatch, tmp_path):
+    """cli/eval_sweep.py: JSONL requests -> sweep -> metrics JSON for each
+    M task (plumbing test; solo parity is pinned by the sweep tests)."""
+    import mmada_parallel_tpu.cli.eval_sweep as es
+
+    monkeypatch.setattr(tk, "TOKENS_M", TOK_M, raising=True)
+
+    def run(task, lines, extra):
+        req_path = tmp_path / f"{task}.jsonl"
+        req_path.write_text("\n".join(json.dumps(l) for l in lines))
+        out_path = tmp_path / f"{task}_metrics.json"
+        m = es.main(["--task", task, "--tiny_model", "--requests",
+                     str(req_path), "--out", str(out_path),
+                     "--batch_size", "2"] + extra)
+        assert json.loads(out_path.read_text())["num_requests"] == len(lines)
+        return m
+
+    m = run("interleave",
+            [{"instr_ids": [10, 11], "codes": list(range(N_VQ)),
+              "meta": {"input_codes": list(range(N_VQ))}},
+             {"instr_ids": [12, 13, 14], "codes": [1] * N_VQ}],
+            ["--num_vq_tokens", str(N_VQ), "--max_seq_length", str(MSL),
+             "--image_steps", "4", "--text_cfg", "1.5", "--image_cfg", "2"])
+    assert m["gens_per_min"] > 0
+    assert len(m["per_request"][0]["codes"]) == N_VQ
+    assert "consistency" in m["per_request"][0]["scores"]
+
+    m = run("t2i", [{"text_ids": [10, 11, 12]}, {"text_ids": [13]}],
+            ["--num_vq_tokens", str(N_VQ), "--t2i_timesteps", "4",
+             "--t2i_guidance", "1.5"])
+    assert m["images_per_min"] > 0
+    assert len(m["per_request"][0]["codes"]) == N_VQ
+
+    m = run("mmu",
+            [{"prompt_ids": [TOK_M.mmu, TOK_M.soi] + [TVS] * 4
+              + [TOK_M.eoi, TOK_M.bos, 11, TOK_M.eos]}],
+            ["--mmu_max_new_tokens", "8", "--mmu_block_length", "4",
+             "--no_scores"])
+    assert m["answers_per_min"] > 0
+    assert len(m["per_request"][0]["text_ids"]) == 8
+    assert m["aggregate"] == {}
+
+    # variant A edit branch
+    monkeypatch.setattr(tk, "TOKENS_A", TOK, raising=True)
+    m = run("edit",
+            [{"prompt_ids": list(range(10, 15)),
+              "meta": {"keywords": []}}],
+            ["--grid", "2,3", "--text_gen_length", "8",
+             "--end_token_ids", "9", "--timesteps", "4",
+             "--text_steps", "8", "--cfg_img", "2.0"])
+    assert m["edits_per_min"] > 0
+    assert len(m["per_request"][0]["codes"]) == 2 * 3
+
+
 def test_mmu_server_matches_solo(model):
     cfg, params = model
     opts = MMUOptions(max_new_tokens=8, steps=8, block_length=4,
