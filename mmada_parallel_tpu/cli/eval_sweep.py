@@ -47,6 +47,11 @@ def build_parser():
     p.add_argument("--batch_size", type=int, default=4)
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--no_scores", action="store_true")
+    p.add_argument("--quant", type=str, default="",
+                   choices=["", "int8", "int8_bf16head"],
+                   help="W8A8-quantize the params before the sweep — "
+                        "measure opt-in approximation quality deltas "
+                        "through the same metrics file")
     # task=edit (variant A) knobs — defaults mirror cli/infer_a
     p.add_argument("--grid", type=str, default="16,16",
                    help="edit: image grid 'h,w' in VQ tokens")
@@ -127,6 +132,10 @@ def main(argv=None):
         import jax.numpy as jnp
         cfg = dataclasses.replace(cfg, compute_dtype=jnp.bfloat16)
         params = jax.tree_util.tree_map(jnp.asarray, params)
+    if args.quant:
+        from mmada_parallel_tpu.ops.quant import quantize_llada_params
+        params = jax.jit(lambda p: quantize_llada_params(
+            p, quantize_head="bf16head" not in args.quant))(params)
 
     raw = _load_requests(args.requests)
     scorer = None if args.no_scores else default_edit_scorer()
@@ -216,6 +225,7 @@ def main(argv=None):
     agg = aggregate_scores(sweep["results"]) if scorer else {}
     metrics = {
         "task": args.task,
+        "quant": args.quant or None,
         "num_requests": sweep["num_requests"],
         "aggregate": {k: round(v, 4) for k, v in agg.items()},
         rate_key: round(sweep[rate_key], 2),

@@ -708,6 +708,15 @@ def test_eval_sweep_cli(model, monkeypatch, tmp_path):
             ["--num_vq_tokens", str(N_VQ), "--t2i_timesteps", "4",
              "--t2i_guidance", "1.5"])
     assert m["images_per_min"] > 0
+    assert m["quant"] is None
+    assert len(m["per_request"][0]["codes"]) == N_VQ
+
+    # --quant runs the same sweep on W8A8 params (plumbing only; quality
+    # deltas are pinned by the capability-demo envelope tests)
+    m = run("t2i", [{"text_ids": [10, 11, 12]}],
+            ["--num_vq_tokens", str(N_VQ), "--t2i_timesteps", "4",
+             "--t2i_guidance", "1.5", "--quant", "int8_bf16head"])
+    assert m["quant"] == "int8_bf16head"
     assert len(m["per_request"][0]["codes"]) == N_VQ
 
     m = run("mmu",
