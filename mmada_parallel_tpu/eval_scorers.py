@@ -147,6 +147,8 @@ def pixel_edit_scorer(decode_fn: Callable, base: Optional[Callable] = None,
 
     def scorer(request, text: Optional[str], codes) -> Dict[str, Any]:
         out = base(request, text, codes)
+        if codes is None:        # text-only sweep (mmu) — no pixel axes
+            return out
         meta = request.meta or {}
         img = np.asarray(decode_fn(np.asarray(codes).reshape(-1)))
         if meta.get("input_codes") is not None:

@@ -99,6 +99,12 @@ def test_pixel_edit_scorer_composes():
     assert s["pixel_consistency_ssim"] < 1.0
     # deterministic
     assert scorer(req, "text", out_codes) == s
+    # codes=None (text-only sweep, e.g. mmu): pixel axes skipped, base
+    # text axes survive — same contract as default_edit_scorer
+    s = scorer(EvalRequest(prompt_ids=[1], meta={"keywords": ["text"]}),
+               "text", None)
+    assert s["text_alignment"] == 1.0
+    assert not any(k.startswith("pixel_") for k in s)
 
 
 @pytest.mark.heavy
