@@ -24,7 +24,9 @@ feeds the default scorer: ``input_codes`` / ``target_codes`` /
 Output JSON: ``{"task", "num_requests", "aggregate", <rate-key>,
 "per_request": [...]}``.  Codes are written as plain lists so the file
 is self-contained; pass ``--no_scores`` to skip scoring (throughput-only
-sweeps).
+sweeps).  ``--vq_checkpoint <dir>`` plugs the real VQ decoder into the
+scorer, adding decoded-pixel PSNR/SSIM axes (``pixel_consistency_*`` /
+``pixel_target_*``) next to the token-level proxies.
 """
 
 import argparse
@@ -52,6 +54,12 @@ def build_parser():
                    help="W8A8-quantize the params before the sweep — "
                         "measure opt-in approximation quality deltas "
                         "through the same metrics file")
+    p.add_argument("--vq_checkpoint", type=str, default=None,
+                   help="VQ tokenizer dir — adds decoded-pixel PSNR/SSIM "
+                        "axes (eval_scorers.pixel_edit_scorer) to the "
+                        "sweep: Amused-VQ layout (vqvae/ subfolder, like "
+                        "infer_a --vae_ckpt) for --task edit, MagViT-v2 "
+                        "dir (like infer_m vq_checkpoint) for the M tasks")
     # task=edit (variant A) knobs — defaults mirror cli/infer_a
     p.add_argument("--grid", type=str, default="16,16",
                    help="edit: image grid 'h,w' in VQ tokens")
@@ -87,6 +95,53 @@ def _load_requests(path):
     if not reqs:
         raise SystemExit(f"no requests in {path}")
     return reqs
+
+
+def _vq_decode_fn(vq_checkpoint: str, task: str, grid_hw):
+    """``decode_fn(codes_flat) -> float image [H, W, 3] in [0, 1]`` for
+    :func:`eval_scorers.pixel_edit_scorer`, backed by the real VQ decoder.
+
+    ``task=edit`` loads the Amused-VQ the A pipeline serves (dir layout of
+    ``cli/infer_a --vae_ckpt``, reference ``inference.py:82-96``); the M
+    tasks load MagViT-v2 (``cli/infer_m`` layout) whose decoder emits
+    [-1, 1] — rescaled here so both families score on the same range.
+    """
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mmada_parallel_tpu.models import convert as CV
+
+    if task == "edit":
+        from mmada_parallel_tpu.models import amused_vq as AVQ
+        vq_dir = os.path.join(vq_checkpoint, "vqvae")
+        if not os.path.isdir(vq_dir):
+            vq_dir = vq_checkpoint
+        with open(os.path.join(vq_dir, "config.json")) as f:
+            vq_cfg = CV.amused_config_from_hf(json.load(f))
+        vq_params = CV.amused_params_from_torch(
+            CV.load_safetensors_dir(vq_dir), vq_cfg)
+        dec = jax.jit(lambda c: AVQ.amused_decode_code(
+            vq_params, vq_cfg, c[None], grid_hw)[0])
+        return lambda codes: np.asarray(dec(jnp.asarray(codes)))
+
+    from mmada_parallel_tpu.models import magvit2 as MVQ
+    vq_cfg = MVQ.MagvitConfig()
+    cfg_path = os.path.join(vq_checkpoint, "config.json")
+    if os.path.exists(cfg_path):
+        names = {f.name for f in dataclasses.fields(MVQ.MagvitConfig)}
+        with open(cfg_path) as f:
+            fields = {k: (tuple(v) if isinstance(v, list) else v)
+                      for k, v in json.load(f).items() if k in names}
+        vq_cfg = MVQ.MagvitConfig(**fields)
+    vq_params = CV.magvit_params_from_torch(
+        CV.load_safetensors_dir(vq_checkpoint), vq_cfg)
+    dec = jax.jit(lambda c: MVQ.magvit_decode_code(
+        vq_params, vq_cfg, c[None])[0])
+    return lambda codes: np.clip(
+        (np.asarray(dec(jnp.asarray(codes))) + 1.0) / 2.0, 0.0, 1.0)
 
 
 def _jsonable(x):
@@ -139,6 +194,12 @@ def main(argv=None):
 
     raw = _load_requests(args.requests)
     scorer = None if args.no_scores else default_edit_scorer()
+    if scorer is not None and args.vq_checkpoint:
+        from mmada_parallel_tpu.eval_scorers import pixel_edit_scorer
+        gh, gw = (int(v) for v in args.grid.split(","))
+        scorer = pixel_edit_scorer(
+            _vq_decode_fn(args.vq_checkpoint, args.task, (gh, gw)),
+            base=scorer)
 
     if args.task == "edit":
         from mmada_parallel_tpu.samplers.parallel_ti2ti import TI2TIOptions

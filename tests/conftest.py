@@ -15,6 +15,10 @@ _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8").strip()
+# keep tests hermetic: CLI mains call enable_compilation_cache(), which
+# would point the suite at the real-TPU bench's persistent cache dir
+# (foreign-machine CPU AOT entries load with feature-mismatch warnings)
+os.environ["MMADA_TPU_NO_COMPILE_CACHE"] = "1"
 
 import jax  # noqa: E402
 

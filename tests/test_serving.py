@@ -740,6 +740,88 @@ def test_eval_sweep_cli(model, monkeypatch, tmp_path):
     assert len(m["per_request"][0]["codes"]) == 2 * 3
 
 
+def test_eval_sweep_cli_vq_pixel_axes(model, monkeypatch, tmp_path):
+    """--vq_checkpoint wires the real VQ decoders into the sweep scorer:
+    the metrics gain decoded-pixel PSNR/SSIM axes (Amused-VQ for edit,
+    MagViT-v2 for the M tasks)."""
+    from safetensors.numpy import save_file
+
+    import mmada_parallel_tpu.cli.eval_sweep as es
+    from mmada_parallel_tpu.models import amused_vq as AVQ
+    from mmada_parallel_tpu.models import convert as CV
+    from mmada_parallel_tpu.models import magvit2 as MVQ
+    from test_convert import _amused_state_dict, _magvit_state_dict
+
+    monkeypatch.setattr(tk, "TOKENS_M", TOK_M, raising=True)
+    monkeypatch.setattr(tk, "TOKENS_A", TOK, raising=True)
+
+    def run(task, lines, extra):
+        req_path = tmp_path / f"{task}.jsonl"
+        req_path.write_text("\n".join(json.dumps(l) for l in lines))
+        return es.main(["--task", task, "--tiny_model", "--requests",
+                        str(req_path), "--batch_size", "2"] + extra)
+
+    # MagViT dir (infer_m layout): z_channels=5 -> codebook 32 == TOK_M's
+    mv_dir = tmp_path / "magvit"
+    mv_dir.mkdir()
+    mv_cfg = MVQ.MagvitConfig(ch=16, enc_ch_mult=(1, 2), enc_blocks=(1, 1),
+                              dec_ch_mult=(1, 2), dec_blocks=(1, 1),
+                              z_channels=5, groups=4)
+    assert mv_cfg.codebook_size == TOK_M.codebook_size
+    (mv_dir / "config.json").write_text(json.dumps(
+        {"ch": 16, "enc_ch_mult": [1, 2], "enc_blocks": [1, 1],
+         "dec_ch_mult": [1, 2], "dec_blocks": [1, 1], "z_channels": 5,
+         "groups": 4}))
+    mv_params = MVQ.init_magvit_params(jax.random.key(3), mv_cfg)
+    save_file({k: np.ascontiguousarray(np.asarray(v)) for k, v in
+               _magvit_state_dict(mv_params).items()},
+              str(mv_dir / "model.safetensors"))
+
+    # square grid (MagViT decode infers h=w=sqrt(N), like production 32x32)
+    m = run("t2i", [{"text_ids": [10, 11, 12],
+                     "meta": {"input_codes": [1, 2, 3, 4],
+                              "target_codes": [1, 2, 3, 4]}}],
+            ["--num_vq_tokens", "4", "--t2i_timesteps", "4",
+             "--t2i_guidance", "1.5", "--vq_checkpoint", str(mv_dir)])
+    s = m["per_request"][0]["scores"]
+    assert {"pixel_consistency_psnr", "pixel_consistency_ssim",
+            "pixel_target_psnr", "pixel_target_ssim"} <= set(s)
+    assert "pixel_consistency_ssim" in m["aggregate"]
+
+    # Amused-VQ dir (infer_a --vae_ckpt layout, vqvae/ subfolder)
+    av_dir = tmp_path / "amused" / "vqvae"
+    av_dir.mkdir(parents=True)
+    hf_cfg = {"block_out_channels": [8, 8], "layers_per_block": 1,
+              "latent_channels": 8, "num_vq_embeddings": CB,
+              "norm_num_groups": 4}
+    (av_dir / "config.json").write_text(json.dumps(hf_cfg))
+    av_cfg = CV.amused_config_from_hf(hf_cfg)
+    av_params = AVQ.init_amused_vq_params(jax.random.key(4), av_cfg)
+    save_file({k: np.ascontiguousarray(np.asarray(v)) for k, v in
+               _amused_state_dict(av_params, av_cfg).items()},
+              str(av_dir / "model.safetensors"))
+
+    m = run("edit",
+            [{"prompt_ids": list(range(10, 15)),
+              "meta": {"input_codes": list(range(6))}}],
+            ["--grid", "2,3", "--text_gen_length", "8",
+             "--end_token_ids", "9", "--timesteps", "4",
+             "--text_steps", "8", "--cfg_img", "2.0",
+             "--vq_checkpoint", str(tmp_path / "amused")])
+    s = m["per_request"][0]["scores"]
+    assert "pixel_consistency_psnr" in s and "pixel_consistency_ssim" in s
+    assert "pixel_target_psnr" not in s         # no target_codes given
+    # mmu sweeps have no codes: the pixel wrapper must pass through
+    m = run("mmu",
+            [{"prompt_ids": [TOK_M.mmu, TOK_M.soi] + [TVS] * 4
+              + [TOK_M.eoi, TOK_M.bos, 11, TOK_M.eos],
+              "meta": {"keywords": []}}],
+            ["--mmu_max_new_tokens", "8", "--mmu_block_length", "4",
+             "--vq_checkpoint", str(mv_dir)])
+    assert not any(k.startswith("pixel_")
+                   for k in m["per_request"][0]["scores"])
+
+
 def test_mmu_server_matches_solo(model):
     cfg, params = model
     opts = MMUOptions(max_new_tokens=8, steps=8, block_length=4,

@@ -371,15 +371,16 @@ def test_train_m_main_loop_edit_pairs(tmp_path):
                 tf.addfile(ti, _io.BytesIO(payload))
 
     out = tmp_path / "out"
-    # batch 8 = the conftest data-axis width; tiny MagViT at res 16 is an
-    # 8x8 grid -> num_vq_tokens 64
+    # batch 8 = the conftest data-axis width; tiny MagViT at res 8 is a
+    # 4x4 grid -> num_vq_tokens 16 (shortest sequence that still carries
+    # text + both image spans; keeps the CPU compile inside the fast tier)
     train_m.main([
         "tiny_debug=true",
         f"shards={path}",
         f"output_dir={out}",
         "dataset.preprocessing.max_seq_length=8",
-        "dataset.preprocessing.resolution=16",
-        "model.mmada.num_vq_tokens=64",
+        "dataset.preprocessing.resolution=8",
+        "model.mmada.num_vq_tokens=16",
         "training.max_train_steps=2",
         "training.batch_size=8",
         "training.gradient_accumulation_steps=1",
