@@ -15,14 +15,23 @@ _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8").strip()
-# keep tests hermetic: CLI mains call enable_compilation_cache(), which
-# would point the suite at the real-TPU bench's persistent cache dir
-# (foreign-machine CPU AOT entries load with feature-mismatch warnings)
-os.environ["MMADA_TPU_NO_COMPILE_CACHE"] = "1"
+# Persistent compile cache for the whole session, in a TESTS-OWN dir:
+# warm reruns skip the big CPU compiles (the dominant fast-tier cost on
+# this one-core host), and the real-TPU bench cache dir stays untouched.
+# CLI mains that call enable_compilation_cache() pick the same dir up via
+# the env var, so they can't re-point the session mid-run.
+_test_cache = os.path.join(os.path.expanduser("~"), ".cache",
+                           "mmada_parallel_tpu", "xla_cpu_tests")
+os.environ.setdefault("MMADA_TPU_COMPILE_CACHE", _test_cache)
 
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+from mmada_parallel_tpu.utils.compile_cache import \
+    enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()
 
 import hashlib  # noqa: E402
 
@@ -36,8 +45,8 @@ def pytest_configure(config):
         "markers",
         "heavy: long-running closure tests (train-to-convergence demos, "
         "ring-TP e2e suites, reference-code-in-the-loop parity).  Fast "
-        "tier: `pytest -m 'not heavy'` (<10 min); plain `pytest tests/` "
-        "runs everything.")
+        "tier: `pytest -m 'not heavy'` (~9 min warm compile cache); "
+        "plain `pytest tests/` runs everything.")
 
 
 @pytest.fixture(scope="session")

@@ -139,10 +139,18 @@ def test_compile_cache_enable(tmp_path, monkeypatch):
     import jax
     from mmada_parallel_tpu.utils.compile_cache import enable_compilation_cache
 
+    session_dir = jax.config.jax_compilation_cache_dir   # conftest's
     d = str(tmp_path / "xla")
     got = enable_compilation_cache(d, min_compile_secs=0.0)
     assert got == d and os.path.isdir(d)
     assert jax.config.jax_compilation_cache_dir == d
 
+    # env default: an explicit arg is absent, MMADA_TPU_COMPILE_CACHE wins
+    env_d = str(tmp_path / "env_xla")
+    monkeypatch.setenv("MMADA_TPU_COMPILE_CACHE", env_d)
+    assert enable_compilation_cache() == env_d
+
     monkeypatch.setenv("MMADA_TPU_NO_COMPILE_CACHE", "1")
     assert enable_compilation_cache(str(tmp_path / "other")) is None
+    # restore the session cache (the tmp dirs die with this test)
+    jax.config.update("jax_compilation_cache_dir", session_dir)
