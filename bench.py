@@ -205,6 +205,13 @@ def resolve_census(variant, t_1chip_s, err, with_q8=True,
         scaling, src = replay()
         if scaling is not None:
             return scaling, src
+        if mode == "replay":
+            # explicit replay-only request: a missing/corrupt artifact must
+            # not cost a ~13-min live census under a tight driver timeout —
+            # degrade to the assume-linear label instead
+            err("census: BENCH_CENSUS=replay but no committed artifact; "
+                "skipping live census")
+            return None, None
         mode = "auto"   # nothing to replay: fall through to live
 
     # bounded live census (stale/missing artifact, or explicitly asked)
@@ -664,6 +671,9 @@ def bench_train(depths):
         if census is not None and (fresh or mode == "replay"):
             scaling = census.get("train_step")
             err(f"[train] census: replayed {label}")
+        elif mode == "replay":
+            err("[train] census: BENCH_CENSUS=replay but no committed "
+                "artifact; skipping live census")
         else:
             try:
                 from mmada_parallel_tpu.parallel.multichip_model import (

@@ -57,10 +57,11 @@ def run(out_dir=None, n_requests=8, steps=800, seed=0):
     from mmada_parallel_tpu.samplers.parallel_ti2ti import TI2TIOptions
     from train_edit_demo_a import CB, GRID, TVS, run_demo_a
 
-    # trained demo checkpoint (cached trained params when available)
-    store = os.path.join(os.path.expanduser("~"), ".cache",
-                         "mmada_parallel_tpu", "fixtures",
-                         "parabench_demo_a.npz")
+    # trained demo checkpoint — source-hash-keyed fixture (same key scheme
+    # as the test suite's, so both share one store and a changed training
+    # stack invalidates it instead of silently scoring stale weights)
+    from train_edit_demo_a import demo_param_store
+    store = demo_param_store(steps=steps, batch=32, lr=3e-3, log_every=400)
     m, params, cfg, T, tokz = run_demo_a(
         steps=steps, batch=32, lr=3e-3, out_dir=None, log_every=400,
         seed=seed, return_params=True, param_store=store)

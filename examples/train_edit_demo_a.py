@@ -41,6 +41,38 @@ N_VQ = GRID * GRID
 # L % g == 0; the prompt is a free demo choice)
 PROMPT = "shift the palette by one one"
 
+# sources whose changes must invalidate a cached trained fixture: this
+# script plus the training stack it exercises (single source of truth —
+# tests/test_capability_demo.py keys its session fixture off this list)
+DEMO_SOURCES = [
+    "examples/train_edit_demo_a.py",
+    "mmada_parallel_tpu/models/llada.py",
+    "mmada_parallel_tpu/training/losses.py",
+    "mmada_parallel_tpu/training/trainer.py",
+    "mmada_parallel_tpu/data/item_processor.py",
+    "mmada_parallel_tpu/samplers/parallel_ti2ti.py",
+    "mmada_parallel_tpu/tokens.py",
+]
+
+
+def demo_param_store(**kwargs) -> str:
+    """Source-hash-keyed fixture path — the exact scheme of
+    ``tests/conftest.fixture_store_path``, so the standalone demos and the
+    test suite share one trained fixture per (sources, run-kwargs) and a
+    changed training stack retrains BOTH instead of silently scoring
+    stale weights."""
+    import hashlib
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    h = hashlib.sha256()
+    for rel in DEMO_SOURCES:
+        with open(os.path.join(repo, rel), "rb") as f:
+            h.update(f.read())
+    h.update(repr(sorted(kwargs.items())).encode())
+    cache = os.path.join(os.path.expanduser("~"), ".cache",
+                         "mmada_parallel_tpu", "fixtures")
+    os.makedirs(cache, exist_ok=True)
+    return os.path.join(cache, f"edit_demo_a_{h.hexdigest()[:16]}.npz")
+
 
 class WordTokA:
     """Word/tag-level tokenizer covering the A prompt template."""

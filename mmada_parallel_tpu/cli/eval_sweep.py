@@ -70,10 +70,20 @@ def build_parser():
     p.add_argument("--timesteps", type=int, default=64)
     p.add_argument("--text_steps", type=int, default=128)
     p.add_argument("--cfg_scale", type=float, default=0.0)
-    p.add_argument("--cfg_img", type=float, default=4.0)
+    p.add_argument("--cfg_img", type=float, default=0.0,
+                   help="edit: image CFG scale; needs --uncond_image_ids "
+                        "(the sweep shares ONE uncond prefix, unlike "
+                        "infer_a which derives it per request)")
+    p.add_argument("--uncond_image_ids", type=str, default="",
+                   help="edit: comma token ids of the image-CFG uncond "
+                        "prefix (the prompt without the input image, "
+                        "pipeline.py uncon_image)")
     # variant M knobs (defaults = MMaDA-Parallel-M/inference.py:114-124)
     p.add_argument("--num_vq_tokens", type=int, default=1024)
     p.add_argument("--max_seq_length", type=int, default=256)
+    p.add_argument("--m_text_steps", type=int, default=128,
+                   help="interleave: text denoise steps (reference "
+                        "default 128; independent of --max_seq_length)")
     p.add_argument("--image_steps", type=int, default=30)
     p.add_argument("--text_cfg", type=float, default=2.5)
     p.add_argument("--image_cfg", type=float, default=4.0)
@@ -211,6 +221,20 @@ def main(argv=None):
                                 add_special_tokens=False)["input_ids"]
         else:
             raise SystemExit("--end_token_ids is required with --tiny_model")
+        # the sweep supports one SHARED image-CFG uncond prefix and no
+        # text CFG (per-request prefixes are an infer_a/serve feature) —
+        # refuse silently-fake guidance instead of amplifying cond logits
+        uncond_img = (np.asarray([int(v) for v in
+                                  args.uncond_image_ids.split(",")],
+                                 np.int32)
+                      if args.uncond_image_ids else None)
+        if args.cfg_img > 0 and uncond_img is None:
+            raise SystemExit("--cfg_img > 0 needs --uncond_image_ids "
+                             "(the sweep-wide uncond prefix)")
+        if args.cfg_scale > 0:
+            raise SystemExit("text CFG is per-request and not supported "
+                             "by the batched sweep; use cli/infer_a or "
+                             "cli/serve for cfg_scale > 0")
         opts = TI2TIOptions(
             text_steps=args.text_steps, timesteps=args.timesteps,
             temperature=args.temperature, text_temperature=args.temperature,
@@ -223,12 +247,13 @@ def main(argv=None):
             params, cfg, reqs, grid_hw=(gh, gw),
             text_gen_length=args.text_gen_length, end_token_ids=end_ids,
             opts=opts, batch_size=args.batch_size, tokenizer=tokenizer,
+            uncond_image_prefix=uncond_img,
             seed=args.seed, scorer=scorer, tokens=T)
         rate_key = "edits_per_min"
     elif args.task == "interleave":
         from mmada_parallel_tpu.samplers.interleave import InterleaveOptions
         opts = InterleaveOptions(
-            text_steps=args.max_seq_length, image_steps=args.image_steps,
+            text_steps=args.m_text_steps, image_steps=args.image_steps,
             text_cfg=args.text_cfg, image_cfg=args.image_cfg,
             text_temperature=args.temperature,
             image_temperature=args.temperature,

@@ -27,6 +27,7 @@ from __future__ import annotations
 import dataclasses
 import hashlib
 import json
+import logging
 import os
 import pickle
 import random
@@ -45,13 +46,13 @@ _BLOB_MAGIC = b"MPTBLOB1"
 def _write_blob_store(path: str, records: Sequence[bytes]) -> None:
     """Offset-indexed byte-blob file: magic, count, offsets u64[n+1], bytes.
 
-    Written to ``path + '.tmp'`` then renamed so readers never see a
-    half-written store.
+    Written to a per-process tmp then renamed so readers never see a
+    half-written store (and concurrent writers never interleave).
     """
     offsets = np.zeros(len(records) + 1, dtype=np.uint64)
     for i, r in enumerate(records):
         offsets[i + 1] = offsets[i] + len(r)
-    tmp = path + ".tmp"
+    tmp = f"{path}.tmp.{os.getpid()}"
     with open(tmp, "wb") as f:
         f.write(_BLOB_MAGIC)
         f.write(np.asarray([len(records)], dtype=np.uint64).tobytes())
@@ -79,6 +80,8 @@ class _BlobStore(Sequence):
         return self._n
 
     def __getitem__(self, i: int) -> bytes:
+        if i < 0:                      # list semantics (the eager path)
+            i += self._n
         if not 0 <= i < self._n:
             raise IndexError(i)
         a, b = int(self._offsets[i]), int(self._offsets[i + 1])
@@ -146,7 +149,10 @@ class MetaDataset:
     tmp+rename, so a crash mid-build never publishes a torn cache), and
     every other process polls for the sentinel before mmap-opening the
     store. Items decode lazily per access; the OS page cache shares the
-    bytes across all processes on the host.
+    bytes across all processes on the host.  If the sentinel never shows
+    up within ``cache_wait_s`` (rank 0 died, or a multi-host pod without
+    a shared filesystem), the process logs a warning and builds the store
+    locally instead of failing the job.
     """
 
     def __init__(self, config_path: str, item_processor: Any = None,
@@ -180,9 +186,24 @@ class MetaDataset:
             deadline = time.monotonic() + cache_wait_s
             while not os.path.exists(ready):
                 if time.monotonic() > deadline:
-                    raise TimeoutError(
-                        f"rank {rank}: annotation cache never became ready "
-                        f"({ready}); is rank 0 alive?")
+                    # rank 0's sentinel never appeared: either it died, or
+                    # this is a multi-HOST run without a shared filesystem
+                    # (rank = jax.process_index() spans hosts on a pod).
+                    # Build the store locally instead of killing the job —
+                    # the per-pid tmp + rename makes same-host races safe.
+                    logging.getLogger(__name__).warning(
+                        "rank %s: annotation cache never became ready (%s);"
+                        " no shared filesystem with rank 0? building "
+                        "locally", rank, ready)
+                    annotations, types = _load_annotations(cfg)
+                    _write_blob_store(
+                        blob,
+                        [json.dumps(a).encode() for a in annotations])
+                    tmp = f"{types_path}.tmp.{os.getpid()}"
+                    with open(tmp, "w") as f:
+                        json.dump(types, f)
+                    os.replace(tmp, types_path)
+                    break
                 time.sleep(0.05)
         self.annotations = _LazyJsonList(_BlobStore(blob))
         with open(types_path) as f:

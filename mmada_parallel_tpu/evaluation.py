@@ -181,7 +181,12 @@ def _drive_server(server, submit_calls, warmup_lens=None):
         if warmup_lens:
             server.warmup(warmup_lens)
         t0 = time.time()
-        with cf.ThreadPoolExecutor(max_workers=max(len(submit_calls), 1)) as ex:
+        # enough in-flight submissions to fill several server batches, but
+        # bounded — a many-thousand-request JSONL sweep must not spawn a
+        # thread per request
+        workers = min(max(len(submit_calls), 1),
+                      max(4 * getattr(server, "_batch_size", 8), 32))
+        with cf.ThreadPoolExecutor(max_workers=workers) as ex:
             futs = [ex.submit(fn) for fn in submit_calls]
             outs = [f.result() for f in futs]
         total_time = time.time() - t0

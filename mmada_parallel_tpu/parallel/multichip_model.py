@@ -901,7 +901,14 @@ def analyze_8b_tpu(n_layers_compile: int = 2, full_depth: int = 32,
                         attention_impl="pallas")
                     txt_p = compiled_p.as_text()
                     ov_p = parse_overlap(txt_p)
-                    if ov_p["async_pairs"]:
+                    # adopt the kernel-true schedule UNCONDITIONALLY once
+                    # it compiles — including async_pairs == 0, which means
+                    # the Mosaic custom-call acts as a scheduling barrier
+                    # and the shipped path genuinely cannot hide comm; the
+                    # einsum stand-in's optimistic windows must not survive
+                    # that evidence (sanity: the module still carries the
+                    # ring's ppermutes, else the parse saw the wrong text)
+                    if ov_p["async_pairs"] or "collective-permute" in txt_p:
                         best["overlap_xla_module"] = best["overlap"]
                         best["overlap"] = ov_p
                         best["overlap_attention_impl"] = "pallas"

@@ -40,15 +40,10 @@ _M_SOURCES = [
     "mmada_parallel_tpu/samplers/interleave.py",
     "mmada_parallel_tpu/tokens.py",
 ]
-_A_SOURCES = [
-    "examples/train_edit_demo_a.py",
-    "mmada_parallel_tpu/models/llada.py",
-    "mmada_parallel_tpu/training/losses.py",
-    "mmada_parallel_tpu/training/trainer.py",
-    "mmada_parallel_tpu/data/item_processor.py",
-    "mmada_parallel_tpu/samplers/parallel_ti2ti.py",
-    "mmada_parallel_tpu/tokens.py",
-]
+# single source of truth for the A list: the demo itself keys its own
+# fixture store off train_edit_demo_a.DEMO_SOURCES with the same scheme,
+# so the suite and the standalone demo share one trained fixture
+from train_edit_demo_a import DEMO_SOURCES as _A_SOURCES  # noqa: E402
 
 
 @pytest.fixture(scope="module")

@@ -161,9 +161,13 @@ def test_meta_dataset_cache_spinwait_and_timeout(tmp_path):
     items = [{"input_ids": [i]} for i in range(8)]
     cfgf, _ = _write_meta_config(tmp_path, items)
 
-    # no rank 0 anywhere: rank 1 must time out, not hang
-    with pytest.raises(TimeoutError):
-        MetaDataset(str(cfgf), cache_on_disk=True, rank=1, cache_wait_s=0.2)
+    # no rank 0 anywhere (dead, or a multi-host pod without a shared
+    # filesystem): rank 1 must neither hang nor die — it logs a warning
+    # and builds the store locally with identical contents
+    ds1 = MetaDataset(str(cfgf), cache_on_disk=True, rank=1,
+                      cache_wait_s=0.2)
+    assert list(ds1.annotations) == items
+    assert ds1.annotations[-1] == items[-1]   # list semantics preserved
 
     result = {}
 

@@ -115,18 +115,15 @@ def test_parabench_demo_end_to_end_and_deterministic(tmp_path):
     whole sweep is deterministic at temperature 0 (two runs, identical
     metrics and texts)."""
     import parabench_demo
+    from train_edit_demo_a import demo_param_store
     from test_capability_demo import _A_SOURCES
 
-    # share the capability-demo fixture cache so this reuses the
-    # converged weights instead of retraining
+    # the demo keys its own fixture store with the conftest scheme over
+    # the same sources, so it shares the capability-demo trained weights
+    # (and retrains when the stack changes) with no copying
     kw = dict(steps=800, batch=32, lr=3e-3, log_every=400)
-    store = fixture_store_path("edit_demo_a", _A_SOURCES, **kw)
-    orig = os.path.join(os.path.expanduser("~"), ".cache",
-                        "mmada_parallel_tpu", "fixtures",
-                        "parabench_demo_a.npz")
-    if os.path.exists(store) and not os.path.exists(orig):
-        import shutil
-        shutil.copyfile(store, orig)
+    assert (demo_param_store(**kw)
+            == fixture_store_path("edit_demo_a", _A_SOURCES, **kw))
 
     out = tmp_path / "parabench"
     m1 = parabench_demo.run(str(out), n_requests=4, steps=800)

@@ -699,7 +699,8 @@ def test_eval_sweep_cli(model, monkeypatch, tmp_path):
               "meta": {"input_codes": list(range(N_VQ))}},
              {"instr_ids": [12, 13, 14], "codes": [1] * N_VQ}],
             ["--num_vq_tokens", str(N_VQ), "--max_seq_length", str(MSL),
-             "--image_steps", "4", "--text_cfg", "1.5", "--image_cfg", "2"])
+             "--m_text_steps", str(MSL), "--image_steps", "4",
+             "--text_cfg", "1.5", "--image_cfg", "2"])
     assert m["gens_per_min"] > 0
     assert len(m["per_request"][0]["codes"]) == N_VQ
     assert "consistency" in m["per_request"][0]["scores"]
@@ -735,9 +736,21 @@ def test_eval_sweep_cli(model, monkeypatch, tmp_path):
               "meta": {"keywords": []}}],
             ["--grid", "2,3", "--text_gen_length", "8",
              "--end_token_ids", "9", "--timesteps", "4",
-             "--text_steps", "8", "--cfg_img", "2.0"])
+             "--text_steps", "8", "--cfg_img", "2.0",
+             "--uncond_image_ids", "10,11,12"])
     assert m["edits_per_min"] > 0
     assert len(m["per_request"][0]["codes"]) == 2 * 3
+
+    # fake-guidance guards: image CFG without an uncond prefix, and text
+    # CFG at all, must refuse instead of amplifying cond logits
+    with pytest.raises(SystemExit):
+        run("edit", [{"prompt_ids": [10]}],
+            ["--grid", "2,3", "--text_gen_length", "8",
+             "--end_token_ids", "9", "--cfg_img", "2.0"])
+    with pytest.raises(SystemExit):
+        run("edit", [{"prompt_ids": [10]}],
+            ["--grid", "2,3", "--text_gen_length", "8",
+             "--end_token_ids", "9", "--cfg_scale", "1.5"])
 
 
 def test_eval_sweep_cli_vq_pixel_axes(model, monkeypatch, tmp_path):
@@ -807,6 +820,7 @@ def test_eval_sweep_cli_vq_pixel_axes(model, monkeypatch, tmp_path):
             ["--grid", "2,3", "--text_gen_length", "8",
              "--end_token_ids", "9", "--timesteps", "4",
              "--text_steps", "8", "--cfg_img", "2.0",
+             "--uncond_image_ids", "10,11,12",
              "--vq_checkpoint", str(tmp_path / "amused")])
     s = m["per_request"][0]["scores"]
     assert "pixel_consistency_psnr" in s and "pixel_consistency_ssim" in s

@@ -132,6 +132,10 @@ def main():
     args = ap.parse_args()
 
     if args.trace_dir:
+        if args.steady is None or args.traced is None:
+            ap.error("--trace_dir needs --steady and --traced (wall "
+                     "seconds of the original runs) before the minutes "
+                     "of trace parsing start")
         trace_dir, steady, traced = args.trace_dir, args.steady, args.traced
         dev, seq = "(reparsed trace)", None
     else:

@@ -34,6 +34,10 @@ CENSUS_CODE_FILES = [
     "mmada_parallel_tpu/parallel/tp_overlap.py",
     "mmada_parallel_tpu/parallel/mesh.py",
     "mmada_parallel_tpu/models/llada.py",
+    # the kernel-true ring modules compile attention_impl="pallas": the
+    # dispatch gates and the Mosaic kernel shape the censused HLO too
+    "mmada_parallel_tpu/ops/attention.py",
+    "mmada_parallel_tpu/ops/rope_attention.py",
 ]
 
 # (variant -> run_in_subprocess kwargs) — must mirror what bench.py's
