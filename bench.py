@@ -60,6 +60,39 @@ def time_best3(run_once, label, err):
     return min(times), compile_s
 
 
+STDOUT_BUDGET = 1500   # chars; the driver keeps a 2000-char stdout window
+# (BENCH_r04 was rc=0/parsed=null: the one JSON line had grown to ~2,160
+# chars — past that window — after overlap_evidence/int8 blobs moved into
+# it; r1's 528-char and r2's 1,103-char lines parsed fine.  Everything
+# verbose now goes to stderr + artifacts/bench_diag.json, and
+# tests/test_bench_payload.py pins every payload under this budget.)
+
+
+def fit_stdout_budget(payload, err=None):
+    """Last-ditch size clamp: if the one stdout JSON line would overflow
+    the driver's window, shed diagnostics sub-blocks (never the
+    metric/value/unit/vs_baseline contract fields) until it fits."""
+    line = json.dumps(payload)
+    if len(line) <= STDOUT_BUDGET:
+        return payload
+    slim = dict(payload)
+    diag = dict(slim.get("diagnostics") or {})
+    for key in ("m_variant", "multichip", "compile_first_run_s",
+                "extrapolation", "depth_curve_source"):
+        if len(json.dumps(slim)) <= STDOUT_BUDGET:
+            break
+        if key in diag:
+            diag.pop(key)
+            slim["diagnostics"] = diag
+            if err:
+                err(f"[guard] stdout budget: dropped diagnostics.{key}")
+    if len(json.dumps(slim)) > STDOUT_BUDGET:
+        slim.pop("diagnostics", None)
+        if err:
+            err("[guard] stdout budget: dropped all diagnostics")
+    return slim
+
+
 class HeadlineGuard:
     """Guarantees the driver gets its one parsed JSON line.
 
@@ -70,10 +103,14 @@ class HeadlineGuard:
     currently-supportable headline payload as soon as ANY depth is
     measured, and flush it on SIGTERM (what ``timeout`` sends) / SIGINT /
     interpreter exit if the final ``emit()`` was never reached.  Exactly
-    one JSON line is printed either way."""
+    one JSON line is printed either way — and it is clamped under the
+    driver's stdout window (``fit_stdout_budget``; verbose diagnostics
+    ride stderr + ``artifacts/bench_diag.json`` instead, BENCH_r04's
+    failure mode)."""
 
     def __init__(self, err):
         self._payload = None
+        self._diag = None
         self._printed = False
         self._err = err
         import atexit
@@ -85,18 +122,28 @@ class HeadlineGuard:
             except (ValueError, OSError):   # non-main thread etc.
                 pass
 
-    def arm(self, payload):
+    def arm(self, payload, diag=None):
         self._payload = payload
+        if diag is not None:
+            self._diag = diag
 
-    def emit(self, payload=None):
+    def emit(self, payload=None, diag=None):
         if payload is not None:
             self._payload = payload
+        if diag is not None:
+            self._diag = diag
         self._flush()
 
     def _flush(self):
         if self._payload is not None and not self._printed:
             self._printed = True
-            print(json.dumps(self._payload), flush=True)
+            if self._diag:
+                try:
+                    write_bench_diag(self._diag, self._err)
+                except Exception as e:   # the sidecar must never block
+                    self._err(f"[guard] diag sidecar failed ({e!r})")
+            print(json.dumps(fit_stdout_budget(self._payload, self._err)),
+                  flush=True)
 
     def _on_signal(self, signum, frame):
         self._err(f"[guard] signal {signum}: flushing armed headline JSON "
@@ -150,6 +197,104 @@ def load_chunk_overhead(err):
             return json.load(f).get("entries")
     except (OSError, ValueError) as e:
         err(f"chunk_overhead artifact unreadable ({e!r})")
+        return None
+
+
+def write_bench_diag(diag, err):
+    """Verbose diagnostics sidecar: everything too big for the one stdout
+    line (overlap_evidence schedules, the int8-payload ring block, compute
+    ratios, the model-description prose) goes to
+    ``artifacts/bench_diag.json`` + stderr instead (BENCH_r04 lesson)."""
+    path = os.path.join(REPO_DIR, "artifacts", "bench_diag.json")
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        json.dump(diag, f, indent=1)
+    err(f"[diag] verbose diagnostics -> {path}")
+    err("[diag] " + json.dumps(diag))
+
+
+MULTICHIP_MODEL_NOTE = (
+    "HLO collective census at real 8B dims AOT-compiled for the v5e:2x4 "
+    "topology; link-capacity-bounded ICI pricing; comm charged at the "
+    "compiled schedule's evidenced overlap for decomposed-ring meshes, no "
+    "overlap otherwise — a MODEL (schedule-evidenced overlap), not an "
+    "8-chip measurement")
+
+
+def compact_multichip(scaling, census_src, time_key="t_edit"):
+    """Split a ``predict_edit_scaling`` dict into the LEAN stdout block
+    and the VERBOSE sidecar block (stderr + artifacts/bench_diag.json).
+
+    ``time_key`` renames the three modeled seconds fields (``t_edit`` for
+    the A headline, ``t_gen`` for the M variant).  The lean block carries
+    only scalars; evidence dicts, ratios and prose live in the sidecar.
+    """
+    ov = scaling.get("overlap_evidence") or {}
+    compact = {
+        "census_source": census_src,
+        "mesh": scaling["mesh"],
+        f"{time_key}_s_no_overlap": round(scaling["t_edit_s_no_overlap"], 3),
+        f"{time_key}_s_evidenced": round(
+            scaling.get("t_edit_s_evidenced",
+                        scaling["t_edit_s_no_overlap"]), 3),
+        f"{time_key}_s_full_overlap": round(
+            scaling["t_edit_s_full_overlap"], 3),
+        "comm_s": round(scaling["t_comm_s"], 3),
+        "efficiency": round(scaling["efficiency_no_overlap"], 3),
+        "compute_model": scaling.get("compute_model", "linear"),
+    }
+    if ov:
+        compact["overlap_frac"] = {
+            k.replace("_forward", ""): round(v.get("overlap_fraction", 0.0),
+                                             3)
+            for k, v in ov.items()}
+    verbose = {
+        "model": MULTICHIP_MODEL_NOTE,
+        "overlap_evidence": ov or None,
+        "compute_ratios": scaling.get("compute_ratios"),
+        "chunk_overhead_measured": scaling.get("chunk_overhead_applied"),
+        "collective_bytes_per_edit": scaling.get("wire_bytes_per_edit"),
+        "int8_payload_ring": (None if not scaling.get("q8") else {
+            "t_edit_s_evidenced": round(
+                scaling["q8"]["t_edit_s_evidenced"], 3),
+            "t_comm_s": round(scaling["q8"]["t_comm_s"], 3),
+            "overlap_evidence": scaling["q8"].get("overlap_evidence"),
+        }),
+    }
+    ts = scaling.get("train_step_comm") or {}
+    if ts:
+        compact["train_comm_s"] = round(
+            ts.get("comm_seconds_per_call", 0.0), 3)
+        verbose["collective_bytes_per_train_step"] = ts.get(
+            "wire_bytes_per_call")
+    return compact, verbose
+
+
+def m_variant_summary(err):
+    """Compact M-variant contract block for the A headline's diagnostics
+    (VERDICT r4 item 8): the modeled v5e-8 interleave generation from the
+    committed M census + the last measured (r3) M depth curve, so the M
+    number survives in parsed driver form even when only the default A
+    bench runs.  Returns None when the M census artifact is unusable."""
+    try:
+        census, label, fresh = load_committed_census("m", err)
+        if census is None:
+            return None
+        t1, _, _ = extrapolate_depth(R3_MEASURED_CURVES["m"])
+        scaling = predict_from_census(census, t1, with_q8=False,
+                                      chunk_overhead=load_chunk_overhead(err))
+        if scaling is None:
+            return None
+        return {
+            "t_gen_s_evidenced": round(
+                scaling.get("t_edit_s_evidenced",
+                            scaling["t_edit_s_no_overlap"]), 3),
+            "t_8b_1chip_s": round(t1, 3),
+            "curve_source": "replayed-r3",
+            "census": "fresh" if fresh else "stale",
+        }
+    except Exception as e:
+        err(f"[m_variant] summary failed ({e!r})")
         return None
 
 
@@ -296,6 +441,108 @@ def extrapolate_depth(curve, target_layers=32):
             f"FLOPs-ratio extrapolation from {L} layers", None)
 
 
+def build_a_payload(curve, compile_s, replayed, scaling, census_src,
+                    quant="", seq=2424, n_forwards=192,
+                    f_tok_layer=None, m_variant=None):
+    """The one driver JSON payload for the A headline, buildable from any
+    >=1-depth curve — armed progressively so a driver timeout mid-bench
+    still yields a parsed artifact.  Returns ``(payload, verbose_diag,
+    extras)``: the stdout line (LEAN — pinned <= ``STDOUT_BUDGET`` chars
+    by ``tests/test_bench_payload.py``), the sidecar diagnostics
+    (stderr + ``artifacts/bench_diag.json``), and derived scalars."""
+    if f_tok_layer is None:
+        f_tok_layer = backbone_flops_per_token(4096, 12288, 1, 1.0, seq)
+    t_8b_1chip, method, m_per_layer = extrapolate_depth(curve)
+    marginal_tflops = (f_tok_layer * seq * n_forwards / m_per_layer
+                       / 1e12 if m_per_layer else None)
+    if scaling is not None:
+        t_8b_8chip, scale_note = pick_headline(scaling)
+    else:
+        t_8b_8chip = t_8b_1chip / 8.0
+        scale_note = "ASSUMES linear v5e-8 scaling"
+    L0 = min(curve)
+    sustained = (f_tok_layer * L0 * seq * n_forwards) / curve[L0]
+    tag = f" W8A8-{quant}" if quant.startswith("int8") else ""
+    peak = 394e12 if quant.startswith("int8") else V5E_BF16_PEAK
+    diagnostics = {
+        "depth_curve_s": {str(k): round(v, 3) for k, v in curve.items()},
+        "compile_first_run_s": {str(k): round(v, 1)
+                                for k, v in compile_s.items()},
+        "extrapolation": method,
+        "sustained_tflops_min_depth": round(sustained / 1e12, 1),
+        "marginal_backbone_tflops": (round(marginal_tflops, 1)
+                                     if marginal_tflops else None),
+        "mfu_pct": round(100 * sustained / peak, 1),
+        "t_8b_1chip_s": round(t_8b_1chip, 3),
+        "depth_curve_source": ("replayed-r3 (TPU unreachable)" if replayed
+                               else "measured this run"),
+    }
+    verbose = {"v5e_peak_tflops": round(peak / 1e12)}
+    if scaling is not None:
+        compact, mc_verbose = compact_multichip(scaling, census_src)
+        diagnostics["multichip"] = compact
+        verbose["multichip"] = mc_verbose
+    if m_variant:
+        diagnostics["m_variant"] = m_variant
+    payload = {
+        "metric": f"sec per 512x512 edit, 64 img + 128 text steps{tag}"
+                  " (8B depth from "
+                  + ("REPLAYED-r3" if replayed else "measured")
+                  + f" depth-curve fit; {scale_note})",
+        "value": round(t_8b_8chip, 3),
+        "unit": "s",
+        "vs_baseline": round(8.0 / t_8b_8chip, 3),
+        "diagnostics": diagnostics,
+    }
+    extras = {"t_8b_1chip": t_8b_1chip, "m_per_layer": m_per_layer,
+              "marginal_tflops": marginal_tflops, "sustained": sustained}
+    return payload, verbose, extras
+
+
+def build_m_payload(curve, compile_s, replayed, scaling, census_src,
+                    quant="", seq=2344, n_fwd=128, f_tok_layer=None):
+    """M-variant (interleave) driver payload: same lean-stdout /
+    verbose-sidecar split as :func:`build_a_payload`."""
+    if f_tok_layer is None:
+        f_tok_layer = backbone_flops_per_token(4096, 12288, 1, 1.0, seq)
+    t_8b, method, _ = extrapolate_depth(curve)
+    L0 = min(curve)
+    sustained = f_tok_layer * L0 * seq * 2 * n_fwd / curve[L0]
+    if scaling is not None:
+        t_8chip, note = pick_headline(scaling)
+    else:
+        t_8chip = t_8b / 8
+        note = "ASSUMES linear v5e-8 scaling"
+    tag = f" W8A8-{quant}" if quant.startswith("int8") else ""
+    diagnostics = {
+        "depth_curve_s": {str(k): round(v, 3) for k, v in curve.items()},
+        "compile_first_run_s": {str(k): round(v, 1)
+                                for k, v in compile_s.items()},
+        "sustained_tflops_min_depth": round(sustained / 1e12, 1),
+        "seq_len": seq,
+        "t_8b_1chip_s": round(t_8b, 3),
+        "depth_curve_source": ("replayed-r3 (TPU unreachable)"
+                               if replayed else "measured this run"),
+    }
+    verbose = {}
+    if scaling is not None:
+        compact, mc_verbose = compact_multichip(scaling, census_src,
+                                                time_key="t_gen")
+        diagnostics["multichip"] = compact
+        verbose["multichip"] = mc_verbose
+    payload = {
+        "metric": "sec per 512x512 interleave generation, 128 text + "
+                  f"30 image steps{tag} (variant M; 8B depth from "
+                  + ("REPLAYED-r3 " if replayed else "")
+                  + f"{method}; {note})",
+        "value": round(t_8chip, 3),
+        "unit": "s",
+        "vs_baseline": None,
+        "diagnostics": diagnostics,
+    }
+    return payload, verbose, {"t_8b_1chip": t_8b, "sustained": sustained}
+
+
 def replay_curve_if_unreachable(variant, depths, blocked_by=""):
     """``(replayed, curve, remaining_depths)`` — the shared
     TPU-unreachable fallback for both bench variants: replay the
@@ -382,55 +629,9 @@ def bench_m(depths, quant):
                        q8=False)
 
     def m_payload(curve, replayed, scaling, census_src):
-        t_8b, method, _ = extrapolate_depth(curve)
-        L0 = min(curve)
-        sustained = f_tok_layer * L0 * seq * 2 * n_fwd / curve[L0]
-        if scaling is not None:
-            t_8chip, note = pick_headline(scaling)
-        else:
-            t_8chip = t_8b / 8
-            note = "ASSUMES linear v5e-8 scaling"
-        tag = f" W8A8-{quant}" if quant.startswith("int8") else ""
-        diagnostics = {
-            "depth_curve_s": {str(k): round(v, 3)
-                              for k, v in curve.items()},
-            "compile_first_run_s": {str(k): round(v, 1)
-                                    for k, v in compile_s.items()},
-            "sustained_tflops_min_depth": round(sustained / 1e12, 1),
-            "seq_len": seq,
-            "t_8b_1chip_s": round(t_8b, 3),
-            "depth_curve_source": ("REPLAYED r3 measurement (TPU backend "
-                                   "unreachable at bench time)"
-                                   if replayed else "measured this run"),
-        }
-        if scaling is not None:
-            diagnostics["multichip"] = {
-                "census_source": census_src,
-                "mesh": scaling["mesh"],
-                "comm_seconds_per_gen": round(scaling["t_comm_s"], 3),
-                "predicted_scaling_efficiency":
-                    round(scaling["efficiency_no_overlap"], 3),
-                "t_gen_s_no_overlap":
-                    round(scaling["t_edit_s_no_overlap"], 3),
-                "t_gen_s_evidenced":
-                    round(scaling.get("t_edit_s_evidenced",
-                                      scaling["t_edit_s_no_overlap"]), 3),
-                "overlap_evidence": scaling.get("overlap_evidence"),
-                "t_gen_s_full_overlap":
-                    round(scaling["t_edit_s_full_overlap"], 3),
-                "chunk_overhead_measured":
-                    scaling.get("chunk_overhead_applied"),
-            }
-        return {
-            "metric": "sec per 512x512 interleave generation, 128 text + "
-                      f"30 image steps{tag} (variant M; 8B depth from "
-                      + ("REPLAYED-r3 " if replayed else "")
-                      + f"{method}; {note})",
-            "value": round(t_8chip, 3),
-            "unit": "s",
-            "vs_baseline": None,
-            "diagnostics": diagnostics,
-        }, t_8b, sustained
+        return build_m_payload(curve, compile_s, replayed, scaling,
+                               census_src, quant=quant, seq=seq,
+                               n_fwd=n_fwd, f_tok_layer=f_tok_layer)
 
     def arm_from(curve, replayed):
         try:
@@ -443,7 +644,8 @@ def bench_m(depths, quant):
                         census, t1, with_q8=False,
                         chunk_overhead=load_chunk_overhead(err))
                     census_src = f"replayed@{label}"
-            guard.arm(m_payload(curve, replayed, scaling, census_src)[0])
+            p = m_payload(curve, replayed, scaling, census_src)
+            guard.arm(p[0], diag=p[1])
         except Exception as e:
             err(f"[guard] arm failed ({e!r})")
 
@@ -492,12 +694,11 @@ def bench_m(depths, quant):
             "(schedule-evidenced overlap) / "
             f"{scaling['t_edit_s_full_overlap']:.2f}s full-overlap "
             f"({100 * scaling['efficiency_no_overlap']:.0f}% floor)")
-    payload, t_8b, sustained = m_payload(curve, replayed, scaling,
-                                         census_src)
+    payload, verbose, ex = m_payload(curve, replayed, scaling, census_src)
     err(f"[M] sustained at {min(curve)} layers: "
-        f"{sustained / 1e12:.0f} TFLOP/s; 8B-extrapolated {t_8b:.2f}s/gen "
-        "1-chip")
-    guard.emit(payload)
+        f"{ex['sustained'] / 1e12:.0f} TFLOP/s; 8B-extrapolated "
+        f"{ex['t_8b_1chip']:.2f}s/gen 1-chip")
+    guard.emit(payload, diag=verbose)
 
 
 def bench_serve(depth: int, batch: int, n_requests: int):
@@ -787,92 +988,14 @@ def main():
 
     guard = HeadlineGuard(err)
     compile_s = {}
+    m_summary = (m_variant_summary(err)
+                 if os.environ.get("BENCH_MULTICHIP", "1") != "0" else None)
 
     def a_payload(curve, replayed, scaling, census_src):
-        """The one driver JSON payload, buildable from any >=1-depth
-        curve — armed progressively so a driver timeout mid-bench still
-        yields a parsed artifact."""
-        t_8b_1chip, method, m_per_layer = extrapolate_depth(curve)
-        marginal_tflops = (f_tok_layer * seq * n_forwards / m_per_layer
-                           / 1e12 if m_per_layer else None)
-        if scaling is not None:
-            t_8b_8chip, scale_note = pick_headline(scaling)
-        else:
-            t_8b_8chip = t_8b_1chip / 8.0
-            scale_note = "ASSUMES linear v5e-8 scaling"
-        L0 = min(curve)
-        sustained = (f_tok_layer * L0 * seq * n_forwards) / curve[L0]
-        tag = f" W8A8-{quant}" if quant.startswith("int8") else ""
-        peak = 394e12 if quant.startswith("int8") else V5E_BF16_PEAK
-        diagnostics = {
-            "depth_curve_s": {str(k): round(v, 3)
-                              for k, v in curve.items()},
-            "compile_first_run_s": {str(k): round(v, 1)
-                                    for k, v in compile_s.items()},
-            "extrapolation": method,
-            "sustained_tflops_min_depth": round(sustained / 1e12, 1),
-            "marginal_backbone_tflops": (round(marginal_tflops, 1)
-                                         if marginal_tflops else None),
-            "v5e_peak_tflops": round(peak / 1e12),
-            "mfu_pct": round(100 * sustained / peak, 1),
-            "t_8b_1chip_s": round(t_8b_1chip, 3),
-            "depth_curve_source": ("REPLAYED r3 measurement (TPU backend "
-                                   "unreachable at bench time)" if replayed
-                                   else "measured this run"),
-        }
-        if scaling is not None:
-            diagnostics["multichip"] = {
-                "census_source": census_src,
-                "mesh": scaling["mesh"],
-                "t_edit_s_no_overlap":
-                    round(scaling["t_edit_s_no_overlap"], 3),
-                "t_edit_s_evidenced": round(
-                    scaling.get("t_edit_s_evidenced",
-                                scaling["t_edit_s_no_overlap"]), 3),
-                "overlap_evidence": scaling.get("overlap_evidence"),
-                "collective_bytes_per_edit":
-                    scaling["wire_bytes_per_edit"],
-                "comm_seconds_per_edit": round(scaling["t_comm_s"], 3),
-                "predicted_scaling_efficiency":
-                    round(scaling["efficiency_no_overlap"], 3),
-                "t_edit_s_full_overlap":
-                    round(scaling["t_edit_s_full_overlap"], 3),
-                "compute_model": scaling.get("compute_model", "linear"),
-                "compute_ratios": scaling.get("compute_ratios"),
-                "chunk_overhead_measured":
-                    scaling.get("chunk_overhead_applied"),
-                # OPT-IN int8-payload ring (approximate; never headline)
-                "int8_payload_ring": (None if not scaling.get("q8") else {
-                    "t_edit_s_evidenced": round(
-                        scaling["q8"]["t_edit_s_evidenced"], 3),
-                    "t_comm_s": round(scaling["q8"]["t_comm_s"], 3),
-                    "overlap_evidence":
-                        scaling["q8"].get("overlap_evidence"),
-                }),
-                "model": (
-                    "HLO collective census at real 8B dims AOT-compiled "
-                    "for the v5e:2x4 topology; link-capacity-bounded ICI "
-                    "pricing; comm charged at the compiled schedule's "
-                    "evidenced overlap for decomposed-ring meshes, no "
-                    "overlap otherwise — a MODEL (schedule-evidenced "
-                    "overlap), not an 8-chip measurement"),
-            }
-            ts = scaling.get("train_step_comm") or {}
-            if ts:
-                diagnostics["multichip"]["collective_bytes_per_train_step"] \
-                    = ts.get("wire_bytes_per_call")
-                diagnostics["multichip"]["train_step_comm_seconds"] = round(
-                    ts.get("comm_seconds_per_call", 0.0), 3)
-        return {
-            "metric": f"sec per 512x512 edit, 64 img + 128 text steps{tag}"
-                      " (8B depth from "
-                      + ("REPLAYED-r3" if replayed else "measured")
-                      + f" depth-curve fit; {scale_note})",
-            "value": round(t_8b_8chip, 3),
-            "unit": "s",
-            "vs_baseline": round(8.0 / t_8b_8chip, 3),
-            "diagnostics": diagnostics,
-        }, t_8b_1chip, m_per_layer, marginal_tflops, sustained
+        return build_a_payload(curve, compile_s, replayed, scaling,
+                               census_src, quant=quant, seq=seq,
+                               n_forwards=n_forwards,
+                               f_tok_layer=f_tok_layer, m_variant=m_summary)
 
     def arm_from(curve, replayed):
         """Cheap (replay-only, no compiles) arm of the timeout guard."""
@@ -885,7 +1008,8 @@ def main():
                     scaling = predict_from_census(
                         census, t1, chunk_overhead=load_chunk_overhead(err))
                     census_src = f"replayed@{label}"
-            guard.arm(a_payload(curve, replayed, scaling, census_src)[0])
+            p = a_payload(curve, replayed, scaling, census_src)
+            guard.arm(p[0], diag=p[1])
         except Exception as e:   # arming must never kill the bench
             err(f"[guard] arm failed ({e!r})")
 
@@ -947,8 +1071,9 @@ def main():
             f"{scaling['t_edit_s_full_overlap']:.2f}s full-overlap "
             f"({100 * scaling['efficiency_no_overlap']:.0f}% "
             "scaling efficiency floor)")
-    payload, t1, m_per_layer, marginal_tflops, sustained = a_payload(
-        curve, replayed, scaling, census_src)
+    payload, verbose, ex = a_payload(curve, replayed, scaling, census_src)
+    t1, marginal_tflops, sustained = (ex["t_8b_1chip"],
+                                      ex["marginal_tflops"], ex["sustained"])
     if marginal_tflops is not None:
         err(f"marginal backbone throughput {marginal_tflops:.0f} TFLOP/s "
             f"({100 * marginal_tflops * 1e12 / V5E_BF16_PEAK:.0f}% of "
@@ -958,7 +1083,7 @@ def main():
     err(f"sustained at {min(curve)} layers: {sustained / 1e12:.0f} "
         f"TFLOP/s == {100 * sustained / V5E_BF16_PEAK:.0f}% of v5e bf16 "
         "peak (197)")
-    guard.emit(payload)
+    guard.emit(payload, diag=verbose)
 
 
 if __name__ == "__main__":

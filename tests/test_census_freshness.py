@@ -17,22 +17,35 @@ changes to any file in ``CENSUS_CODE_FILES``.
 
 import os
 import subprocess
-import sys
 
 import pytest
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-sys.path.insert(0, os.path.join(REPO, "tools"))
 
-from refresh_census import (CENSUS_CODE_FILES, VARIANTS, artifact_path,
-                            census_code_sha)
+# import by explicit file path (not sys.path.insert) so a generically
+# named module later added to tools/ can't shadow imports in other tests
+import importlib.util  # noqa: E402
+
+_spec = importlib.util.spec_from_file_location(
+    "refresh_census", os.path.join(REPO, "tools", "refresh_census.py"))
+_rc = importlib.util.module_from_spec(_spec)
+_spec.loader.exec_module(_rc)
+CENSUS_CODE_FILES = _rc.CENSUS_CODE_FILES
+VARIANTS = _rc.VARIANTS
+artifact_path = _rc.artifact_path
+census_code_sha = _rc.census_code_sha
 
 
 def _census_sources_dirty():
-    """True when any census-relevant source has uncommitted changes."""
+    """True when any census-relevant source has uncommitted changes.
+
+    ``census_code_sha()`` also depends on tools/refresh_census.py itself
+    (it holds the CENSUS_CODE_FILES list), so a WIP edit there must count
+    as dirty too — otherwise the test FAILS instead of skipping."""
+    watched = list(CENSUS_CODE_FILES) + ["tools/refresh_census.py"]
     try:
         out = subprocess.run(
-            ["git", "status", "--porcelain", "--"] + list(CENSUS_CODE_FILES),
+            ["git", "status", "--porcelain", "--"] + watched,
             cwd=REPO, capture_output=True, text=True, timeout=30)
     except (OSError, subprocess.TimeoutExpired):
         return True   # can't tell -> don't fail the suite on a guess
