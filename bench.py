@@ -200,6 +200,21 @@ def load_chunk_overhead(err):
         return None
 
 
+def load_cycle_calibration(err):
+    """1-chip cycle table (``artifacts/cycle_calibration.json``, written
+    by ``tools/calibrate_cycles.py``) for the cycles->seconds calibration
+    bracket, or None."""
+    path = os.path.join(REPO_DIR, "artifacts", "cycle_calibration.json")
+    if not os.path.exists(path):
+        return None
+    try:
+        with open(path) as f:
+            return json.load(f).get("table")
+    except (OSError, ValueError) as e:
+        err(f"cycle_calibration artifact unreadable ({e!r})")
+        return None
+
+
 def write_bench_diag(diag, err):
     """Verbose diagnostics sidecar: everything too big for the one stdout
     line (overlap_evidence schedules, the int8-payload ring block, compute
@@ -482,6 +497,20 @@ def build_a_payload(curve, compile_s, replayed, scaling, census_src,
         compact, mc_verbose = compact_multichip(scaling, census_src)
         diagnostics["multichip"] = compact
         verbose["multichip"] = mc_verbose
+        if len(curve) >= 2 and not quant:
+            # cycles->seconds calibration bracket (the census compute
+            # model's translation error, measured against THIS run's
+            # depth curve; parallel/calibration.py).  int8 runs skip it:
+            # the cycle table is a bf16-program artifact.
+            table = load_cycle_calibration(lambda *a: None)
+            if table is not None:
+                from mmada_parallel_tpu.parallel.calibration import (
+                    calibrate, headline_bracket)
+                cal = calibrate(table, curve)
+                br = headline_bracket(compact["t_edit_s_evidenced"], cal)
+                if br is not None:
+                    compact["calib"] = br
+                    verbose["calibration"] = cal
     if m_variant:
         diagnostics["m_variant"] = m_variant
     payload = {
