@@ -14,21 +14,30 @@ measures exactly that on the one real chip:
   by identity (the ``permute=`` hook).  Same chunk GEMM count/shapes,
   same σ-order slices, same per-chunk attention calls as a real ring
   chip; zero wire time.
-* **monolithic**: the FLOP-identical single-call program — each ring
-  boundary's ``g`` chunk GEMMs fused into one full-sequence GEMM, the
-  ``2g`` attention pieces into one call — i.e. what the per-chip compute
-  would cost with no decomposition (the Megatron/GSPMD per-chip shard
-  program).  The AG input is materialized by one ``jnp.tile`` per
-  boundary (the identity-permute ring consumes the same chunk ``g``
-  times), a small bandwidth cost the chunked side does not pay — biasing
-  the measured factor DOWN, i.e. conservative for the headline.
+* **monolithic**: the literal Megatron/GSPMD per-chip shard program —
+  full-sequence replicated residual stream ``[B, seq, D]``, one
+  full-sequence GEMM per boundary at the same sharded weight shapes, one
+  attention call, full-sequence norms/residual adds (what a Megatron TP
+  chip really does between its all-reduces; the collectives themselves
+  are zero here, like the ring's identity permute).  GEMM FLOPs are
+  identical to the chunked side's; the elementwise work differs by
+  design — the ring keeps norms/residuals on its LOCAL ``seq/g`` rows,
+  which is a real saving of the decomposition, and the
+  ``elementwise_probe`` quantifies exactly that term so a sub-1 factor
+  is attributable instead of mysterious.  (The r4 version of this
+  baseline instead ``jnp.tile``-materialized the AG input per boundary —
+  ~40 MB/layer of HBM traffic neither real program pays — which biased
+  the factor DOWN to 0.835; VERDICT r4 weak #2.)
 
 ``factor = t_chunked / t_monolithic`` (per-layer marginal, differencing
 two depths so entry-level costs cancel) is the hardware-measured
 chunking overhead the census folds into ring-mesh compute terms
-(:func:`multichip_model.predict_edit_scaling` ``chunk_overhead``).
-``tools/measure_chunk_overhead.py`` runs this on the chip and commits
-``artifacts/chunk_overhead.json``.
+(:func:`multichip_model.predict_edit_scaling` ``chunk_overhead`` —
+applied as ``max(1.0, factor)``: the compiler's cycle ratio already
+prices the ring module's smaller elementwise footprint, so a sub-1
+measurement is recorded as diagnostics but never credited to the
+headline).  ``tools/measure_chunk_overhead.py`` runs this on the chip
+and commits ``artifacts/chunk_overhead.json``.
 
 Proxy fidelity notes: weights are random bf16 at the exact per-chip
 shard shapes (8B width over the given ring size); numerics between the
@@ -103,10 +112,13 @@ def chunked_stack_fn(cfg, g: int, mesh1: Mesh):
 
 
 def mono_stack_fn(cfg, g: int):
-    """The FLOP-identical monolithic program: per boundary ONE
-    full-sequence GEMM (on the ``jnp.tile``-materialized AG input) and
-    ONE attention call, residual stream on the local chunk rows like the
-    ring's reduce-scatter output."""
+    """The Megatron/GSPMD per-chip shard program, wire removed: a
+    FULL-sequence replicated residual stream ``[B, seq, D]``, per
+    boundary one full-sequence GEMM at the sharded weight shapes and one
+    attention call.  GEMM FLOPs match the chunked side exactly; the
+    norms/residual adds run over all ``seq`` rows (what a Megatron chip
+    really does — the ring's local-rows elementwise saving is a genuine
+    difference, quantified separately by :func:`elementwise_probe`)."""
     from mmada_parallel_tpu.models.llada import _norm, _rope_packed
     from mmada_parallel_tpu.ops.attention import rope_attention_qonly
 
@@ -115,26 +127,24 @@ def mono_stack_fn(cfg, g: int):
 
     def block(x, lp, sin, cos):
         cdt = x.dtype
-        C = x.shape[1]
         h = _norm(x, lp["attn_norm"], cfg)
-        hg = jnp.tile(h, (1, g, 1))                       # the AG result
         wq, wk, wv = (lp[n].astype(cdt)
                       for n in ("q_proj", "k_proj", "v_proj"))
-        q = hg @ wq
-        k = _rope_packed(hg @ wk, sin, cos, nkv_l,
+        q = h @ wq
+        k = _rope_packed(h @ wk, sin, cos, nkv_l,
                          cfg.rope_full_precision)
-        v = hg @ wv
+        v = h @ wv
         att = rope_attention_qonly(
             q, k, v, sin, cos, bias=None, n_heads=nh_l, n_kv_heads=nkv_l,
             full_precision=cfg.rope_full_precision,
             impl=cfg.attention_impl, bare=True)
-        x = x + (att @ lp["attn_out"].astype(cdt))[:, :C]
+        # attn_out/ff_out produce Megatron partial sums; the all-reduce
+        # that follows on a real mesh is the wire term this proxy zeroes
+        x = x + att @ lp["attn_out"].astype(cdt)
         h = _norm(x, lp["ff_norm"], cfg)
-        hg = jnp.tile(h, (1, g, 1))
-        gate = hg @ lp["ff_proj"].astype(cdt)
-        up = hg @ lp["up_proj"].astype(cdt)
-        x = x + ((jax.nn.silu(gate) * up)
-                 @ lp["ff_out"].astype(cdt))[:, :C]
+        gate = h @ lp["ff_proj"].astype(cdt)
+        up = h @ lp["up_proj"].astype(cdt)
+        x = x + (jax.nn.silu(gate) * up) @ lp["ff_out"].astype(cdt)
         return x
 
     def fn(x, blocks, sin, cos):
@@ -144,6 +154,55 @@ def mono_stack_fn(cfg, g: int):
         return x
 
     return fn
+
+
+def elementwise_probe(cfg, rows: int, depths, batch: int, repeats: int,
+                      err=print) -> float:
+    """Per-layer seconds of the NON-GEMM work at ``rows`` sequence rows:
+    a scan whose body runs the two norms + two residual adds of one
+    block (no GEMMs, no attention).  Differencing this at ``seq`` rows
+    (mono) vs ``seq/g`` rows (ring) attributes a sub-1 chunk factor to
+    the ring's local-rows elementwise saving."""
+    import time
+
+    from mmada_parallel_tpu.models.llada import _norm
+
+    x = jax.random.normal(jax.random.key(2), (batch, rows, cfg.d_model),
+                          jnp.float32).astype(cfg.compute_dtype)
+    times = {}
+    for depth in depths:
+        w = jnp.ones((depth, 2, cfg.d_model), cfg.param_dtype)
+
+        def stack(x, w):
+            def body(carry, wl):
+                h = _norm(carry, wl[0], cfg)
+                carry = carry + 0.5 * h
+                h = _norm(carry, wl[1], cfg)
+                return carry + 0.5 * h, None
+            out, _ = jax.lax.scan(body, x, w)
+            return out
+
+        def repeated(x, w):
+            def body(_, c):
+                return stack(c, w)
+            return jnp.sum(jax.lax.fori_loop(0, repeats, body, x)
+                           .astype(jnp.float32))
+
+        fn = jax.jit(repeated)
+        np.asarray(fn(x, w))                      # compile + first
+        best = float("inf")
+        for _ in range(5):
+            t0 = time.time()
+            np.asarray(fn(x, w))
+            best = min(best, time.time() - t0)
+        times[depth] = best
+        del fn
+        jax.clear_caches()
+    d0, d1 = min(depths), max(depths)
+    per_layer = (times[d1] - times[d0]) / (d1 - d0) / repeats
+    err(f"[chunk_proxy elemwise rows={rows}] "
+        f"{per_layer * 1e6:.1f} us/layer")
+    return per_layer
 
 
 def measure_chunk_overhead(g: int = 4, seq: int = 2424, batch: int = 1,
@@ -182,17 +241,24 @@ def measure_chunk_overhead(g: int = 4, seq: int = 2424, batch: int = 1,
                  ("data", "fsdp", AXIS))
     sin, cos = _rope_sin_cos(seq, cfg.head_dim, cfg.rope_theta)
     sin, cos = jnp.asarray(sin), jnp.asarray(cos)
-    x = jax.random.normal(jax.random.key(1), (batch, C, cfg.d_model),
-                          jnp.float32).astype(cfg.compute_dtype)
+    x_chunk = jax.random.normal(jax.random.key(1),
+                                (batch, C, cfg.d_model),
+                                jnp.float32).astype(cfg.compute_dtype)
+    # mono = the Megatron per-chip program: full-sequence residual stream
+    x_full = jax.random.normal(jax.random.key(1),
+                               (batch, seq, cfg.d_model),
+                               jnp.float32).astype(cfg.compute_dtype)
 
     out: Dict[str, Any] = {"g": g, "seq": seq, "batch": batch,
                            "depths": list(depths), "repeats": repeats,
                            "attention_impl": attention_impl,
                            "platform": dev.platform}
     times: Dict[str, Dict[int, float]] = {"chunked": {}, "mono": {}}
-    for name, make in (("chunked",
-                        lambda: chunked_stack_fn(cfg, g, mesh1)),
-                       ("mono", lambda: mono_stack_fn(cfg, g))):
+    for name, make, x in (("chunked",
+                           lambda: chunked_stack_fn(cfg, g, mesh1),
+                           x_chunk),
+                          ("mono", lambda: mono_stack_fn(cfg, g),
+                           x_full)):
         for depth in depths:
             blocks = jax.jit(
                 lambda k, d=depth: make_shard_blocks(cfg, g, d, k))(
@@ -234,7 +300,20 @@ def measure_chunk_overhead(g: int = 4, seq: int = 2424, batch: int = 1,
     out["factor"] = per_layer["chunked"] / per_layer["mono"]
     out["times_s"] = {n: {str(k): round(v, 5) for k, v in t.items()}
                       for n, t in times.items()}
+    # attribute any sub-1 factor: the ring's norms/residuals run on its
+    # LOCAL seq/g rows, the Megatron chip's on all seq rows — measure
+    # that elementwise delta directly and predict the factor it implies
+    elem_local = elementwise_probe(cfg, C, depths, batch, repeats, err)
+    elem_full = elementwise_probe(cfg, seq, depths, batch, repeats, err)
+    saving = elem_full - elem_local
+    out["elementwise_s_per_layer"] = {"local_rows": elem_local,
+                                      "full_rows": elem_full}
+    out["factor_explained_by_elementwise"] = (
+        (per_layer["mono"] - saving) / per_layer["mono"]
+        if per_layer["mono"] > 0 else None)
     err(f"[chunk_proxy] g={g} B={batch}: chunked "
         f"{per_layer['chunked'] * 1e3:.2f} ms/layer vs mono "
-        f"{per_layer['mono'] * 1e3:.2f} -> factor {out['factor']:.3f}")
+        f"{per_layer['mono'] * 1e3:.2f} -> factor {out['factor']:.3f} "
+        f"(elementwise saving alone predicts "
+        f"{out['factor_explained_by_elementwise']:.3f})")
     return out
