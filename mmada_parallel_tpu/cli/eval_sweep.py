@@ -39,8 +39,20 @@ def build_parser():
     p = argparse.ArgumentParser()
     p.add_argument("--task", required=True,
                    choices=["edit", "interleave", "t2i", "mmu"])
-    p.add_argument("--requests", required=True,
+    p.add_argument("--requests", default=None,
                    help="JSONL file, one request per line (see module doc)")
+    p.add_argument("--parabench", default=None,
+                   help="path to a local copy of the published ParaBench "
+                        "dataset (HF save_to_disk dir, parquet snapshot, "
+                        "or jsonl export) — rows are adapted into "
+                        "requests via data/parabench.py; image rows need "
+                        "--vq_checkpoint to encode inputs")
+    p.add_argument("--pb_fields", default="",
+                   help="override the ParaBench column auto-detection: "
+                        "comma list of role=column "
+                        "(roles: instruction,image,type,id,target_text,"
+                        "target_image), e.g. "
+                        "'instruction=edit_prompt,image=src_img'")
     p.add_argument("--out", default=None, help="metrics JSON path (default: "
                    "stdout only)")
     p.add_argument("--checkpoint", type=str, default=None)
@@ -154,6 +166,65 @@ def _vq_decode_fn(vq_checkpoint: str, task: str, grid_hw):
         (np.asarray(dec(jnp.asarray(codes))) + 1.0) / 2.0, 0.0, 1.0)
 
 
+def _vq_encode_fn(vq_checkpoint: str, task: str):
+    """Image-encoding callable for the ParaBench adapter
+    (``data/parabench.parabench_requests`` contract): ``task=edit`` ->
+    ``(span_ids, raw_codes)`` via Amused-VQ; M tasks -> raw MagViT
+    codes.  Mirrors the pipelines' encode paths."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mmada_parallel_tpu import tokens as tk
+    from mmada_parallel_tpu.models import convert as CV
+    from mmada_parallel_tpu.utils import image as IM
+
+    if task == "edit":
+        from mmada_parallel_tpu.models import amused_vq as AVQ
+        vq_dir = os.path.join(vq_checkpoint, "vqvae")
+        if not os.path.isdir(vq_dir):
+            vq_dir = vq_checkpoint
+        with open(os.path.join(vq_dir, "config.json")) as f:
+            vq_cfg = CV.amused_config_from_hf(json.load(f))
+        vq_params = CV.amused_params_from_torch(
+            CV.load_safetensors_dir(vq_dir), vq_cfg)
+        enc = jax.jit(lambda px: AVQ.amused_quantize(
+            vq_params, vq_cfg, AVQ.amused_encode(vq_params, vq_cfg, px))[1])
+
+        def encode_edit(img):
+            img = IM.preprocess_image(img) if not hasattr(img, "size") \
+                else img
+            codes = np.asarray(enc(jnp.asarray(
+                IM.image_to_array(img, "zero_one"))))[0]
+            h = img.size[1] // vq_cfg.scale
+            w = img.size[0] // vq_cfg.scale
+            T = tk.TOKENS_A
+            grid = [int(c) + T.vq_offset for c in codes]
+            span = [T.boi] + tk.add_break_line(grid, h, w, T.newline) \
+                + [T.eoi]
+            return span, codes
+        return encode_edit
+
+    from mmada_parallel_tpu.models import magvit2 as MVQ
+    import dataclasses
+    vq_cfg = MVQ.MagvitConfig()
+    cfg_path = os.path.join(vq_checkpoint, "config.json")
+    if os.path.exists(cfg_path):
+        names = {f.name for f in dataclasses.fields(MVQ.MagvitConfig)}
+        with open(cfg_path) as f:
+            fields = {k: (tuple(v) if isinstance(v, list) else v)
+                      for k, v in json.load(f).items() if k in names}
+        vq_cfg = MVQ.MagvitConfig(**fields)
+    vq_params = CV.magvit_params_from_torch(
+        CV.load_safetensors_dir(vq_checkpoint), vq_cfg)
+    enc = jax.jit(lambda px: MVQ.magvit_get_code(vq_params, vq_cfg, px))
+
+    def encode_m(img, resolution=512):
+        px = jnp.asarray(IM.image_transform_squash(img, resolution))
+        return np.asarray(enc(px))[0]
+    return encode_m
+
+
 def _jsonable(x):
     import numpy as np
     if isinstance(x, np.ndarray):
@@ -202,7 +273,25 @@ def main(argv=None):
         params = jax.jit(lambda p: quantize_llada_params(
             p, quantize_head="bf16head" not in args.quant))(params)
 
-    raw = _load_requests(args.requests)
+    if bool(args.requests) == bool(args.parabench):
+        raise SystemExit("pass exactly one of --requests / --parabench")
+    if args.parabench:
+        from mmada_parallel_tpu.data.parabench import (load_parabench,
+                                                       parabench_requests)
+        rows = load_parabench(args.parabench)
+        fm = dict(kv.split("=", 1) for kv in args.pb_fields.split(",")
+                  if kv) or None
+        if tokenizer is not None:
+            tok = lambda s: tokenizer(s)["input_ids"]
+        else:
+            raise SystemExit("--parabench needs --checkpoint (tokenizer); "
+                             "for offline tests drive "
+                             "data/parabench.parabench_requests directly")
+        enc = (_vq_encode_fn(args.vq_checkpoint, args.task)
+               if args.vq_checkpoint else None)
+        raw = parabench_requests(rows, args.task, tok, enc, field_map=fm)
+    else:
+        raw = _load_requests(args.requests)
     scorer = None if args.no_scores else default_edit_scorer()
     if scorer is not None and args.vq_checkpoint:
         from mmada_parallel_tpu.eval_scorers import pixel_edit_scorer
