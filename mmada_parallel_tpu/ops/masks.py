@@ -5,12 +5,24 @@ Triton compilation (``MMaDA-Parallel-M/training/omni_attention.py:22-135``):
 t2i (causal with a bidirectional image span), mmu (causal with a full
 prefix), plain causal, and a mixed-batch composition keyed on batch index.
 
-Here each mask is a pure function producing a ``[B, 1, L, L]`` additive
-bias (or bool mask) that XLA folds into the attention kernel; the Pallas
-flash kernel consumes the same spec as static per-block skip information.
-Dense [L, L] bias at the reference's sequence lengths (~1.3k-5k) is a few
-MB — on TPU the win is block-level skipping in the kernel, not mask
-compilation.
+Two consumption forms, both from the same spec:
+
+* **dense** — each mask function produces a ``[B, 1, L, L]`` additive
+  bias (or bool mask) that XLA folds into the attention kernel; a dense
+  [L, L] bias at the reference's sequence lengths (~1.3k-5k) is a few MB.
+* **prefix-skip** — every one of the reference's task masks is a per-row
+  PREFIX mask: ``allowed(q, kv) == kv < bound(q)`` with
+  ``bound(q) = max(q+1, prefix_end, span_end(q))`` (causal base, mmu
+  full-prefix, t2i bidirectional image spans — unions of a causal
+  triangle with left-anchored rectangles are always contiguous
+  prefixes).  :func:`prefix_bounds` / :func:`mixed_prefix_bounds` emit
+  the ``[B, L]`` int32 bound array, and the fused Pallas kernel's
+  ``flash_attention_rope_prefix`` variant
+  (:mod:`mmada_parallel_tpu.ops.rope_attention`) skips whole K blocks
+  past each q block's max bound — the FlexAttention block-skip
+  counterpart (``omni_attention.py:17-123``), TPU-style.
+  ``tests/test_masks_image.py`` pins ``dense == kv < bounds`` for every
+  family, so the two forms cannot drift.
 """
 
 from __future__ import annotations
@@ -21,7 +33,8 @@ import jax
 import jax.numpy as jnp
 
 __all__ = ["causal_mask", "t2i_mask", "mmu_mask", "mixed_mask",
-           "pairwise_padding_mask", "ragged_positions", "to_bias"]
+           "pairwise_padding_mask", "ragged_positions", "to_bias",
+           "prefix_bounds", "mixed_prefix_bounds"]
 
 
 def pairwise_padding_mask(attn_mask: jax.Array) -> jax.Array:
@@ -87,6 +100,38 @@ def mmu_mask(L: int, prefix_end: int) -> jax.Array:
     q = jnp.arange(L)[:, None]
     kv = jnp.arange(L)[None, :]
     return ((q >= kv) | (kv < prefix_end))[None, None]
+
+
+def prefix_bounds(L: int, prefix_end: int = 0,
+                  image_spans: Sequence[Tuple[int, int]] = ()) -> jax.Array:
+    """Per-row exclusive kv bound ``[L]`` int32 of a prefix-family task
+    mask: ``dense[q, kv] == kv < bounds[q]``.
+
+    ``prefix_end=0, no spans`` = causal; ``prefix_end=p`` = mmu;
+    ``image_spans`` = t2i.  Consumed by
+    ``rope_attention.flash_attention_rope_prefix`` (block-skip) and by
+    the dense paths via ``kv < bounds`` — one spec, two executions.
+    """
+    q = jnp.arange(L, dtype=jnp.int32)
+    hi = q + 1                                   # causal base
+    if prefix_end:
+        hi = jnp.maximum(hi, prefix_end)
+    for b, e in image_spans:
+        inside = (q >= b) & (q < e)
+        hi = jnp.where(inside, jnp.maximum(hi, e), hi)
+    return hi
+
+
+def mixed_prefix_bounds(L: int, batch_size_t2i: int, batch_size_lm: int,
+                        batch_size_mmu: int,
+                        image_spans: Sequence[Tuple[int, int]],
+                        mmu_prefix_end: int) -> jax.Array:
+    """``[B, L]`` per-row bounds for the concat ``[t2i | lm | mmu]``
+    batch — the prefix-skip form of :func:`mixed_mask` (unpadded)."""
+    rows = ([prefix_bounds(L, 0, image_spans)] * batch_size_t2i
+            + [prefix_bounds(L)] * batch_size_lm
+            + [prefix_bounds(L, mmu_prefix_end)] * batch_size_mmu)
+    return jnp.stack(rows, axis=0)
 
 
 def mixed_mask(L: int, batch_size_t2i: int, batch_size_lm: int,

@@ -46,8 +46,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["flash_attention_rope", "flash_attention_rope_qonly",
-           "apply_rope", "rope_tensor", "partitioned_flash_rope",
-           "partitioned_flash_rope_qonly"]
+           "flash_attention_rope_prefix", "apply_rope", "rope_tensor",
+           "partitioned_flash_rope", "partitioned_flash_rope_qonly"]
 
 NEG_INF = -1e30
 
@@ -219,6 +219,197 @@ def flash_attention_rope_qonly(q: jax.Array, k: jax.Array, v: jax.Array,
                    KV=n_kv_heads if n_kv_heads is not None else n_heads,
                    heads_per_step=heads_per_step, block_q=block_q,
                    rope_k=False, interpret=interpret)
+
+
+def _prefix_kernel(q_ref, k_ref, v_ref, sq_ref, cq_ref, sk_ref, ck_ref,
+                   hi_ref, o_ref, krot_scr, *, scale, G, D, rep, block_k):
+    """Prefix-masked online-softmax variant: per q block, K/V are consumed
+    in ``block_k`` chunks only up to the block's max per-row kv bound —
+    chunks past it are SKIPPED (never touch the MXU).  K sits fully in
+    VMEM per (batch, group) exactly like :func:`_kernel` (fetched once
+    across the inner q sweep), so the skip saves compute, the dominant
+    cost, with no extra DMA."""
+    qi = pl.program_id(2)
+    g = pl.program_id(1)
+    bq = q_ref.shape[1]
+    n_kv = krot_scr.shape[1] // D
+
+    @pl.when(qi == 0)
+    def _rope_k():
+        sk = sk_ref[0, :, :] if sk_ref.ndim == 3 else sk_ref[:, :]
+        ck = ck_ref[0, :, :] if ck_ref.ndim == 3 else ck_ref[:, :]
+        for h in range(n_kv):
+            krot_scr[:, h * D:(h + 1) * D] = _rope_rows(
+                k_ref[0, :, h * D:(h + 1) * D], sk, ck)
+
+    sq = sq_ref[0, :, :] if sq_ref.ndim == 3 else sq_ref[:, :]
+    cq = cq_ref[0, :, :] if cq_ref.ndim == 3 else cq_ref[:, :]
+    # bounds ride transposed [Lp_q, B] (TPU tiling needs the q dim on the
+    # sublane axis); select this block's batch column by masked reduce —
+    # a lane-dim dynamic slice would need 128-alignment Mosaic can't prove
+    b = pl.program_id(0)
+    hi_all = hi_ref[:, :]                              # [bq, B] int32
+    bsel = jax.lax.broadcasted_iota(jnp.int32, hi_all.shape, 1) == b
+    hi_col = jnp.max(jnp.where(bsel, hi_all, 0), axis=1,
+                     keepdims=True)                    # [bq, 1], bounds >= 1
+    n_chunks = (jnp.max(hi_col) + block_k - 1) // block_k  # traced bound
+    col0 = jax.lax.broadcasted_iota(jnp.int32, (bq, block_k), 1)
+    for h in range(G):
+        q = _rope_rows(q_ref[0, :, h * D:(h + 1) * D], sq, cq)
+        if rep == 1:
+            k_lanes = v_lanes = pl.dslice(h * D, D)
+        else:
+            kv = (g * G + h) // rep
+            k_lanes = v_lanes = pl.dslice(kv * D, D)
+
+        def chunk(ki, carry, q=q, k_lanes=k_lanes, v_lanes=v_lanes):
+            m, l, acc = carry
+            rows = pl.dslice(ki * block_k, block_k)
+            ks = krot_scr[rows, k_lanes]
+            vs = v_ref[0, rows, v_lanes]
+            s = jax.lax.dot_general(
+                q, ks, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale
+            s = jnp.where(col0 + ki * block_k < hi_col, s, NEG_INF)
+            m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
+            alpha = jnp.exp(m - m_new)
+            p = jnp.exp(s - m_new)
+            l_new = l * alpha + jnp.sum(p, axis=1, keepdims=True)
+            acc_new = acc * alpha + jax.lax.dot_general(
+                p.astype(vs.dtype), vs, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            return m_new, l_new, acc_new
+
+        m, l, acc = jax.lax.fori_loop(
+            0, n_chunks, chunk,
+            (jnp.full((bq, 1), NEG_INF, jnp.float32),
+             jnp.zeros((bq, 1), jnp.float32),
+             jnp.zeros((bq, D), jnp.float32)))
+        # bounds are >= 1 by construction (causal base), so l >= exp(0);
+        # the guard only protects all-pad q blocks, which are sliced off
+        o_ref[0, :, h * D:(h + 1) * D] = (
+            acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_heads", "n_kv_heads", "heads_per_step", "block_q",
+                     "block_k", "interpret"))
+def flash_attention_rope_prefix(q: jax.Array, k: jax.Array, v: jax.Array,
+                                sin: jax.Array, cos: jax.Array,
+                                kv_hi: jax.Array,
+                                *, n_heads: int,
+                                n_kv_heads: Optional[int] = None,
+                                heads_per_step: int = 2,
+                                block_q: int = 128, block_k: int = 512,
+                                interpret: bool = False) -> jax.Array:
+    """Prefix-masked packed attention with block-level K skipping — the
+    FlexAttention-block-skip counterpart for the reference's task masks
+    (``omni_attention.py:17-123``; all of causal/mmu/t2i are per-row
+    prefix masks, see :mod:`mmada_parallel_tpu.ops.masks`).
+
+    ``kv_hi``: ``[B, Lq]`` int32 exclusive per-row kv bound
+    (``masks.prefix_bounds`` / ``mixed_prefix_bounds``); semantics match
+    the dense bias ``kv < kv_hi[b, q]`` exactly.  Everything else as
+    :func:`flash_attention_rope`.  Work scales with the MASKED area:
+    causal runs ~half the score/value FLOPs of the dense-bias kernel.
+    """
+    f32 = jnp.float32
+    B, Lq, HD = q.shape
+    H = n_heads
+    KV = n_kv_heads if n_kv_heads is not None else H
+    D = HD // H
+    if HD % H or H % KV:
+        raise ValueError("bad head counts for packed layout")
+    rep = H // KV
+    Lk = k.shape[1]
+    scale = D ** -0.5
+    G = min(heads_per_step, H)
+    while H % G:
+        G -= 1
+    nG = H // G
+
+    block_q = min(block_q, max(128, 1 << (Lq - 1).bit_length()))
+    block_k = max(128, block_k - block_k % 128)
+    Lp_q = -(-Lq // block_q) * block_q
+    Lp_k = -(-Lk // block_k) * block_k
+    if Lp_q != Lq:
+        q = jnp.pad(q, ((0, 0), (0, Lp_q - Lq), (0, 0)))
+    if Lp_k != Lk:
+        k = jnp.pad(k, ((0, 0), (0, Lp_k - Lk), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, Lp_k - Lk), (0, 0)))
+    # clamp to the true key length (K pad columns excluded), floor 1 so
+    # padded q rows stay numerically defined (sliced off afterwards);
+    # transposed [Lp_q, B] — TPU tiling wants the q dim on sublanes
+    hi = jnp.clip(kv_hi.astype(jnp.int32), 1, Lk)
+    if Lp_q != Lq:
+        hi = jnp.pad(hi, ((0, 0), (0, Lp_q - Lq)), constant_values=1)
+    hi = hi.T
+
+    sin_q, cos_q = sin.astype(f32), cos.astype(f32)
+    if Lq == Lk:
+        sin_k, cos_k = sin_q, cos_q
+    elif sin.ndim == 2:
+        sin_q, cos_q = sin_q[:Lq], cos_q[:Lq]
+        sin_k, cos_k = sin.astype(f32)[:Lk], cos.astype(f32)[:Lk]
+    else:
+        raise ValueError("ragged sin/cos require Lq == Lk")
+
+    def pad_table(t, Lp, Lt):
+        pad = ((0, 0), (0, Lp - Lt), (0, 0)) if t.ndim == 3 else \
+            ((0, Lp - Lt), (0, 0))
+        return jnp.pad(t, pad) if Lp != Lt else t
+
+    shared = sin_k is sin_q and Lp_q == Lp_k
+    sin_q = pad_table(sin_q, Lp_q, Lq)
+    cos_q = pad_table(cos_q, Lp_q, Lq)
+    if shared:
+        sin_k, cos_k = sin_q, cos_q
+    else:
+        sin_k = pad_table(sin_k, Lp_k, Lk)
+        cos_k = pad_table(cos_k, Lp_k, Lk)
+
+    n_q = Lp_q // block_q
+    grid = (B, nG, n_q)
+    kv_lanes = G * D if rep == 1 else KV * D
+
+    def kv_index(b, g, qi):
+        return (b, 0, g) if rep == 1 else (b, 0, 0)
+
+    def table_spec(t, blk, imap3, imap2):
+        return pl.BlockSpec((1,) + blk, imap3) if t.ndim == 3 else \
+            pl.BlockSpec(blk, imap2)
+
+    sq_spec = table_spec(sin_q, (block_q, D),
+                         lambda b, g, qi: (b, qi, 0),
+                         lambda b, g, qi: (qi, 0))
+    sk_spec = table_spec(sin_k, (Lp_k, D),
+                         lambda b, g, qi: (b, 0, 0),
+                         lambda b, g, qi: (0, 0))
+    in_specs = [
+        pl.BlockSpec((1, block_q, G * D), lambda b, g, qi: (b, qi, g)),
+        pl.BlockSpec((1, Lp_k, kv_lanes), kv_index),
+        pl.BlockSpec((1, Lp_k, kv_lanes), kv_index),
+        sq_spec, sq_spec,
+        sk_spec, sk_spec,
+        pl.BlockSpec((block_q, B), lambda b, g, qi: (qi, 0)),
+    ]
+    out = pl.pallas_call(
+        functools.partial(_prefix_kernel, scale=scale, G=G, D=D, rep=rep,
+                          block_k=block_k),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, block_q, G * D),
+                               lambda b, g, qi: (b, qi, g)),
+        out_shape=jax.ShapeDtypeStruct((B, Lp_q, HD), q.dtype),
+        scratch_shapes=[pltpu.VMEM((Lp_k, kv_lanes), k.dtype)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary", "arbitrary")),
+        interpret=interpret,
+    )(q, k, v, sin_q, cos_q, sin_k, cos_k, hi)
+    if Lp_q != Lq:
+        out = out[:, :Lq]
+    return out
 
 
 def _launch(q, k, v, sin_q, cos_q, sin_k, cos_k, bias, *, H, KV,
