@@ -805,7 +805,7 @@ def bench_serve(depth: int, batch: int, n_requests: int):
     eff = (results["batched"]["edits_per_min"]
            / results["solo"]["edits_per_min"])
     err(f"[serve] batching throughput gain: {eff:.2f}x at B={batch}")
-    print(json.dumps({
+    print(json.dumps(fit_stdout_budget({
         "metric": f"TI2TIServer edits/min/chip, {depth}-layer 8B-width "
                   f"512x512 edits, continuous batching B={batch} "
                   f"(solo comparison in diagnostics)",
@@ -816,7 +816,7 @@ def bench_serve(depth: int, batch: int, n_requests: int):
                         "batched": results["batched"],
                         "batching_throughput_gain": round(eff, 3),
                         "n_requests": n_requests},
-    }))
+    }, err)))
 
 
 def bench_train(depths):
@@ -928,35 +928,55 @@ def bench_train(depths):
     if scaling is not None and scaling.get("compute_ratio_weak"):
         ratio = scaling["compute_ratio_weak"]
         comm = scaling["comm_seconds_per_call"]
-        t8 = t_8b * ratio + comm
+        t_comp = t_8b * ratio
+        floor = t_comp + comm
+        # schedule-evidenced overlap (same pricing as the edit headline):
+        # async FSDP all-gather/reduce-scatter windows in the compiled
+        # train module hide comm up to overlap_fraction of compute time
+        ov = scaling.get("overlap") or {}
+        frac = ov.get("overlap_fraction", 0.0) if ov.get("async_pairs") \
+            else 0.0
+        t8 = t_comp + max(0.0, comm - frac * t_comp)
         global_batch = 4   # batch_per_device 1 x data 2 x fsdp 2
         diagnostics["multichip"] = {
             "mesh": scaling["mesh"],
             "compute_ratio_weak": round(ratio, 4),
             "comm_seconds_per_step": round(comm, 3),
+            "overlap_frac": round(frac, 3),
+            "async_pairs": ov.get("async_pairs"),
+            "t_step_s_v5e8_no_overlap": round(floor, 3),
             "t_step_s_v5e8": round(t8, 3),
             "global_batch": global_batch,
             "tokens_per_s_v5e8": round(global_batch * L / t8, 1),
             "model": "weak scaling: measured 1-chip step x compiler "
                      "cycle ratio (per-chip batch constant) + census "
-                     "ICI time, no overlap",
+                     "ICI time at schedule-evidenced overlap",
         }
-        err(f"[train] modeled v5e-8 step: {t8:.2f}s "
-            f"({diagnostics['multichip']['tokens_per_s_v5e8']} tok/s "
+        err(f"[train] modeled v5e-8 step: {t8:.2f}s (floor {floor:.2f}s, "
+            f"overlap frac {frac:.2f}, "
+            f"{diagnostics['multichip']['tokens_per_s_v5e8']} tok/s "
             f"global batch {global_batch})")
         value = round(t8, 3)
-        note = "v5e-8 modeled: weak-scaling cycle ratio + census ICI time"
+        note = ("v5e-8 modeled: weak-scaling cycle ratio + census ICI "
+                "time (schedule-evidenced overlap)")
     else:
         value = round(t_8b, 3)
         note = "1-chip measured depth fit"
-    print(json.dumps({
+    payload = {
         "metric": "sec per 8B SFT train step (interleave loss, seq "
                   f"{L}, B=1/chip, bf16, whole-layer remat; {note})",
         "value": value,
         "unit": "s",
         "vs_baseline": None,
         "diagnostics": diagnostics,
-    }))
+    }
+    try:
+        with open(os.path.join(REPO_DIR, "artifacts",
+                               "bench_train.json"), "w") as f:
+            json.dump(payload, f, indent=1)
+    except OSError as e:
+        err(f"[train] artifact write failed ({e!r})")
+    print(json.dumps(fit_stdout_budget(payload, err)))
 
 
 def main():

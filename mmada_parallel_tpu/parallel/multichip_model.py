@@ -273,8 +273,15 @@ def comm_summary(collectives: Sequence[Collective], per_layer_trip: int,
 
 
 _CYCLES_RE = re.compile(r'"estimated_cycles":"(\d+)"')
-_CP_START_RE = re.compile(r"collective-permute-start\(")
-_CP_DONE_RE = re.compile(r"collective-permute-done\(")
+# every async collective kind: the train step's FSDP all-gathers /
+# reduce-scatters can open schedule windows just like the ring's
+# collective-permutes (the GSPMD edit modules carry none — probed r3)
+_CP_START_RE = re.compile(
+    r"(?:all-reduce|all-gather|reduce-scatter|collective-permute|"
+    r"all-to-all)-start\(")
+_CP_DONE_RE = re.compile(
+    r"(?:all-reduce|all-gather|reduce-scatter|collective-permute|"
+    r"all-to-all)-done\(")
 
 
 def parse_overlap(hlo_text: str) -> Dict[str, Any]:
@@ -282,10 +289,11 @@ def parse_overlap(hlo_text: str) -> Dict[str, Any]:
 
     TPU-compiled modules are scheduled: the printed instruction order of a
     computation IS the sequential schedule.  An async collective pair
-    (``collective-permute-start`` ... ``-done``) with compute instructions
-    *between* start and done is wire time the chip spends doing MXU work —
-    the thing a monolithic all-reduce can never show.  Returns, summed
-    over non-entry computations (the layer-scan body):
+    (``*-start`` ... ``*-done`` — collective-permute in the ring modules,
+    all-gather/reduce-scatter in the FSDP train step) with compute
+    instructions *between* start and done is wire time the chip spends
+    doing MXU work — the thing a synchronous collective can never show.
+    Returns, summed over non-entry computations (the layer-scan body):
 
     * ``async_pairs``: number of start/done pairs;
     * ``overlapped_cycles``: estimated_cycles of instructions scheduled
@@ -966,6 +974,10 @@ def analyze_8b_tpu(n_layers_compile: int = 2, full_depth: int = 32,
     out["train_step"] = comm_summary(
         parse_collectives(txt), full_depth, n_dev)
     out["train_step"]["mesh"] = f"data{d}_fsdp{f}_tensor{t}"
+    # schedule-evidenced overlap for the train step too (VERDICT r4 #6):
+    # FSDP all-gather/reduce-scatter async windows in the compiled
+    # module price train comm the same way the ring edit's cp windows do
+    out["train_step"]["overlap"] = parse_overlap(txt)
     # weak-scaling compute ratio: per-chip batch is constant
     # (batch_per_device=1), so per-layer cycles on the 8-chip mesh over
     # the 1-chip compile = the compiler's estimate of per-chip step-time
