@@ -93,6 +93,31 @@ def test_prefix_kernel_matches_dense_bias(kind, gqa):
                                atol=2e-5, rtol=2e-5)
 
 
+@pytest.mark.parametrize("block_k", [256, 1024, 1 << 20])
+def test_prefix_kernel_block_k_sweep(block_k):
+    """Coarser chunks (incl. block_k >= Lk -> ONE bounds-masked dot, the
+    no-skip fast path) are numerically identical; the wrapper clamps
+    oversized block_k instead of inflating the K padding."""
+    Lq = 160
+    q, k, v, sin, cos = _toy(Lq=Lq)
+    hi = jnp.broadcast_to(masks.prefix_bounds(Lq, 48)[None],
+                          (q.shape[0], Lq))
+    got = flash_attention_rope_prefix(q, k, v, sin, cos, hi, n_heads=2,
+                                      block_k=block_k, interpret=True)
+    bias = masks.to_bias(_prefix_dense_bias(hi, Lq))
+    want = rope_attention(q, k, v, sin, cos, bias, n_heads=2, impl="xla")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_prefix_kernel_rejects_bad_bounds_shape():
+    q, k, v, sin, cos = _toy(B=1, Lq=160)
+    hi = jnp.ones((2, 160), jnp.int32)   # batch mismatch
+    with pytest.raises(ValueError, match="kv_hi"):
+        flash_attention_rope_prefix(q, k, v, sin, cos, hi, n_heads=2,
+                                    interpret=True)
+
+
 def test_prefix_kernel_mixed_batch():
     Lq = 160
     q, k, v, sin, cos = _toy(B=3, Lq=Lq)

@@ -30,10 +30,15 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 SHAPES = [
-    # (label, B, L, H, repeats)
-    ("ref_bench_lane128", 12, 1152, 4, 8),
-    ("m_interleave_8b", 2, 1290, 32, 4),
-    ("a_train_8b", 1, 5120, 32, 2),
+    # (label, B, L, H, repeats, kernel_kwargs) — the 5120-seq shape needs
+    # heads_per_step=1: the whole-K-in-VMEM packed layout at G=2 is
+    # 17.9 MB against the 16 MB scoped-vmem limit (measured AOT OOM)
+    # repeats amortize the ~24 ms axon per-dispatch floor far below the
+    # per-iteration kernel time (repeats=4 put the floor AT the signal:
+    # every case measured ~24/repeats ms regardless of variant)
+    ("ref_bench_lane128", 12, 1152, 4, 256, {}),
+    ("m_interleave_8b", 2, 1290, 32, 192, {}),
+    ("a_train_8b", 1, 5120, 32, 48, {"heads_per_step": 1}),
 ]
 D = 128
 
@@ -70,7 +75,17 @@ def main():
 
     out = {"shapes": {}, "_meta": {"platform": platform, "head_dim": D}}
     t_start = time.time()
-    for label, B, L, H, repeats in SHAPES:
+    only = sys.argv[1] if len(sys.argv) > 1 else None
+    prior = {}
+    path = os.path.join(REPO, "artifacts", "masked_attention_bench.json")
+    if only and os.path.exists(path):
+        with open(path) as f:
+            prior = json.load(f).get("shapes", {})
+    for label, B, L, H, repeats, kern_kw in SHAPES:
+        if only and label != only:
+            if label in prior:
+                out["shapes"][label] = prior[label]
+            continue
         HD = H * D
         ks = jax.random.split(jax.random.key(0), 3)
         q = jax.random.normal(ks[0], (B, L, HD), jnp.bfloat16)
@@ -84,19 +99,23 @@ def main():
 
         cases = {k_: jnp.broadcast_to(b[None], (B, L))
                  for k_, b in _masks_for(L).items()}
-        third = max(B // 3, 1)
-        cases["mixed"] = masks.mixed_prefix_bounds(
-            L, third, third, B - 2 * third, ((L // 4, L // 2),), L // 4)
+        if B >= 2:   # a mixed batch needs >= 2 rows
+            third = max(B // 3, 1)
+            cases["mixed"] = masks.mixed_prefix_bounds(
+                L, third, third, B - 2 * third, ((L // 4, L // 2),), L // 4)
 
         entry = {}
         for name, hi in cases.items():
-            def run_prefix(q, k, v, hi=hi):
-                def body(_, c):
-                    o = flash_attention_rope_prefix(
-                        c, k, v, sin, cos, hi, n_heads=H, block_k=512)
-                    return o.astype(c.dtype)
-                return jnp.sum(jax.lax.fori_loop(0, repeats, body, q)
-                               .astype(jnp.float32))
+            def make_prefix(bk, hi=hi):
+                def run_prefix(q, k, v):
+                    def body(_, c):
+                        o = flash_attention_rope_prefix(
+                            c, k, v, sin, cos, hi, n_heads=H, block_k=bk,
+                            **kern_kw)
+                        return o.astype(c.dtype)
+                    return jnp.sum(jax.lax.fori_loop(0, repeats, body, q)
+                                   .astype(jnp.float32))
+                return run_prefix
 
             def run_dense(q, k, v, hi=hi):
                 bias = jnp.where(_prefix_dense_bias(hi, L), 0.0,
@@ -104,14 +123,21 @@ def main():
 
                 def body(_, c):
                     o = flash_attention_rope(c, k, v, sin, cos, bias,
-                                             n_heads=H)
+                                             n_heads=H, **kern_kw)
                     return o.astype(c.dtype)
                 return jnp.sum(jax.lax.fori_loop(0, repeats, body, q)
                                .astype(jnp.float32))
 
+            # block_k sweep: fine chunks skip the most masked compute but
+            # pay per-chunk online-softmax rescaling; block_k=Lk is ONE
+            # dot with in-kernel bounds masking (no skip, but also no
+            # [L, L] f32 bias streamed from HBM like the dense path pays)
+            variants = [("dense", run_dense),
+                        ("prefix_bk512", make_prefix(512)),
+                        ("prefix_bk1024", make_prefix(1024)),
+                        ("prefix_full", make_prefix(1 << 20))]
             times = {}
-            for variant, fn in (("prefix", run_prefix),
-                                ("dense", run_dense)):
+            for variant, fn in variants:
                 jfn = jax.jit(fn)
                 t0 = time.time()
                 np.asarray(jfn(q, k, v))
@@ -125,14 +151,14 @@ def main():
                 times[variant] = best / repeats
                 del jfn
             jax.clear_caches()
-            entry[name] = {
-                "t_prefix_ms": round(times["prefix"] * 1e3, 3),
-                "t_dense_ms": round(times["dense"] * 1e3, 3),
-                "speedup": round(times["dense"] / times["prefix"], 3),
-            }
-            err(f"[{label} {name}] prefix "
-                f"{entry[name]['t_prefix_ms']:.2f} ms vs dense "
-                f"{entry[name]['t_dense_ms']:.2f} ms -> "
+            best_pref = min((v for k_, v in times.items()
+                             if k_ != "dense"))
+            entry[name] = dict(
+                {f"t_{k_}_ms": round(v * 1e3, 3)
+                 for k_, v in times.items()},
+                speedup=round(times["dense"] / best_pref, 3))
+            err(f"[{label} {name}] best prefix {best_pref * 1e3:.2f} ms "
+                f"vs dense {times['dense'] * 1e3:.2f} ms -> "
                 f"{entry[name]['speedup']:.2f}x")
         out["shapes"][label] = {"B": B, "L": L, "H": H,
                                 "repeats": repeats, "cases": entry}
