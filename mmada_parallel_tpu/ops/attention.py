@@ -231,12 +231,20 @@ def rope_attention_prefix(q: jax.Array, k: jax.Array, v: jax.Array,
                           full_precision: bool = True,
                           impl: str = "auto") -> jax.Array:
     """Task-masked packed attention from a per-row kv-bound spec
-    (``masks.prefix_bounds``): on qualifying TPU shapes this runs the
-    block-skipping Pallas kernel (work ∝ unmasked area — causal costs
-    ~half the dense-bias kernel's score FLOPs); elsewhere it materializes
-    the equivalent dense bias and runs the standard chain, so semantics
-    are identical everywhere.  Replaces (tpu-natively) the reference's
+    (``masks.prefix_bounds``) — the TPU counterpart of the reference's
     FlexAttention+Triton block-mask path (``omni_attention.py:17-123``).
+
+    Measured on a v5e chip (``tools/bench_masked_attention.py`` →
+    ``artifacts/masked_attention_bench.json``): the block-skip kernel
+    wins only where the L² term dominates — 1.11-1.15x at the A-train
+    seq-5120 shape — and LOSES 0.80-0.85x at seq ~1.2k (the reference's
+    own flex-bench shape and the M-interleave shape), where the packed
+    dense-bias kernel's single full-K dot beats chunked online-softmax
+    and attention is < 1 ms/call either way.  ``auto`` therefore runs
+    the skip kernel only for ``L >= 4096`` on TPU and otherwise
+    materializes the equivalent dense bias into the standard chain
+    (``impl="pallas"`` forces the skip kernel; semantics are identical
+    everywhere: ``kv < kv_hi[b, q]``).
     """
     B, L, HD = q.shape
     H = n_heads
@@ -244,7 +252,9 @@ def rope_attention_prefix(q: jax.Array, k: jax.Array, v: jax.Array,
     D = HD // H
     if impl in ("auto", "pallas"):
         on_tpu = jax.devices()[0].platform == "tpu"
-        if (on_tpu or impl == "pallas") and full_precision and D % 128 == 0:
+        want_skip = impl == "pallas" or (on_tpu and L >= 4096)
+        if want_skip and (on_tpu or impl == "pallas") \
+                and full_precision and D % 128 == 0:
             return _packed_prefix_diff_fn(H, KV)(q, k, v, sin, cos, kv_hi)
     from mmada_parallel_tpu.ops.masks import to_bias
     bias = to_bias(_prefix_dense_bias(kv_hi, k.shape[1]))

@@ -20,9 +20,12 @@ Two consumption forms, both from the same spec:
   ``flash_attention_rope_prefix`` variant
   (:mod:`mmada_parallel_tpu.ops.rope_attention`) skips whole K blocks
   past each q block's max bound — the FlexAttention block-skip
-  counterpart (``omni_attention.py:17-123``), TPU-style.
-  ``tests/test_masks_image.py`` pins ``dense == kv < bounds`` for every
-  family, so the two forms cannot drift.
+  counterpart (``omni_attention.py:17-123``), TPU-style.  Measured
+  (``artifacts/masked_attention_bench.json``): the skip wins 1.1-1.15x
+  at seq 5120 and loses at seq ~1.2k, so ``rope_attention_prefix``'s
+  auto mode uses it only for long sequences.
+  ``tests/test_prefix_attention.py`` pins ``dense == kv < bounds`` for
+  every family, so the two forms cannot drift.
 """
 
 from __future__ import annotations

@@ -301,7 +301,7 @@ def flash_attention_rope_prefix(q: jax.Array, k: jax.Array, v: jax.Array,
                                 *, n_heads: int,
                                 n_kv_heads: Optional[int] = None,
                                 heads_per_step: int = 2,
-                                block_q: int = 128, block_k: int = 512,
+                                block_q: int = 128, block_k: int = 1024,
                                 interpret: bool = False) -> jax.Array:
     """Prefix-masked packed attention with block-level K skipping — the
     FlexAttention-block-skip counterpart for the reference's task masks
@@ -321,18 +321,36 @@ def flash_attention_rope_prefix(q: jax.Array, k: jax.Array, v: jax.Array,
     D = HD // H
     if HD % H or H % KV:
         raise ValueError("bad head counts for packed layout")
+    if kv_hi.shape != (B, Lq):
+        raise ValueError(f"kv_hi must be [B={B}, Lq={Lq}] per-row bounds, "
+                         f"got {kv_hi.shape}")
     rep = H // KV
     Lk = k.shape[1]
     scale = D ** -0.5
     G = min(heads_per_step, H)
     while H % G:
         G -= 1
-    nG = H // G
 
     block_q = min(block_q, max(128, 1 << (Lq - 1).bit_length()))
-    block_k = max(128, block_k - block_k % 128)
+    # clamp to the 128-padded key length: block_k >= Lk = ONE chunk (a
+    # single bounds-masked dot, no skip — still no [L, L] bias in HBM)
+    block_k = min(max(128, block_k - block_k % 128), -(-Lk // 128) * 128)
     Lp_q = -(-Lq // block_q) * block_q
     Lp_k = -(-Lk // block_k) * block_k
+
+    def vmem_bytes(g):
+        # K+V blocks (double-buffered across grid steps) + krot scratch +
+        # the f32 K-side rope tables; measured: G=2 @ Lp_k 5120 = 17.9 MB
+        # against the 16 MB scoped limit, G=1 = 11.7 MB (fits)
+        lanes = g * D if rep == 1 else KV * D
+        kv_bytes = 2 * 2 * Lp_k * lanes * k.dtype.itemsize
+        return (kv_bytes + Lp_k * lanes * k.dtype.itemsize
+                + 2 * Lp_k * D * 4)
+    while G > 1 and rep == 1 and vmem_bytes(G) > 14 * 2 ** 20:
+        G -= 1
+        while H % G:
+            G -= 1
+    nG = H // G
     if Lp_q != Lq:
         q = jnp.pad(q, ((0, 0), (0, Lp_q - Lq), (0, 0)))
     if Lp_k != Lk:
