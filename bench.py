@@ -77,8 +77,10 @@ def fit_stdout_budget(payload, err=None):
         return payload
     slim = dict(payload)
     diag = dict(slim.get("diagnostics") or {})
-    for key in ("m_variant", "multichip", "compile_first_run_s",
-                "extrapolation", "depth_curve_source"):
+    # shed cheapest-to-lose first; "multichip" (the headline's evidence
+    # block, incl. the calib bracket) goes only as a last resort
+    for key in ("compile_first_run_s", "extrapolation",
+                "depth_curve_source", "m_variant", "multichip"):
         if len(json.dumps(slim)) <= STDOUT_BUDGET:
             break
         if key in diag:
@@ -1037,8 +1039,12 @@ def main():
 
     guard = HeadlineGuard(err)
     compile_s = {}
+    # bf16-modeled M numbers would be misattributed inside a W8A8-tagged
+    # payload, so quant runs drop the cross-variant record (the calib
+    # bracket is gated the same way)
     m_summary = (m_variant_summary(err)
-                 if os.environ.get("BENCH_MULTICHIP", "1") != "0" else None)
+                 if os.environ.get("BENCH_MULTICHIP", "1") != "0"
+                 and not quant else None)
 
     def a_payload(curve, replayed, scaling, census_src):
         return build_a_payload(curve, compile_s, replayed, scaling,

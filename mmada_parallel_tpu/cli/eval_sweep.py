@@ -192,17 +192,13 @@ def _vq_encode_fn(vq_checkpoint: str, task: str):
             vq_params, vq_cfg, AVQ.amused_encode(vq_params, vq_cfg, px))[1])
 
         def encode_edit(img):
-            img = IM.preprocess_image(img) if not hasattr(img, "size") \
-                else img
-            codes = np.asarray(enc(jnp.asarray(
-                IM.image_to_array(img, "zero_one"))))[0]
-            h = img.size[1] // vq_cfg.scale
-            w = img.size[0] // vq_cfg.scale
-            T = tk.TOKENS_A
-            grid = [int(c) + T.vq_offset for c in codes]
-            span = [T.boi] + tk.add_break_line(grid, h, w, T.newline) \
-                + [T.eoi]
-            return span, codes
+            # preprocess unconditionally: PIL inputs (the ParaBench path)
+            # need the reference crop pipeline too, or off-grid sizes
+            # break the h*w span layout downstream
+            img = IM.preprocess_image(img)
+            return AVQ.amused_img_span(
+                lambda px: enc(jnp.asarray(px)), vq_cfg, img, tk.TOKENS_A,
+                with_codes=True)
         return encode_edit
 
     from mmada_parallel_tpu.models import magvit2 as MVQ

@@ -176,11 +176,19 @@ def parabench_requests(
     out = []
     for i, row in enumerate(rows):
         base = row.get("_base_dir")
+        if fields["instruction"] not in row:
+            # heterogeneous exports: fail with the curated guidance, not
+            # a bare KeyError (detection only sees row 0)
+            raise ValueError(
+                f"row {i} lacks the detected instruction column "
+                f"{fields['instruction']!r} (columns: "
+                f"{sorted(k for k in row if not k.startswith('_'))}); "
+                "map columns explicitly with --pb_fields")
         instr = str(row[fields["instruction"]])
         meta: Dict[str, Any] = {"instruction": instr}
-        if fields["id"]:
+        if fields["id"] and row.get(fields["id"]) is not None:
             meta["id"] = row[fields["id"]]
-        if fields["type"]:
+        if fields["type"] and row.get(fields["type"]) is not None:
             meta["task_type"] = row[fields["type"]]
         tgt_txt = row.get(fields["target_text"]) if fields["target_text"] \
             else None

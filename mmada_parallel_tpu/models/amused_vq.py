@@ -215,11 +215,13 @@ def amused_decode_code(params: Dict[str, Any], cfg: AmusedVQConfig,
     return jnp.clip(x, 0.0, 1.0)
 
 
-def amused_img_span(encode_fn, cfg: AmusedVQConfig, img, tokens) -> list:
+def amused_img_span(encode_fn, cfg: AmusedVQConfig, img, tokens,
+                    with_codes: bool = False):
     """PIL image -> ``[boi] offset-grid-with-newlines [eoi]`` token span
     (the A prompt image format, ``inference.py:150-158``).  ``encode_fn``
     is a (jitted) ``[1,H,W,3] -> [1, h*w]`` code encoder — shared by
-    ``TI2TIPipeline.encode_img_with_breaks`` and the serve CLI."""
+    ``TI2TIPipeline.encode_img_with_breaks``, the serve CLI and the eval
+    sweep.  ``with_codes=True`` also returns the raw (un-offset) codes."""
     import numpy as np
     from mmada_parallel_tpu import tokens as tk
     from mmada_parallel_tpu.utils.image import image_to_array
@@ -228,5 +230,6 @@ def amused_img_span(encode_fn, cfg: AmusedVQConfig, img, tokens) -> list:
     h = img.size[1] // cfg.scale
     w = img.size[0] // cfg.scale
     grid = [int(c) + tokens.vq_offset for c in codes]
-    return [tokens.boi] + tk.add_break_line(grid, h, w, tokens.newline) \
+    span = [tokens.boi] + tk.add_break_line(grid, h, w, tokens.newline) \
         + [tokens.eoi]
+    return (span, codes) if with_codes else span

@@ -188,9 +188,15 @@ def rope_attention(q: jax.Array, k: jax.Array, v: jax.Array,
 
 def _prefix_dense_bias(kv_hi: jax.Array, Lk: int) -> jax.Array:
     """``[B, Lq]`` bounds -> the equivalent dense bool mask
-    ``[B, 1, Lq, Lk]`` (the oracle/backward/CPU form)."""
+    ``[B, 1, Lq, Lk]`` (the oracle/backward/CPU form).
+
+    Bounds are clamped to ``[1, Lk]`` exactly like the Pallas kernel
+    (``masks.prefix_bounds`` always emits >= 1 — the causal base), so a
+    hand-built bound-0 row means "attend to token 0" on EVERY path
+    rather than NaNs on one and numbers on the other."""
     cols = jnp.arange(Lk, dtype=jnp.int32)
-    return (cols[None, None, :] < kv_hi[:, :, None])[:, None]
+    hi = jnp.clip(kv_hi.astype(jnp.int32), 1, Lk)
+    return (cols[None, None, :] < hi[:, :, None])[:, None]
 
 
 @functools.lru_cache(maxsize=None)

@@ -118,6 +118,41 @@ def test_infer_a_cli_from_disk(tmp_path):
         assert f.read() is not None   # thinking text written (may be "")
 
 
+def test_eval_sweep_vq_encoder_handles_offgrid_pil(tmp_path):
+    """The ParaBench path hands encode_edit raw PIL images of arbitrary
+    size; the reference crop pipeline must run unconditionally or the
+    h*w span layout breaks downstream (r5 review finding)."""
+    from mmada_parallel_tpu.cli.eval_sweep import _vq_encode_fn
+
+    T = tk.TOKENS_A
+    ckpt = str(tmp_path / "ckpt_vq")
+    vq_dir = os.path.join(ckpt, "vqvae")
+    os.makedirs(vq_dir)
+    hf_cfg = {"block_out_channels": [8, 8, 8, 8, 8],
+              "layers_per_block": 1, "latent_channels": 8,
+              "num_vq_embeddings": T.codebook_size, "norm_num_groups": 4}
+    with open(os.path.join(vq_dir, "config.json"), "w") as f:
+        json.dump(hf_cfg, f)
+    vq_cfg = CV.amused_config_from_hf(hf_cfg)
+    vq_params = A.init_amused_vq_params(jax.random.key(1), vq_cfg)
+    _save_safetensors(os.path.join(vq_dir, "model.safetensors"),
+                      _amused_state_dict(vq_params, vq_cfg))
+
+    encode_edit = _vq_encode_fn(ckpt, "edit")
+    rng = np.random.default_rng(0)
+    img = Image.fromarray(rng.integers(0, 255, (75, 100, 3), np.uint8))
+    span, codes = encode_edit(img)   # off-grid size: crop pipeline runs
+    # span = [boi] + h rows of (w codes + newline) + [eoi]
+    assert span[0] == T.boi and span[-1] == T.eoi
+    w = span.index(T.newline) - 1
+    h = (len(span) - 2) // (w + 1)
+    assert (len(span) - 2) % (w + 1) == 0
+    assert len(codes) == h * w, (len(span), len(codes), h, w)
+    # the crop list is built from 32px multiples of 512x512 area, so the
+    # encoded grid is on-layout (not the raw 100x75 -> 6x4 grid)
+    assert (w * vq_cfg.scale) % 32 == 0 and (h * vq_cfg.scale) % 32 == 0
+
+
 def test_infer_m_cli_from_disk(tmp_path):
     from mmada_parallel_tpu.cli import infer_m
 
