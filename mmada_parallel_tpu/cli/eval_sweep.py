@@ -248,6 +248,14 @@ def main(argv=None):
     if args.checkpoint is None and not args.tiny_model:
         raise SystemExit("--checkpoint is required (or pass --tiny_model "
                          "explicitly for a random-weight debug sweep)")
+    # cheap argument contradictions fail BEFORE the minutes-long
+    # checkpoint load/quantize below
+    if bool(args.requests) == bool(args.parabench):
+        raise SystemExit("pass exactly one of --requests / --parabench")
+    if args.parabench and (args.tiny_model or args.checkpoint is None):
+        raise SystemExit("--parabench needs --checkpoint (tokenizer); "
+                         "for offline tests drive "
+                         "data/parabench.parabench_requests directly")
     variant_a = args.task == "edit"
     T = tk.TOKENS_A if variant_a else tk.TOKENS_M
     if args.tiny_model or args.checkpoint is None:
@@ -269,20 +277,13 @@ def main(argv=None):
         params = jax.jit(lambda p: quantize_llada_params(
             p, quantize_head="bf16head" not in args.quant))(params)
 
-    if bool(args.requests) == bool(args.parabench):
-        raise SystemExit("pass exactly one of --requests / --parabench")
     if args.parabench:
         from mmada_parallel_tpu.data.parabench import (load_parabench,
                                                        parabench_requests)
         rows = load_parabench(args.parabench)
         fm = dict(kv.split("=", 1) for kv in args.pb_fields.split(",")
                   if kv) or None
-        if tokenizer is not None:
-            tok = lambda s: tokenizer(s)["input_ids"]
-        else:
-            raise SystemExit("--parabench needs --checkpoint (tokenizer); "
-                             "for offline tests drive "
-                             "data/parabench.parabench_requests directly")
+        tok = lambda s: tokenizer(s)["input_ids"]
         enc = (_vq_encode_fn(args.vq_checkpoint, args.task)
                if args.vq_checkpoint else None)
         raw = parabench_requests(rows, args.task, tok, enc, field_map=fm)

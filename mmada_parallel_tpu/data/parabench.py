@@ -172,7 +172,14 @@ def parabench_requests(
     """
     if not rows:
         raise ValueError("empty ParaBench rows")
-    fields = detect_fields(rows[0], field_map)
+    # detect over the UNION of the first rows' columns: JSONL exports
+    # often omit null fields per-row, so row 0 alone can silently
+    # disable the image/type/target roles for the whole dataset
+    probe: Dict[str, Any] = {}
+    for r in rows[:64]:
+        for k, v in r.items():
+            probe.setdefault(k, v)
+    fields = detect_fields(probe, field_map)
     out = []
     for i, row in enumerate(rows):
         base = row.get("_base_dir")
@@ -223,10 +230,18 @@ def parabench_requests(
         elif task == "interleave":
             req: Dict[str, Any] = {"instr_ids": list(tokenize(instr)),
                                    "meta": meta}
-            if img is not None:
-                raw = encode_image(img)
-                req["codes"] = [int(c) for c in raw]
-                meta["input_codes"] = req["codes"]
+            if img is None:
+                # fail HERE with guidance, not minutes later inside
+                # InterleaveServer.submit ("pass exactly one of codes=
+                # or image=") after checkpoint load + compiles
+                raise ValueError(
+                    f"row {i} ({meta.get('id', '?')}) has no input "
+                    "image but interleave generation requires one — "
+                    "filter the dataset or run --task t2i for "
+                    "text-only rows")
+            raw = encode_image(img)
+            req["codes"] = [int(c) for c in raw]
+            meta["input_codes"] = req["codes"]
             if tgt_img is not None:
                 meta["target_codes"] = [int(c) for c in
                                         encode_image(tgt_img)]
@@ -239,7 +254,13 @@ def parabench_requests(
         elif task == "mmu":
             from mmada_parallel_tpu import tokens as tk
             T = tk.TOKENS_M
-            ids = list(tokenize(tk.make_mmu_prompt(instr)))
+            # bos/eos-normalize the question span like the serve CLI's
+            # /mmu path (serve.py) — MMUServer.submit passes prompt_ids
+            # through untouched, and un-guarded spans are silently
+            # non-parity (CLAUDE.md invariant)
+            ids = tk.normalize_text_ids(
+                list(tokenize(tk.make_mmu_prompt(instr))), T.bos, T.eos,
+                append_eos_always=False)
             if img is not None:
                 raw = encode_image(img)
                 ids = ([T.mmu, T.soi]

@@ -258,9 +258,22 @@ def rope_attention_prefix(q: jax.Array, k: jax.Array, v: jax.Array,
     D = HD // H
     if impl in ("auto", "pallas"):
         on_tpu = jax.devices()[0].platform == "tpu"
-        want_skip = impl == "pallas" or (on_tpu and L >= 4096)
-        if want_skip and (on_tpu or impl == "pallas") \
-                and full_precision and D % 128 == 0:
+        eligible = full_precision and D % 128 == 0
+        if impl == "pallas":
+            # forcing the skip kernel must not silently measure the
+            # dense path instead
+            if not eligible:
+                raise ValueError(
+                    "impl='pallas' requires full_precision=True and "
+                    f"head_dim % 128 == 0 (got full_precision="
+                    f"{full_precision}, head_dim={D})")
+            if not on_tpu:
+                raise ValueError(
+                    "impl='pallas' needs a TPU backend; for CPU testing "
+                    "call flash_attention_rope_prefix(..., "
+                    "interpret=True) directly")
+            return _packed_prefix_diff_fn(H, KV)(q, k, v, sin, cos, kv_hi)
+        if on_tpu and L >= 4096 and eligible:
             return _packed_prefix_diff_fn(H, KV)(q, k, v, sin, cos, kv_hi)
     from mmada_parallel_tpu.ops.masks import to_bias
     bias = to_bias(_prefix_dense_bias(kv_hi, k.shape[1]))

@@ -311,9 +311,10 @@ def measure_chunk_overhead(g: int = 4, seq: int = 2424, batch: int = 1,
     out["factor_explained_by_elementwise"] = (
         (per_layer["mono"] - saving) / per_layer["mono"]
         if per_layer["mono"] > 0 else None)
+    fee = out["factor_explained_by_elementwise"]
     err(f"[chunk_proxy] g={g} B={batch}: chunked "
         f"{per_layer['chunked'] * 1e3:.2f} ms/layer vs mono "
         f"{per_layer['mono'] * 1e3:.2f} -> factor {out['factor']:.3f} "
         f"(elementwise saving alone predicts "
-        f"{out['factor_explained_by_elementwise']:.3f})")
+        + (f"{fee:.3f})" if fee is not None else "n/a: mono <= 0)"))
     return out

@@ -135,3 +135,41 @@ def test_cli_rejects_ambiguous_sources():
     with pytest.raises(SystemExit, match="exactly one"):
         main(["--task", "edit", "--tiny_model",
               "--requests", "a.jsonl", "--parabench", FIXTURE])
+
+
+def test_cli_parabench_needs_tokenizer_before_model_load():
+    from mmada_parallel_tpu.cli.eval_sweep import main
+    with pytest.raises(SystemExit, match="tokenizer"):
+        main(["--task", "edit", "--tiny_model", "--parabench", FIXTURE])
+
+
+def test_mmu_prompt_is_bos_eos_normalized():
+    """MMUServer.submit passes prompt_ids through untouched, so the
+    adapter must apply the normalize_text_ids guard itself (the serve
+    CLI's /mmu convention, append_eos_always=False)."""
+    rows = load_parabench(FIXTURE)
+    T = tk.TOKENS_M
+    reqs = parabench_requests(rows[:1], "mmu", _tokenize, _encode_m)
+    ids = reqs[0]["prompt_ids"]
+    assert ids[0] == T.mmu and ids[1] == T.soi
+    text = ids[ids.index(T.eoi) + 1:]
+    assert text[0] == T.bos and text[-1] == T.eos
+
+
+def test_field_detection_unions_first_rows():
+    """JSONL exports omit null fields per-row: a first row without the
+    image column must not disable images for the whole dataset."""
+    from PIL import Image
+    img = Image.new("RGB", (32, 32), (10, 20, 30))
+    rows = [{"instruction": "a text-only row"},
+            {"instruction": "an edit row", "input_image": img}]
+    reqs = parabench_requests(rows, "edit", _tokenize, _encode_edit)
+    assert "input_codes" not in reqs[0]["meta"]
+    assert len(reqs[1]["meta"]["input_codes"]) == N_VQ
+
+
+def test_interleave_rejects_imageless_rows_with_guidance():
+    rows = load_parabench(FIXTURE)
+    assert rows[2]["input_image"] is None
+    with pytest.raises(ValueError, match="input image"):
+        parabench_requests([rows[2]], "interleave", _tokenize, _encode_m)

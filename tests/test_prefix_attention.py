@@ -110,6 +110,20 @@ def test_prefix_kernel_block_k_sweep(block_k):
                                atol=2e-5, rtol=2e-5)
 
 
+def test_impl_pallas_refuses_silent_fallback():
+    """Forcing the skip kernel must error loudly when it can't run —
+    not quietly measure the dense path (r5 review finding)."""
+    q, k, v, sin, cos = _toy(B=1, Lq=96)
+    hi = jnp.broadcast_to(masks.prefix_bounds(96, 24)[None], (1, 96))
+    with pytest.raises(ValueError, match="TPU backend"):
+        rope_attention_prefix(q, k, v, sin, cos, hi, n_heads=2,
+                              impl="pallas")
+    with pytest.raises(ValueError, match="head_dim"):
+        rope_attention_prefix(q[:, :, :128], k[:, :, :128], v[:, :, :128],
+                              sin[:, :32], cos[:, :32], hi, n_heads=4,
+                              impl="pallas")
+
+
 def test_prefix_kernel_rejects_bad_bounds_shape():
     q, k, v, sin, cos = _toy(B=1, Lq=160)
     hi = jnp.ones((2, 160), jnp.int32)   # batch mismatch
