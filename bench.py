@@ -531,9 +531,12 @@ def build_a_payload(curve, compile_s, replayed, scaling, census_src,
 
 
 def build_m_payload(curve, compile_s, replayed, scaling, census_src,
-                    quant="", seq=2344, n_fwd=128, f_tok_layer=None):
+                    quant="", seq=2344, n_fwd=128, f_tok_layer=None,
+                    cached=""):
     """M-variant (interleave) driver payload: same lean-stdout /
-    verbose-sidecar split as :func:`build_a_payload`."""
+    verbose-sidecar split as :func:`build_a_payload`.  ``cached`` tags
+    the metric when the opt-in feature-cache sampler produced the curve
+    (the number is not comparable to the exact-parity path unlabeled)."""
     if f_tok_layer is None:
         f_tok_layer = backbone_flops_per_token(4096, 12288, 1, 1.0, seq)
     t_8b, method, _ = extrapolate_depth(curve)
@@ -545,6 +548,8 @@ def build_m_payload(curve, compile_s, replayed, scaling, census_src,
         t_8chip = t_8b / 8
         note = "ASSUMES linear v5e-8 scaling"
     tag = f" W8A8-{quant}" if quant.startswith("int8") else ""
+    if cached:
+        tag += f" CACHED={cached}"
     diagnostics = {
         "depth_curve_s": {str(k): round(v, 3) for k, v in curve.items()},
         "compile_first_run_s": {str(k): round(v, 1)
@@ -662,7 +667,8 @@ def bench_m(depths, quant):
     def m_payload(curve, replayed, scaling, census_src):
         return build_m_payload(curve, compile_s, replayed, scaling,
                                census_src, quant=quant, seq=seq,
-                               n_fwd=n_fwd, f_tok_layer=f_tok_layer)
+                               n_fwd=n_fwd, f_tok_layer=f_tok_layer,
+                               cached=cached_env)
 
     def arm_from(curve, replayed):
         try:
@@ -1008,6 +1014,12 @@ def main():
     # the driver contract headline stays the A edit)
     if os.environ.get("BENCH_VARIANT", "a").lower() == "m":
         return bench_m(depths, quant)
+    if os.environ.get("BENCH_CACHED"):
+        # the cached sampler rides the M path only; say so rather than
+        # silently re-measuring the standard A edit
+        raise SystemExit("BENCH_CACHED needs BENCH_VARIANT=m (the "
+                         "adaptive feature cache is the interleave "
+                         "sampler's knob)")
     # BENCH_SERVE=depth,batch,requests measures the TI2TIServer
     # continuous-batching path (diagnostic)
     serve_env = os.environ.get("BENCH_SERVE", "")

@@ -127,6 +127,27 @@ def test_m_payload_under_budget():
     assert verbose["multichip"]["overlap_evidence"]
 
 
+def test_m_cached_payload_is_tagged_and_under_budget():
+    """BENCH_CACHED curves use the opt-in approximation: the metric must
+    say so, and the tag must not blow the stdout budget."""
+    census = _load_artifact("census_v5e8_m.json")
+    chunk = _load_artifact("chunk_overhead.json").get("entries")
+    scaling = bench.predict_from_census(census, 50.0, with_q8=False,
+                                        chunk_overhead=chunk)
+    payload, _, _ = bench.build_m_payload(
+        bench.R3_MEASURED_CURVES["m"], {}, False, scaling,
+        "replayed@artifacts/census_v5e8_m.json", cached="0.95,4,0.25,1")
+    assert "CACHED=0.95,4,0.25,1" in payload["metric"]
+    _assert_budget(payload, "M cached")
+
+
+def test_bench_cached_requires_m_variant(monkeypatch):
+    monkeypatch.setenv("BENCH_CACHED", "0.95,4,0.25,1")
+    monkeypatch.delenv("BENCH_VARIANT", raising=False)
+    with pytest.raises(SystemExit, match="BENCH_VARIANT=m"):
+        bench.main()
+
+
 def test_m_variant_summary_is_compact():
     m_var = bench.m_variant_summary(ERR)
     if m_var is None:
